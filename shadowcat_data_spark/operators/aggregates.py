@@ -1,0 +1,318 @@
+"""Aggregation operators (SURVEY.md §2.4, A1–A10).
+
+All hash aggregations are expressed declaratively so Catalyst plans
+partial (map-side) + final aggregation automatically; at 100 TB the only
+knobs that matter are shuffle partitioning (AQE-coalesced) and measure
+determinism, handled by the exact-decimal-sum idiom:
+
+    F.sum(col.cast("decimal(p,s)")).cast("double")
+
+Decimal sums are exact and associative → identical results under any
+partitioning on Spark AND any thread order on the DuckDB oracle, so the
+driver's value-hash matches deterministically. Never sum raw doubles in
+an oracle-checked aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..session import load_table
+
+
+def money_sum(col: F.Column, alias: str, scale: str = "decimal(22,6)") -> F.Column:
+    """Exact, order-independent sum of a money-like double, as double."""
+    return F.sum(col.cast(scale)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# A1 — flagship: TPC-H-Q1-shaped pricing summary (multi-measure hash agg)
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → groupBy(2) → 8 measures → sort. The flagship (entry) query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity"), "sum_qty"),
+            money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(22,6)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(22,6)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(22,6)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+query(
+    "a1_pricing_summary",
+    oracle=Q1_ORACLE,
+    category="aggregate",
+    description="TPC-H-Q1-style multi-measure hash aggregation over lineitem",
+)(pricing_summary)
+
+
+# ---------------------------------------------------------------------------
+# A2 — exact count distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a2_count_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+    category="aggregate",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) alongside plain counts (expand-based rewrite)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — approx count distinct (HLL++) — no hash oracle; tolerance-tested in CI
+# ---------------------------------------------------------------------------
+
+
+@query("a3_approx_count_distinct", category="aggregate")
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per group (sketch; mergeable at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — approx quantiles — no hash oracle; tolerance-tested in CI
+# ---------------------------------------------------------------------------
+
+
+@query("a4_approx_quantile", category="aggregate")
+def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna) — mergeable across partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias("pcts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — cube / rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a5_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    category="aggregate",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregation: CUBE with grouping_id disambiguation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        money_sum(F.col("l_quantity"), "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "a5_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    category="aggregate",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_extendedprice"), "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a6_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categories → columns. Explicit value list avoids the extra distinct scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(22,6)")).cast("double"))
+    )
+    return df.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — unpivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a7_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+""",
+    category="aggregate",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long (melt). Narrow projection first so the scan stays pruned."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — HAVING (post-aggregation filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a8_having",
+    oracle="""
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS total_spend,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+    category="aggregate",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING — filter composes onto the aggregate, no extra pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            money_sum(F.col("o_totalprice"), "total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — collect_list / collect_set (repeated-field rollup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a9_collect_set",
+    oracle="""
+SELECT n_name,
+       list_sort(list(DISTINCT s_name)) AS suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    category="aggregate",
+)
+def collect_set_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group → sorted array (order-insensitive via sort_array for determinism)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("s_name")).alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — conditional aggregation (FILTER clause)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a10_conditional_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS hi_disc_rev,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) FILTER (WHERE l_discount <= 0.05) AS DOUBLE) AS lo_disc_rev,
+       CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS big_lines
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregation via sum(when(...)) — one pass, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(22,6)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, price_dec)).cast("double").alias("hi_disc_rev"),
+        F.sum(F.when(F.col("l_discount") <= 0.05, price_dec)).cast("double").alias("lo_disc_rev"),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("big_lines"),
+    )

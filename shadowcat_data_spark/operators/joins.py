@@ -1,0 +1,449 @@
+"""Join operators (SURVEY.md §2.3, J1–J10).
+
+Catalyst picks the physical join (broadcast-hash / sort-merge / shuffled-hash)
+and AQE re-plans at runtime (broadcast switch, skew split). We only hint
+``F.broadcast`` for the genuinely small dimensions (region/nation/supplier) —
+at 100 TB those are still tiny, so the hint stays valid at scale.
+
+Two operators Spark lacks natively are implemented as composable rewrites:
+
+- ``asof_join``   — union-tag + running max-struct over a window. One shuffle
+  on (keys), one sort; no per-group pandas, no driver collect. Scales as a
+  single sort-merge pass. (pd.merge_asof via applyInPandas would move every
+  row through Arrow→Python — only worth it for exotic tolerance semantics.)
+- ``range_join``  — band-expansion: explode each [lo,hi) range into fixed-width
+  bands, equi-join on the band key, then residual-filter. Turns an O(n·m)
+  nested-loop into a hash join; band width trades build-side duplication
+  against probe fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import query
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# Composable operators
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` keys (ties broken by the
+    lexicographically greatest payload — deterministic).
+
+    Plan shape: union the two inputs, one window (shuffle on `on`, sort by
+    ts), filter back to left rows. Cost ≈ one sort-merge join, no matter how
+    wide the time skew — this is the 100 TB-safe formulation.
+    """
+    payload = F.struct(F.col(right_ts).alias("__ts"), *[F.col(c) for c in payload_cols])
+    r = right.select(
+        *on, F.col(right_ts).alias("__t"), F.lit(0).alias("__side"), payload.alias("__p")
+    )
+    l = left.select(
+        "*", F.col(left_ts).alias("__t"), F.lit(1).alias("__side"), F.lit(None).alias("__p")
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # side=0 sorts before side=1 at equal ts → right rows at ts == left_ts match.
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned.withColumn("__asof", F.max("__p").over(w))
+    return (
+        matched.filter(F.col("__side") == 1)
+        .drop("__t", "__side", "__p")
+        .withColumn("__asof_ts", F.col("__asof.__ts"))
+    )
+
+
+def range_join(
+    probe: DataFrame,
+    ranges: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    band_width: float,
+) -> DataFrame:
+    """Join rows where ``lo <= value < hi`` via band-expansion equi-join.
+
+    Each range [lo, hi) is exploded into ceil((hi-lo)/band_width) band keys;
+    the probe side computes its single band key. The equi-join on band then a
+    residual filter reproduces the interval predicate with hash-join cost.
+    """
+    banded = ranges.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / band_width).cast("long"),
+                F.floor((F.col(hi) - 1e-12) / band_width).cast("long"),
+            )
+        ),
+    )
+    keyed = probe.withColumn("__band", F.floor(F.col(value) / band_width).cast("long"))
+    return (
+        keyed.join(banded, on="__band", how="inner")
+        .filter((F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi)))
+        .drop("__band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — inner equi-join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_inner_join",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS gross
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    category="join",
+)
+def inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim equi-join + aggregate; Catalyst/AQE choose the strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(22,6)")).cast("double").alias("gross"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — outer joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j2_left_outer",
+    oracle="""
+SELECT c_custkey,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(22,6))), 0) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    category="join",
+)
+def left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN keeping order-less customers (count of non-null = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(22,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "j2_full_outer",
+    oracle="""
+SELECT COALESCE(cn.k, sn.k) AS nationkey, cn.n_cust, sn.n_supp
+FROM (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1) cn
+FULL JOIN (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1) sn
+ON cn.k = sn.k
+""",
+    category="join",
+)
+def full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over two aggregated sides (nulls where a side is absent)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cn.join(sn, cn.k == sn.k, "full").select(
+        F.coalesce(cn.k, sn.k).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — broadcast join (explicit hint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j3_broadcast_join",
+    oracle="""
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    category="join",
+)
+def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim tables broadcast — zero shuffle for the joins; only the final
+    aggregation shuffles. Same results as j1 semantics, different physical plan."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/J5 — semi / anti
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j4_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+    category="join",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi: no row multiplication, right side only probed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "j5_anti_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    category="join",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti (customers that never ordered)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — multi-way star join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j6_star_join",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+    category="join",
+)
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star: local-supplier revenue by nation for one region/year.
+    Dims broadcast; fact-side joins shuffle on their keys; AQE reorders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            c.c_custkey == o.o_custkey,
+        )
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — cross / theta join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j7_cross_join",
+    oracle="""
+SELECT a.r_name AS r1, b.r_name AS r2
+FROM region a, region b
+WHERE a.r_name < b.r_name
+""",
+    category="join",
+)
+def cross_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered pairs via crossJoin + theta predicate (BNLJ; both sides tiny —
+    at scale a cross join is only ever allowed against a broadcast-bounded side)."""
+    r = load_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("r1"))
+    b = r.select(F.col("r_name").alias("r2"))
+    return a.crossJoin(b).filter(F.col("r1") < F.col("r2"))
+
+
+@query(
+    "j7_theta_join",
+    oracle="""
+SELECT s_suppkey, c_custkey
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal AND c_acctbal > 9500
+""",
+    category="join",
+)
+def theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + inequality residual — hash join with a post-filter, not BNLJ."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    return s.join(
+        c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal)
+    ).select("s_suppkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J8 — range join via band expansion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j8_range_join",
+    oracle="""
+WITH tiers(lo, hi, tier) AS (
+  VALUES (0.0, 10.0, 'XS'), (10.0, 25.0, 'S'), (25.0, 40.0, 'M'), (40.0, 100.0, 'L')
+)
+SELECT tier,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS rev
+FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
+GROUP BY tier
+""",
+    category="join",
+)
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join rewritten as banded equi-join (see range_join docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [(0.0, 10.0, "XS"), (10.0, 25.0, "S"), (25.0, 40.0, "M"), (40.0, 100.0, "L")],
+        "lo double, hi double, tier string",
+    )
+    joined = range_join(li, tiers, "l_quantity", "lo", "hi", band_width=8.0)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(22,6)")).cast("double").alias("rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j9_asof_join",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       MAX(c.ts) AS click_ts,
+       MAX(CASE WHEN c.ts IS NOT NULL THEN {'__ts': c.ts, 'event_id': c.event_id} END).event_id AS click_id
+FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+""",
+    category="join",
+)
+def asof_purchases_to_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest click at-or-before it (same user).
+    Spark side is the scalable union+window rewrite; the oracle uses the
+    O(pairs) grouped formulation — same semantics, ties broken identically
+    by (ts, event_id) lexicographic max."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", payload_cols=["event_id"]
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("__asof.__ts").alias("click_ts"),
+        F.col("__asof.event_id").alias("click_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — self join (funnel)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j10_self_join_funnel",
+    oracle="""
+SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events s JOIN events p
+  ON s.user_id = p.user_id AND CAST(p.ts AS TIMESTAMP) > CAST(s.ts AS TIMESTAMP)
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+GROUP BY s.user_id
+""",
+    category="join",
+)
+def self_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup→purchase pairs per user via self-join on the events table."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("s_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(p, (s.user_id == p.p_user) & (p.p_ts > s.s_ts))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

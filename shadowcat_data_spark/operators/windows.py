@@ -1,0 +1,247 @@
+"""Window functions (SURVEY.md §2.5, W1–W7).
+
+Every window spec orders by a unique tiebreaker so row_number/ntile are
+deterministic; oracle SQL orders by ``CAST(ts AS TIMESTAMP)`` wherever
+events.ts appears so both engines rank on the same µs-truncated values.
+
+Scale note: a window = one shuffle on partitionBy keys + one sort. Keys
+here (suppkey, user_id, orderkey) are high-cardinality, so partitions
+stay balanced; never window over a constant / tiny-cardinality key at
+scale (single-task sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import query
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# W1 — ranking family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_ranking",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       CAST(RANK()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS BIGINT) AS drnk,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+FROM lineitem
+""",
+    category="window",
+)
+def ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank (real ties) + row_number (unique ordering)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_ties = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    w_uniq = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.row_number().over(w_uniq).cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — top-K per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w2_topk_per_group",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+""",
+    category="window",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items per supplier (rank-filter; map-side safe at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — lag / lead
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w3_lag_lead",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       LAG(value)       OVER w AS prev_value,
+       LEAD(event_type) OVER w AS next_type,
+       LAG(value, 2, -1.0) OVER w AS prev2_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+    category="window",
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset access with default values."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — running aggregates (rows frame)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w4_running_agg",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6)))
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+FROM lineitem
+""",
+    category="window",
+)
+def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum/count per order (decimal sum → frame-order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast("decimal(22,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — time-range frame (sliding by value range, not row count)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w5_range_frame",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    category="window",
+)
+def range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-hour window via RANGE frame on epoch-µs."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(22,6)")).over(w).cast("double").alias("value_last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 — distribution functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w6_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cume
+FROM orders
+""",
+    category="window",
+)
+def distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist (int-ratio doubles → deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7 — first / last value over full frame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w7_first_last",
+    oracle="""
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type)  OVER w AS last_type,
+       FIRST_VALUE(CAST(ts AS TIMESTAMP)) OVER w AS first_ts,
+       LAST_VALUE(CAST(ts AS TIMESTAMP))  OVER w AS last_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    category="window",
+)
+def first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first/last event over an unbounded frame, collapsed to one row."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("ts").over(w).alias("last_ts"),
+    ).distinct()

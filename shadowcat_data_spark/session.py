@@ -1,0 +1,95 @@
+"""SparkSession factory and fixture-table loaders.
+
+Design notes (scale-first):
+- One shared session per process; ``local[$SPARK_GRAFT_CPUS]`` locally, but
+  nothing here assumes local mode — the same code runs on a cluster master.
+- AQE on (runtime coalesce / broadcast switch / skew-join split).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real cluster
+  AQE coalesces from a higher initial number, so we only pin it for local.
+- Session timezone pinned UTC: parquet fixtures are UTC-naive and the DuckDB
+  oracle is UTC-naive (pyspark_guide.md:207-209).
+- ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+  natively; we read nanos-as-long and truncate to microseconds, which matches
+  DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation exactly (verified).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Confs that are *correctness-critical* and safe to set on a running session
+# (all dynamic SQL confs). Applied defensively in ensure_session() because the
+# driver hands us ITS session, whose builder confs we don't control.
+_DYNAMIC_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS,false); without this Spark 4
+    # raises PARQUET_TYPE_ILLEGAL on read.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(app_name: str = "shadowcat_data_spark") -> SparkSession:
+    """Build (or get) the shared local session. Tests and bench use this;
+    the driver brings its own session, which ``ensure_session`` adapts."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _DYNAMIC_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session(spark: SparkSession) -> SparkSession:
+    """Set correctness-critical dynamic confs on an externally-owned session."""
+    for k, v in _DYNAMIC_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some builds
+            pass
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Columnar parquet scan — Catalyst pushes
+    predicates/projections down; callers should NOT cache here (scan reuse is
+    a bench-time decision, not an engine default)."""
+    ensure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # nanos-as-long → microsecond TimestampType. Integer DIV avoids the
+        # double-precision loss of ns/1000.0 at 1.7e18 magnitudes; truncation
+        # (not rounding) matches DuckDB CAST(ts AS TIMESTAMP).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,38 @@
+"""The inner-loop mirror of the driver's t2 gate: every registered query that
+declares oracle SQL must hash-match DuckDB at sf0.001 (driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from shadowcat_data_spark import registry
+from shadowcat_data_spark.compare import run_compare
+
+from .conftest import SF_DIR
+
+SPECS = registry.load_all()
+ORACLE_KEYS = sorted(k for k, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY_KEYS = sorted(k for k, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_match(name, spark, duck):
+    spec = SPECS[name]
+    res = run_compare(name, spark, duck, SF_DIR, spec.fn, spec.oracle)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_runs(name, spark):
+    spec = SPECS[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert e.queries().keys() >= set(e.oracle_sql().keys())
