@@ -1,1 +1,344 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function surface (SURVEY.md §2.7, F1–F10).
+
+All built-in ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd;
+no Python touches the hot path.
+
+Cross-engine exactness (measured, this image):
+- EXACT vs DuckDB: sqrt, exp, +,-,*,/, array aggregate/zip_with lambdas,
+  levenshtein, string ops, sha256/md5 hex.
+- LAST-ULP DIFFERENT: ln, pow → round to 9 decimals in oracle-checked output.
+- NEVER in oracle output: xxhash64 (seed differs), monotonically_increasing_id
+  (non-deterministic; use row_number for surrogate keys), array_distinct
+  (element order unspecified), double→int CAST (Spark truncates, DuckDB rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# F1 — string basics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_string_basics",
+    oracle="""
+SELECT c_custkey,
+       lower(c_name) AS name_lower,
+       upper(c_mktsegment) AS seg_upper,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       substring(c_name, 10, 5) AS name_mid,
+       concat_ws('|', c_mktsegment, trim(c_name)) AS tagged,
+       replace(c_name, 'Customer', 'Cust') AS name_short
+FROM customer
+""",
+    category="function",
+)
+def string_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower/upper/length/lpad/substring/concat_ws/trim/replace."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.substring("c_name", 10, 5).alias("name_mid"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.trim(F.col("c_name"))).alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — regex
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f2_regex",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+       regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+       regexp_matches(p_type, 'ECONOMY|STANDARD') AS is_cheap
+FROM part
+""",
+    category="function",
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract (group), global replace, match predicate."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.col("p_type").rlike("ECONOMY|STANDARD").alias("is_cheap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — split / tokenize
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f3_split_tokenize",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token,
+       string_split(text, ' ')[-1] AS last_token
+FROM documents
+""",
+    category="function",
+)
+def split_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization → array ops (element_at is 1-based, -1 = last)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — fuzzy string matching
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f4_fuzzy_match",
+    oracle="""
+SELECT s_suppkey, s_name,
+       CAST(levenshtein(s_name, 'Supplier#000000001') AS INTEGER) AS edit_dist
+FROM supplier
+WHERE levenshtein(s_name, 'Supplier#000000001') <= 3
+""",
+    category="function",
+)
+def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance filter (identifier reconciliation / fuzzy dedup)."""
+    s = load_table(spark, sf_dir, "supplier")
+    dist = F.levenshtein(F.col("s_name"), F.lit("Supplier#000000001"))
+    return s.select("s_suppkey", "s_name", dist.alias("edit_dist")).filter(
+        F.col("edit_dist") <= 3
+    )
+
+
+@query("f4b_phonetic", category="function")
+def phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """soundex phonetic key (no DuckDB equivalent → rows-only check)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", F.soundex("c_name").alias("name_soundex")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# F5 — date / time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f5_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date
+FROM orders
+""",
+    category="function",
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract / trunc / diff / add. NOTE: DuckDB date_diff args are
+    (part, start, end); Spark datediff is (end, start)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        # DATE stays out of output schemas: DuckDB's pandas conversion turns
+        # DATE into midnight timestamps while Spark yields datetime.date.
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 — math
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f6_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       abs(l_discount - 0.04) AS disc_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(ln(l_extendedprice), 9) AS price_ln,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate
+FROM lineitem
+""",
+    category="function",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/floor/ceil/sqrt/ln/mod/greatest/least (ln rounded: last-ulp
+    differs between JVM and libm)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.04).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.ln("l_extendedprice"), 9).alias("price_ln"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 — array functions (incl. higher-order lambdas)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f7_array_lambdas",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS n_dims,
+       embedding[1] AS head_val,
+       embedding[1:3] AS head3,
+       list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0) AS head3_doubled,
+       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_sq,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+FROM embeddings
+""",
+    category="function",
+)
+def array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/slice + transform/filter/aggregate lambdas over the
+    multimodal array<float> column (all JVM-side; exact vs oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).alias("head_val"),
+        F.slice("embedding", 1, 3).alias("head3"),
+        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double") * 2.0).alias(
+            "head3_doubled"
+        ),
+        F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x).alias("norm_sq"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — map functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f8_map_funcs",
+    oracle="""
+SELECT vec_id,
+       map_keys(MAP {'label': label, 'half': label // 2}) AS mkeys,
+       map_values(MAP {'label': label, 'half': label // 2}) AS mvals,
+       MAP {'label': label, 'half': label // 2}['label'][1] AS label_val
+FROM embeddings
+""",
+    category="function",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction / keys / values / element access (map columns stay
+    out of the output schema — engines disagree on map cell encoding)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = F.create_map(
+        F.lit("label"), F.col("label"), F.lit("half"), (F.col("label") / 2).cast("int")
+    )
+    return e.select(
+        "vec_id",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, "label").alias("label_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — JSON
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f9_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract(props, '$.k') AS INTEGER) * 10 AS k_scaled
+FROM events
+""",
+    category="function",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path extraction + schema'd parse of the semi-structured props column."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") * 10).alias("k_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — hashing / stable ids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f10_hash",
+    oracle="""
+SELECT doc_id,
+       sha256(text) AS text_sha,
+       md5(text) AS text_md5,
+       sha256(concat(lang, '|', text)) AS keyed_sha
+FROM documents
+""",
+    category="function",
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashes (dedup keys, fingerprints). xxhash64 is
+    Spark-seeded and monotonically_increasing_id non-deterministic — both are
+    available in the engine but excluded from oracle-checked output."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.md5(F.col("text")).alias("text_md5"),
+        F.sha2(F.concat_ws("|", F.col("lang"), F.col("text")), 256).alias("keyed_sha"),
+    )

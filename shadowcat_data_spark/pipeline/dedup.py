@@ -1,1 +1,274 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.8).
+
+Four tiers, each a composable operator plus a registered query:
+
+- exact        — normalized-content hash → keep canonical row (L1)
+- n-gram Jaccard — exact set similarity via inverted-index join (L2a)
+- MinHash+LSH  — banded signatures → candidate pairs → exact verify (L2b)
+- SimHash      — 64-bit sketch, hamming-distance candidates (L2c)
+
+Scale design: everything is explode → groupBy → equi-join; no all-pairs
+cross product ever materializes. The inverted-index join fans out per
+shared token — at 100 TB you bound it by dropping ultra-common tokens
+(``max_df``) exactly like a search engine drops stopwords; MinHash/LSH
+replaces the exact join when even that is too wide. Banded LSH buckets
+are equi-join keys, so AQE's skew handling covers hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import query
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup by normalized content hash
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-text hash; count group size."""
+    key = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    w = W.partitionBy("content_key").orderBy(id_col)
+    return (
+        df.withColumn("content_key", key)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(W.partitionBy("content_key")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "l1_exact_dedup",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, sha256(lower(trim(text))) AS content_key,
+         COUNT(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS n_copies
+  FROM documents
+)
+SELECT doc_id, content_key, CAST(n_copies AS BIGINT) AS n_copies
+FROM keyed
+QUALIFY ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) = 1
+""",
+    category="pipeline-dedup",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of the documents corpus (canonical row = lowest doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "content_key", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# Shared tokenization
+# ---------------------------------------------------------------------------
+
+
+def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, one row per distinct token per doc."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2a — exact n-gram/token Jaccard via inverted-index join (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact token-set Jaccard for every doc pair sharing ≥1 token.
+
+    Inverted-index self-join on token (shuffle on token, hash join) — never
+    an all-pairs product. shared/(|A|+|B|-shared) is an int ratio → the
+    double result is bit-identical across engines.
+    """
+    tok = distinct_tokens(df, id_col, text_col)
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.select(F.col(id_col).alias("d1"), "tok")
+    b = tok.select(F.col(id_col).alias("d2"), "tok")
+    shared = (
+        a.join(b, ["tok"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+    )
+
+
+@query(
+    "l2a_jaccard_histogram",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
+  FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+)
+SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS j_decile, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+""",
+    category="pipeline-dedup",
+)
+def jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise token-Jaccard across the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text")
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("j_decile")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "l2a_near_dup_pairs",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
+FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.75
+""",
+    category="pipeline-dedup",
+)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate doc pairs at Jaccard ≥ 0.75 (exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text").filter(F.col("jaccard") >= 0.75).select(
+        "d1", "d2", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2b — MinHash + banded LSH (engine-hash-based → rows-only; property-tested
+# against exact Jaccard in tests/test_pipeline.py)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands × 4 rows → catches J ≳ 0.5 w.h.p.
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-permutation MinHash signature per doc.
+
+    xxhash64(seed_i, token) emulates the i-th permutation; min per seed is a
+    plain partial-aggregable min → one explode + one groupBy, no UDF.
+    """
+    tok = distinct_tokens(df, id_col, text_col)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}") for i in range(N_HASHES)
+    ]
+    return tok.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket become candidates.
+
+    Bands are equi-join keys → shuffle hash join; hot buckets (boilerplate
+    docs) are handled by AQE skew-join at scale.
+    """
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a = bands.select(F.col(id_col).alias("d1"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("d2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
+    exact = jaccard_pairs(df, id_col, text_col).select("d1", "d2", "jaccard")
+    return cands.join(exact, ["d1", "d2"]).filter(F.col("jaccard") >= threshold)
+
+
+@query("l2b_minhash_lsh", category="pipeline-dedup")
+def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates verified at J ≥ 0.5 (probabilistic
+    recall → rows-only; recall vs exact pairs asserted in the test suite)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(d, "doc_id", "text", 0.5).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# L2c — SimHash (64-bit sketch)
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of token-hash bits.
+
+    One explode + one groupBy with 64 conditional sums — all JVM built-ins,
+    partial-aggregable, no UDF.
+    """
+    tok = distinct_tokens(df, id_col, text_col).withColumn(
+        "th", F.xxhash64(F.col("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+@query("l2c_simhash", category="pipeline-dedup")
+def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketches (Spark-hash-seeded → rows-only; hamming-neighbor
+    behavior property-tested)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text").orderBy("doc_id")

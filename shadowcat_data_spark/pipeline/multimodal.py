@@ -1,1 +1,163 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal column handling (SURVEY.md §2.8 L8 + media plumbing).
+
+Design: media is an opaque ``binary`` column plus a typed metadata struct,
+exactly the layout a 100 TB image/audio/video corpus uses in parquet. The
+Spark-side plumbing — schema, partition-preserving transforms, Arrow batch
+shape through ``mapInPandas`` — is real and tested. The actual codec step
+is STUBBED (``decode_media_batch`` with deterministic fake features):
+image/audio libraries are not in this container. Swapping the stub for
+PIL/torchaudio is a one-function change; nothing upstream or downstream
+moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..registry import query
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# L8 — array<float> carried intact through relational ops (full oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l8_multimodal_passthrough",
+    oracle="""
+SELECT e.vec_id, e.label, e.embedding, d.lang
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+WHERE e.label IN (1, 3) AND d.lang IN ('en', 'de')
+""",
+    category="pipeline-multimodal",
+)
+def multimodal_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding array survives join/filter untouched (no flatten, no
+    serde round-trip) — the core guarantee for multimodal columns."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        e.join(d, e.vec_id == d.doc_id)
+        .filter(F.col("label").isin(1, 3) & F.col("lang").isin("en", "de"))
+        .select("vec_id", "label", "embedding", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Media table synthesis + decode stub
+# ---------------------------------------------------------------------------
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media corpus derived from documents: binary payload
+    = sha256(text) bytes, metadata struct typed like a real media manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.unbase64(F.base64(F.encode(F.sha2(F.col("text"), 256), "utf-8")))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("content"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpeg").alias("format"),
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.length(F.col("text")).cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder (mapInPandas kernel). Real deployments replace the body
+    with PIL / ffmpeg / torchaudio decode; the Arrow batch contract
+    (pd.DataFrame in → pd.DataFrame matching DECODED_SCHEMA out) is what the
+    engine guarantees and tests.
+
+    The fake "feature" is a deterministic function of the payload bytes so
+    results are stable across partitionings.
+    """
+    for pdf in batches:
+        feats = []
+        for content in pdf["content"]:
+            h = hashlib.sha256(bytes(content)).digest()
+            feats.append(np.frombuffer(h[:32], dtype=np.uint8).astype(np.float32) / 255.0)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "format": [m["format"] for m in pdf["meta"]],
+                "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                "feature": feats,
+            }
+        )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode over partitions; no shuffle, schema fixed."""
+    return df.mapInPandas(decode_media_batch, DECODED_SCHEMA)
+
+
+@query("mm_decode_features", category="pipeline-multimodal")
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary+metadata → mapInPandas decode stub → per-format feature stats.
+    (Python-defined features → rows-only check; determinism tested in CI.)"""
+    decoded = decode_media(media_table(spark, sf_dir))
+    return (
+        decoded.select(
+            "format",
+            "n_bytes",
+            F.aggregate(
+                F.col("feature"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ).alias("feat_sum"),
+        )
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.col("feat_sum").cast("decimal(22,6)")).cast("double").alias("total_activation"),
+        )
+        .orderBy("format")
+    )
+
+
+@query(
+    "mm_metadata_stats",
+    oracle="""
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(MAX(n_chars % 640) AS INTEGER) AS max_width
+FROM documents
+GROUP BY 1
+""",
+    category="pipeline-multimodal",
+)
+def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level stats over the typed metadata struct (no decode needed —
+    the point: metadata queries never touch the binary payload at scale)."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("meta.n_bytes").cast("long")).alias("total_bytes"),
+        F.max("meta.width").alias("max_width"),
+    )

@@ -1,1 +1,264 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embedding columns (SURVEY.md §2.8 L3/L4).
+
+Brute-force cosine top-k is the exactness baseline; random-hyperplane LSH
+bucketing is the scale path (candidates ∝ bucket size, not corpus size).
+All dot products use ``F.zip_with`` + ``F.aggregate`` lambdas — JVM-side,
+sequential fold → bit-identical to the DuckDB oracle's list_sum fold
+(verified empirically; see functions/scalar.py header).
+
+100 TB design: the query side is broadcast (top-k questions are about a
+bounded query set); the corpus side never shuffles for brute force. The
+LSH variant buckets the corpus once (one narrow column write) and turns
+each query into an equi-join probe on (bucket) — sub-linear per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import query
+from ..session import load_table
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the corpus,
+    rank per query. Ties broken by corpus id — fully deterministic."""
+    q = F.broadcast(
+        queries.select(F.col(q_id).alias("qid"), _to_double(F.col(q_vec)).alias("qe"))
+    )
+    c = corpus.select(F.col(c_id).alias("cid"), _to_double(F.col(c_vec)).alias("ce"))
+    scored = c.crossJoin(q).select(
+        "qid",
+        "cid",
+        (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias(
+            "cos"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop(
+        "rnk"
+    )
+
+
+COSINE_ORACLE_CTE = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id >= 5
+), scored AS (
+  SELECT qid, cid,
+         list_sum(list_transform(list_zip(qe, ce), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+            * sqrt(list_sum(list_transform(ce, x -> x * x)))) AS cos
+  FROM c, q
+)
+"""
+
+
+@query(
+    "l3_cosine_topk",
+    oracle=COSINE_ORACLE_CTE
+    + """
+SELECT qid, cid, cos FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5
+""",
+    category="pipeline-similarity",
+)
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest corpus vectors (cosine) for each of 5 query vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e.filter(F.col("vec_id") < 5),
+        e.filter(F.col("vec_id") >= 5),
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "embedding",
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3b — LSH-bucketed approximate NN (scale path)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 12  # 4096 buckets
+_PLANE_SEED = 7
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → reproducible plans)."""
+    rng = np.random.RandomState(_PLANE_SEED)
+    return rng.standard_normal((N_PLANES, dim)).tolist()
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: one bit per hyperplane."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        bit = F.when(_dot(_to_double(vec), plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame, corpus: DataFrame, q_id: str, c_id: str, vec: str, k: int
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket both sides, probe only matching buckets,
+    exact-cosine re-rank within the bucket. Recall is property-tested."""
+    dim = 64
+    planes = _hyperplanes(dim)
+    q = queries.select(
+        F.col(q_id).alias("qid"),
+        _to_double(F.col(vec)).alias("qe"),
+        srp_bucket(F.col(vec), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("cid"),
+        _to_double(F.col(vec)).alias("ce"),
+        srp_bucket(F.col(vec), planes).alias("bucket"),
+    )
+    scored = q.join(c, "bucket").select(
+        "qid",
+        "cid",
+        (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias(
+            "cos"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop(
+        "rnk"
+    )
+
+
+@query("l3b_ann_lsh", category="pipeline-similarity")
+def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate → rows-only; recall vs brute force
+    asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        e.filter(F.col("vec_id") < 20), e.filter(F.col("vec_id") >= 20), "vec_id", "vec_id", "embedding", k=5
+    ).orderBy("qid", "cid")
+
+
+# ---------------------------------------------------------------------------
+# L4 — per-label embedding statistics (centroids)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l4_embedding_centroids",
+    oracle="""
+WITH flat AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1e9 / COUNT(*) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM flat GROUP BY label, dim
+""",
+    category="pipeline-similarity",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension). Decimal-sum idiom
+    keeps the float mean order-independent. posexplode is 0-based → +1."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label", (F.col("pos") + 1).alias("dim"), "v"
+    )
+    return flat.groupBy("label", "dim").agg(
+        # quantize at 1e-9 via floor(x*1e9+0.5) → exact BIGINT sum: decimal
+        # casts of floats tie-break differently across engines (string-repr vs
+        # exact-binary rounding); floor/multiply are IEEE-identical everywhere.
+        (
+            F.sum(
+                F.floor(F.col("v").cast("double") * F.lit(1e9) + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4b — embedding near-dup pairs within label blocks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l4b_embedding_near_dup",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pairs AS (
+  SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE cos >= 0.2) AS BIGINT) AS n_close
+FROM pairs GROUP BY label
+""",
+    category="pipeline-similarity",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup detection blocked by label (block-local all-pairs —
+    the blocking key is what makes this feasible at scale)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    a = v.select("label", F.col("vec_id").alias("v1"), F.col("e").alias("e1"))
+    b = v.select("label", F.col("vec_id").alias("v2"), F.col("e").alias("e2"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("v1") < F.col("v2"))
+        .select(
+            "label",
+            (
+                _dot(F.col("e1"), F.col("e2"))
+                / (_norm(F.col("e1")) * _norm(F.col("e2")))
+            ).alias("cos"),
+        )
+    )
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("cos") >= 0.2, 1)).alias("n_close"),
+    )

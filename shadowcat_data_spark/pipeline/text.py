@@ -1,1 +1,284 @@
-"""Placeholder — populated in a later milestone."""
+"""Text analysis operators for training-data pipelines (SURVEY.md §2.8
+L5–L7): tf-idf, corpus/language stats, quality scoring, lexicon scoring,
+heuristic language-ID, content fingerprinting.
+
+All pure column expressions over one explode of the token array — no
+Python UDFs anywhere. At 100 TB each query is: pruned scan → explode →
+partial-agg → shuffle on a high-cardinality key (term or doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import query
+from ..session import load_table
+
+TOKENS = "string_split(text, ' ')"  # DuckDB-side tokenizer fragment
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# L5 — tf-idf
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l5_tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''
+  GROUP BY doc_id, t
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df,
+       tf * round(ln(n_docs * 1.0 / df), 9) AS tfidf
+FROM tf JOIN df USING (term), n
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tf * round(ln(n_docs * 1.0 / df), 9) DESC, term) <= 3
+""",
+    category="pipeline-text",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document. idf is rounded to 9 dp before the
+    multiply so ranking keys are bit-identical across engines (ln last-ulp)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; at scale: F.lit from a pre-computed stat
+    tf = (
+        d.select("doc_id", F.explode(tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .withColumn("tfidf", F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — corpus slicing / length stats
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l6_lang_stats",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, source
+""",
+    category="pipeline-text",
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by (lang, source) — int sums, exact everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "l6b_length_histogram",
+    oracle="""
+SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY lang, len_bucket
+""",
+    category="pipeline-text",
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per language (100-char buckets)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", (F.col("n_chars") / 100).cast("long").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# L7 — lexicon scoring + quality
+# ---------------------------------------------------------------------------
+
+_QUERY_LEXICON = ["query", "join", "filter", "sort", "merge", "scan", "hash", "index"]
+
+
+@query(
+    "l7_keyword_score",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter({TOKENS}, t -> list_contains({_QUERY_LEXICON!r}, t))) AS INTEGER) AS n_hits,
+       CAST(len(list_filter({TOKENS}, t -> list_contains({_QUERY_LEXICON!r}, t))) AS DOUBLE)
+         / len({TOKENS}) AS hit_ratio
+FROM documents
+""".replace("'", "'"),
+    category="pipeline-text",
+)
+def keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit count + ratio per doc (sentiment/keyword scoring shape).
+    The lexicon is inlined as an array literal — at scale a broadcast array."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = F.array(*[F.lit(t) for t in _QUERY_LEXICON])
+    toks = tokens()
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    return d.select(
+        "doc_id",
+        hits.alias("n_hits"),
+        (hits.cast("double") / F.size(toks)).alias("hit_ratio"),
+    )
+
+
+_EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+@query(
+    "l7b_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {TOKENS} AS toks FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS avg_tok_len,
+       CAST(len(list_filter(toks, x -> list_contains({_EN_STOPWORDS!r}, x))) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(len(list_filter(toks, x -> len(x) >= 8)) AS INTEGER) AS n_long_tokens
+FROM t
+""",
+    category="pipeline-text",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: token count, mean token length, stopword
+    ratio, long-token count — the standard pre-training quality gates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    stop = F.array(*[F.lit(t) for t in _EN_STOPWORDS])
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            )
+            / F.size(toks)
+        ).alias("avg_tok_len"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+            / F.size(toks)
+        ).alias("stopword_ratio"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 8)).alias("n_long_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L7c — heuristic language ID (stopword-overlap argmax)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+    "fr": ["le", "les", "et"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def _marker_hits(toks: Column, lang: str) -> Column:
+    lex = F.array(*[F.lit(t) for t in _LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+
+
+@query(
+    "l7c_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {", ".join(
+             f"CAST(len(list_filter({TOKENS}, t -> list_contains({m!r}, t))) AS INTEGER) AS s_{l}"
+             for l, m in _LANG_MARKERS.items()
+         )}
+  FROM documents
+), best AS (
+  SELECT doc_id, lang, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best_score,
+         CASE greatest(s_en, s_de, s_es, s_fr, s_zh)
+              WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_es THEN 'es'
+              WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY lang, predicted
+""",
+    category="pipeline-text",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID; confusion counts vs the labeled lang column.
+    Tie-break order en>de>es>fr>zh mirrored exactly in the CASE chain."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    scored = d.select(
+        "doc_id", "lang", *[_marker_hits(toks, l).alias(f"s_{l}") for l in _LANG_MARKERS]
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in _LANG_MARKERS])
+    predicted = (
+        F.when(best == F.col("s_en"), "en")
+        .when(best == F.col("s_de"), "de")
+        .when(best == F.col("s_es"), "es")
+        .when(best == F.col("s_fr"), "fr")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "lang", predicted.alias("predicted")).groupBy(
+        "lang", "predicted"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# L7d — content fingerprint (rolling polynomial hash, pure int arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l7d_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({TOKENS}, t -> CAST(len(t) * 37 + ascii(t) AS BIGINT))),
+         (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+FROM documents
+""",
+    category="pipeline-text",
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash over the token stream — same text, same
+    fingerprint on any engine (pure int64 arithmetic, no engine hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    vals = F.transform(
+        tokens(), lambda t: (F.length(t) * 37 + F.ascii(t)).cast("bigint")
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * 1000003 + v) % 2147483647,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

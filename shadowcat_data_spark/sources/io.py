@@ -1,1 +1,175 @@
-"""Placeholder — populated in a later milestone."""
+"""Sources & sinks (SURVEY.md §2.1, S1–S6).
+
+Parquet is the native format (columnar, pushdown, partition pruning).
+CSV/JSON readers always take an explicit schema — ``inferSchema`` costs an
+extra full scan and guesses types, both unacceptable at 100 TB. Sinks write
+partitioned parquet (``partitionBy``) so downstream scans prune.
+
+S5 (JDBC) is a stub: the image ships no database/driver. The entry point
+builds the reader spec and fails with a clear message — swap in a real URL
+and it runs unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..registry import query
+from ..session import load_table
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "shadowcat_io")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, tag, name)
+
+
+# ---------------------------------------------------------------------------
+# S1 — parquet scan with pushdown
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_parquet_pruned_scan",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice
+FROM part WHERE p_size >= 40 AND p_type LIKE 'ECONOMY%'
+""",
+    category="source",
+)
+def parquet_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection land in the parquet reader (PushedFilters /
+    ReadSchema in explain) — the scan reads 3 columns, not 6."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter((F.col("p_size") >= 40) & F.col("p_type").like("ECONOMY%")).select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — CSV round-trip with explicit schema
+# ---------------------------------------------------------------------------
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@query(
+    "s2_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    category="source",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → csv sink → schema'd csv scan; values survive the text hop."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = _scratch(sf_dir, "nation_csv")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+
+
+# ---------------------------------------------------------------------------
+# S3 — JSON round-trip with explicit schema
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+@query(
+    "s3_json_roundtrip",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_len
+FROM documents GROUP BY lang
+""",
+    category="source",
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → newline-JSON sink → schema'd json scan → aggregate."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = _scratch(sf_dir, "docs_json")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(DOC_SCHEMA).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4 — partitioned parquet sink
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s4_partitioned_sink",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    category="sink",
+)
+def partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → write partitionBy(l_returnflag) → re-read → return.
+    Re-reading proves the sink round-trips values AND that partition columns
+    re-attach with correct types (they come back as scan partition keys that
+    downstream filters prune on)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(22,6)")).cast("double").alias("sum_qty"),
+    )
+    path = _scratch(sf_dir, "pricing_by_flag")
+    agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select("l_returnflag", "l_linestatus", "n", "sum_qty")
+
+
+# ---------------------------------------------------------------------------
+# S5 — JDBC source (stub: no database in the image)
+# ---------------------------------------------------------------------------
+
+
+def jdbc_source(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+):
+    """Partitioned JDBC reader spec. With partition_column + bounds, Spark
+    issues num_partitions range-sliced queries in parallel — the only sane
+    way to pull a big table over JDBC. Raises if no driver is present."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1_000_000)
+        )
+    try:
+        return reader.load()
+    except Exception as exc:  # no driver jar in this image
+        raise NotImplementedError(
+            f"JDBC source configured for {url}/{table} but no JDBC driver is "
+            "available in this environment; add the driver jar to the classpath."
+        ) from exc

@@ -1,1 +1,312 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming operators (SURVEY.md §2.9, T1–T7).
+
+Pattern: ``readStream`` over the static events parquet → transformation →
+memory sink → ``processAllAvailable()`` → return the materialized table.
+This keeps the driver contract (``(spark, sf_dir) -> DataFrame``) while
+exercising the real streaming engine: micro-batch scheduler, state store,
+watermarks.
+
+A single parquet file arrives as ONE micro-batch, so update-mode emissions
+equal the batch-twin aggregation — which is exactly what the DuckDB oracle
+computes. (With multiple input files per trigger the same queries still
+run; only the oracle equivalence would weaken to eventual-state.)
+
+Scale: these transformations are the same Catalyst plans as batch; state
+(windows, dedup keys, sessions) is partitioned by grouping key across
+executors, and the watermark bounds state size — that, not throughput, is
+what makes 100 TB/day streams survivable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
+from ..session import ensure_session
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events parquet (explicit schema — required for
+    streaming; ts arrives as raw nanos → truncate to µs like the batch path)."""
+    ensure_session(spark)
+    # file streams need a directory; glob-filter down to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Drive a streaming query to completion against the static input and
+    return the memory-sink table."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# T1 — tumbling window aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t1_tumbling_window",
+    oracle="""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    category="streaming",
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling windows per event_type (complete mode)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, "t1_out", "complete")
+    return out.select(F.col("window.start").alias("day"), "event_type", "n", "total_value")
+
+
+# ---------------------------------------------------------------------------
+# T2 — sliding window aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t2_sliding_window",
+    oracle="""
+WITH starts AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY, event_type FROM events
+)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM starts GROUP BY 1, 2
+""",
+    category="streaming",
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding by 1 day — every event lands in two windows."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "2 days", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "t2_out", "complete")
+    return out.select(F.col("window.start").alias("window_start"), "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
+# T3 — session windows (gap-based)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t3_session_window",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    category="streaming",
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user via session_window; the oracle is the
+    classic batch lag+cumsum sessionization — identical session boundaries."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "t3_out", "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4 — watermark semantics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t4_watermark_hourly",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+    category="streaming",
+)
+def watermark_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windows with a 1-hour watermark (update mode). With the whole
+    file in one batch nothing is late → equals the batch aggregation; the
+    late-drop path is exercised in tests with a two-batch rate source."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "t4_out", "update")
+    return out.select(F.col("window.start").alias("hour"), "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
+# T5 — streaming dedup within watermark
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t5_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    category="streaming",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on (user_id, event_type) keyed state; only the key
+    columns are emitted so which duplicate survived doesn't matter."""
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dedup, "t5_out", "append")
+
+
+# ---------------------------------------------------------------------------
+# T6 — arbitrary stateful processing (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_T6_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+_T6_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+
+def _t6_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, first_ts, last_ts = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        first_ts = lo if first_ts is None else min(first_ts, lo)
+        last_ts = hi if last_ts is None else max(last_ts, hi)
+    state.update((n, first_ts, last_ts))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "first_ts": [first_ts], "last_ts": [last_ts]}
+    )
+
+
+@query(
+    "t6_stateful_per_key",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_ts, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+FROM events GROUP BY user_id
+""",
+    category="streaming",
+)
+def stateful_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user state machine (count + first/last seen) held in the
+    state store across batches; emits the running snapshot per batch."""
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _t6_fn, _T6_OUT_SCHEMA, _T6_STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return run_to_memory(out, "t6_out", "update")
+
+
+# ---------------------------------------------------------------------------
+# T7 — exactly-once file sink via foreachBatch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t7_foreach_batch_sink",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    category="streaming",
+)
+def foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → foreachBatch parquet writer (epoch-id gives idempotent
+    exactly-once file naming in real deployments) → re-read → aggregate."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "shadowcat_stream_sink", tag)
+    shutil.rmtree(path, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = events_stream(spark, sf_dir).writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+    )

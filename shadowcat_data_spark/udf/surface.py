@@ -1,1 +1,172 @@
-"""Placeholder — populated in a later milestone."""
+"""User-defined function surface (SURVEY.md §2.10, U1–U4).
+
+Every UDF here is Arrow-batched (pandas_udf / applyInPandas / mapInPandas)
+— row-at-a-time Python UDFs are deliberately absent; they are never the
+right tool (per-row serde, no vectorization). Determinism across engines
+comes from the integer-cents idiom: money doubles → int64 cents → exact
+integer aggregation → back to dollars.
+
+Escalation order when built-ins can't express an operator:
+(1) compose built-ins → (2) these Arrow UDFs → (3) custom Catalyst
+expression in Scala (not wired in this image; see SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..registry import query
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# U1 — scalar vectorized (pandas) UDF
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.DoubleType())
+def net_price(extended: pd.Series, discount: pd.Series) -> pd.Series:
+    """Vectorized net price — one Arrow batch in, one out."""
+    return extended * (1.0 - discount)
+
+
+@query(
+    "u1_pandas_udf",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS net_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="udf",
+)
+def pandas_udf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF in the projection; aggregation stays JVM-side with
+    the exact-decimal idiom (float multiply is IEEE-identical in numpy/JVM)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("net", net_price("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("net").cast("decimal(22,6)")).cast("double").alias("net_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — grouped-map (applyInPandas)
+# ---------------------------------------------------------------------------
+
+_U2_SCHEMA = "l_returnflag string, n bigint, total_dollars double, max_line double"
+
+
+def _flag_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    cents = np.floor(pdf["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n": [len(pdf)],
+            "total_dollars": [cents.sum() / 100.0],
+            "max_line": [pdf["l_extendedprice"].max()],
+        }
+    )
+
+
+@query(
+    "u2_apply_in_pandas",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_dollars,
+       MAX(l_extendedprice) AS max_line
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="udf",
+)
+def apply_in_pandas_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas aggregation (integer-cents sum ≡ the oracle's exact
+    decimal sum; order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInPandas(_flag_stats, _U2_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# U3 — partition-map (mapInPandas)
+# ---------------------------------------------------------------------------
+
+_U3_SCHEMA = "l_orderkey long, is_high boolean, net_cents long"
+
+
+def _classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        net = pdf["l_extendedprice"].to_numpy() * (1.0 - pdf["l_discount"].to_numpy())
+        yield pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "is_high": pdf["l_quantity"].to_numpy() >= 25,
+                # half-up via floor(x+0.5): np.rint is banker's and DuckDB
+                # round() is decimal-string-aware — only floor is IEEE-portable
+                "net_cents": np.floor(net * 100 + 0.5).astype(np.int64),
+            }
+        )
+
+
+@query(
+    "u3_map_in_pandas",
+    oracle="""
+SELECT l_quantity >= 25 AS is_high,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_net_cents
+FROM lineitem GROUP BY 1
+""",
+    category="udf",
+)
+def map_in_pandas_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition Arrow transform (no shuffle) feeding a JVM aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    classified = li.mapInPandas(_classify, _U3_SCHEMA)
+    return classified.groupBy("is_high").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("net_cents").alias("total_net_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U4 — UDAF (one-row-out applyInPandas)
+# ---------------------------------------------------------------------------
+
+_U4_SCHEMA = "c_mktsegment string, n bigint, avg_balance double"
+
+
+def _segment_avg(pdf: pd.DataFrame) -> pd.DataFrame:
+    cents = np.floor(pdf["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+            "n": [len(pdf)],
+            "avg_balance": [(cents.sum() / 100.0) / len(pdf)],
+        }
+    )
+
+
+@query(
+    "u4_udaf_segment_avg",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_balance
+FROM customer GROUP BY c_mktsegment
+""",
+    category="udf",
+)
+def udaf_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as one-row-out grouped-map (the PySpark UDAF pattern;
+    a Scala Aggregator would fuse into partial aggregation — TODO if a JVM
+    toolchain lands)."""
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInPandas(_segment_avg, _U4_SCHEMA)
