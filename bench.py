@@ -1,0 +1,76 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Methodology (mirrors BASELINE.md): one shared SparkSession, 1 warm-up run
+then median of 3 per query. Execution is forced with a noop sink so plans
+run fully without driver-side materialization cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from shadowcat_data_spark import registry
+from shadowcat_data_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative of every subsystem, weighted toward the fact-table paths
+# that dominate at scale. (l2a exact all-pairs is deliberately absent: its
+# scale path is l2b_minhash_lsh.)
+BENCH_QUERIES = [
+    "a1_pricing_summary",     # flagship scan+agg
+    "a5_cube",                # multi-grain agg
+    "j1_inner_join",          # fact-fact join
+    "j6_star_join",           # 6-table star
+    "j9_asof_join",           # union+window as-of rewrite
+    "w2_topk_per_group",      # window rank
+    "o5_dedup_latest",        # keyed dedup window
+    "l1_exact_dedup",         # content-hash dedup
+    "l2b_minhash_lsh",        # minhash LSH near-dup
+    "l3_cosine_topk",         # vector top-k
+    "l5_tfidf_top_terms",     # explode-heavy text
+    "u1_pandas_udf",          # Arrow UDF path
+]
+
+
+def run_once(spark, fn) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("shadowcat-bench")
+    specs = registry.load_all()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = specs[name].fn
+        run_once(spark, fn)  # warm-up (scan cache, codegen)
+        times[name] = round(statistics.median(run_once(spark, fn) for _ in range(3)), 4)
+        print(f"[bench] {name}: {times[name]}s", file=sys.stderr)
+    total = round(sum(times.values()), 4)
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -74,19 +74,44 @@ def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs: distinct k-token shingles per doc.
+
+    Shingles (not single tokens) are what MinHash needs on natural corpora:
+    token vocabularies are tiny (every doc pair shares words) while the
+    shingle space is |V|^k, so only genuinely duplicated passages collide.
+    """
+    # materialize the token array in its own projection: inlining the split()
+    # into the lambda would re-tokenize the document once per shingle
+    tok_df = df.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+    shingle_seq = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("__toks")) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)),
+    )
+    return (
+        tok_df.select(id_col, F.explode(shingle_seq).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2a — exact n-gram/token Jaccard via inverted-index join (oracle-checkable)
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, tokenizer=distinct_tokens
+) -> DataFrame:
     """Exact token-set Jaccard for every doc pair sharing ≥1 token.
 
     Inverted-index self-join on token (shuffle on token, hash join) — never
     an all-pairs product. shared/(|A|+|B|-shared) is an int ratio → the
     double result is bit-identical across engines.
     """
-    tok = distinct_tokens(df, id_col, text_col)
+    tok = tokenizer(df, id_col, text_col)
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     a = tok.select(F.col(id_col).alias("d1"), "tok")
     b = tok.select(F.col(id_col).alias("d2"), "tok")
@@ -175,13 +200,15 @@ N_BANDS = 16  # 16 bands × 4 rows → catches J ≳ 0.5 w.h.p.
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-permutation MinHash signature per doc.
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, tokenizer=distinct_shingles
+) -> DataFrame:
+    """64-permutation MinHash signature per doc (over k-token shingles).
 
-    xxhash64(seed_i, token) emulates the i-th permutation; min per seed is a
-    plain partial-aggregable min → one explode + one groupBy, no UDF.
+    xxhash64(seed_i, shingle) emulates the i-th permutation; min per seed is
+    a plain partial-aggregable min → one explode + one groupBy, no UDF.
     """
-    tok = distinct_tokens(df, id_col, text_col)
+    tok = tokenizer(df, id_col, text_col)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}") for i in range(N_HASHES)
     ]
@@ -220,19 +247,52 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def minhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+def verify_candidate_jaccard(
+    tok: DataFrame, cands: DataFrame, id_col: str
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard ≥ threshold."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
-    exact = jaccard_pairs(df, id_col, text_col).select("d1", "d2", "jaccard")
-    return cands.join(exact, ["d1", "d2"]).filter(F.col("jaccard") >= threshold)
+    """Exact Jaccard computed ONLY for candidate pairs (never all pairs) —
+    this is what keeps LSH sub-quadratic: |cands| ≪ |pairs|."""
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    t1 = tok.select(F.col(id_col).alias("d1"), "tok")
+    t2 = tok.select(F.col(id_col).alias("d2"), "tok")
+    shared = (
+        cands.join(t1, "d1")
+        .join(t2, ["d2", "tok"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
+    return (
+        cands.join(shared, ["d1", "d2"], "left")
+        .withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard", F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+        )
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, threshold: float,
+    tokenizer=distinct_shingles,
+) -> DataFrame:
+    """LSH candidates verified with exact (shingle) Jaccard ≥ threshold."""
+    tok = tokenizer(df, id_col, text_col)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, tokenizer), id_col
+    )
+    return verify_candidate_jaccard(tok, cands, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 @query("l2b_minhash_lsh", category="pipeline-dedup")
 def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates verified at J ≥ 0.5 (probabilistic
-    recall → rows-only; recall vs exact pairs asserted in the test suite)."""
+    """MinHash-LSH near-dup candidates (3-shingles) verified at J ≥ 0.5
+    (probabilistic recall → rows-only; recall asserted in the test suite)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_dups(d, "doc_id", "text", 0.5).orderBy("d1", "d2")
 

@@ -59,6 +59,11 @@ def get_spark(app_name: str = "shadowcat_data_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # fixture tables are single ~10-100MB files; the default 128MB split
+        # size gives 1-3 scan tasks and starves the cores. 8MB → ~cores splits
+        # locally. (On a real cluster with many files, leave this at default.)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     for k, v in _DYNAMIC_CONFS.items():
         builder = builder.config(k, v)
