@@ -110,17 +110,18 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L3b — LSH-bucketed approximate NN (scale path)
 # ---------------------------------------------------------------------------
 
-N_PLANES = 12  # 4096 buckets
+N_TABLES = 8  # multi-table LSH: union of candidates across tables
+BITS_PER_TABLE = 6  # 64 buckets per table
 _PLANE_SEED = 7
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
-    """Deterministic random hyperplanes (fixed seed → reproducible plans)."""
+def _hyperplanes(dim: int) -> list[list[list[float]]]:
+    """Deterministic hyperplanes, [table][bit][dim] (fixed seed → stable plans)."""
     rng = np.random.RandomState(_PLANE_SEED)
-    return rng.standard_normal((N_PLANES, dim)).tolist()
+    return rng.standard_normal((N_TABLES, BITS_PER_TABLE, dim)).tolist()
 
 
-def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def _srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection bucket id: one bit per hyperplane."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -132,24 +133,37 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def srp_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Array of (table, bucket) structs — one per LSH table."""
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), _srp_bucket(vec, planes).alias("bucket"))
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame, corpus: DataFrame, q_id: str, c_id: str, vec: str, k: int
 ) -> DataFrame:
-    """Approximate top-k: SRP-bucket both sides, probe only matching buckets,
-    exact-cosine re-rank within the bucket. Recall is property-tested."""
-    dim = 64
-    planes = _hyperplanes(dim)
+    """Approximate top-k via multi-table SRP-LSH: candidates = union over
+    tables of same-bucket vectors, exact-cosine re-rank on candidates only.
+    More tables → higher recall, linear candidate cost; recall is
+    property-tested against brute force. At scale the corpus side's
+    (tbl, bucket) index is computed once and reused across query batches."""
+    tables = _hyperplanes(64)
     q = queries.select(
         F.col(q_id).alias("qid"),
         _to_double(F.col(vec)).alias("qe"),
-        srp_bucket(F.col(vec), planes).alias("bucket"),
-    )
+        F.explode(srp_buckets(F.col(vec), tables)).alias("tb"),
+    ).select("qid", "qe", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     c = corpus.select(
         F.col(c_id).alias("cid"),
         _to_double(F.col(vec)).alias("ce"),
-        srp_bucket(F.col(vec), planes).alias("bucket"),
-    )
-    scored = q.join(c, "bucket").select(
+        F.explode(srp_buckets(F.col(vec), tables)).alias("tb"),
+    ).select("cid", "ce", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    cands = q.join(c, ["tbl", "bucket"]).select("qid", "qe", "cid", "ce").distinct()
+    scored = cands.select(
         "qid",
         "cid",
         (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias(

@@ -1,0 +1,145 @@
+"""Algebraic / probabilistic properties that need no SQL oracle:
+sketch recall, streaming semantics, stub behavior, plan invariants."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from shadowcat_data_spark.session import load_table
+
+from .conftest import SF_DIR
+
+
+def _dup_corpus(spark):
+    """documents plus injected exact/near duplicates with known ids."""
+    d = load_table(spark, SF_DIR, "documents").limit(100)
+    exact = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return d.unionByName(exact)
+
+
+def test_minhash_lsh_recall_on_exact_dups(spark):
+    """Injected exact duplicates (J=1.0) must ALL be found: banded LSH has
+    zero false-negative probability at J=1 (identical signatures)."""
+    from shadowcat_data_spark.pipeline.dedup import minhash_near_dups
+
+    corpus = _dup_corpus(spark)
+    found = minhash_near_dups(corpus, "doc_id", "text", 0.99).toPandas()
+    pairs = {(r.d1, r.d2) for r in found.itertuples()}
+    for i in range(10):
+        assert (i, i + 100000) in pairs, f"missed exact dup pair {i}"
+
+
+def test_simhash_identical_docs_same_sketch(spark):
+    from shadowcat_data_spark.pipeline.dedup import simhash
+
+    corpus = _dup_corpus(spark)
+    sigs = simhash(corpus, "doc_id", "text").toPandas().set_index("doc_id")["simhash"]
+    for i in range(10):
+        assert sigs[i] == sigs[i + 100000]
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Bucketed ANN must recover a decent fraction of true top-5 neighbors
+    (loose bound — 12-bit SRP on 64-dim gaussian data)."""
+    from shadowcat_data_spark.pipeline.similarity import ann_lsh_topk, cosine_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    truth = cosine_topk(q, c, "vec_id", "vec_id", "embedding", "embedding", 5).toPandas()
+    approx = ann_lsh_topk(q, c, "vec_id", "vec_id", "embedding", 5).toPandas()
+    true_pairs = {(r.qid, r.cid) for r in truth.itertuples()}
+    got_pairs = {(r.qid, r.cid) for r in approx.itertuples()}
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+
+
+def test_semi_anti_partition(spark):
+    """left-semi ∪ left-anti == left table exactly (row-level partition)."""
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    assert semi.count() + anti.count() == c.count()
+    assert semi.join(anti, "c_custkey", "inner").count() == 0
+
+
+def test_exact_dedup_idempotent(spark):
+    from shadowcat_data_spark.pipeline.dedup import exact_dedup
+
+    d = _dup_corpus(spark)
+    once = exact_dedup(d, "text", "doc_id").select("doc_id", "text", "lang", "source", "n_chars")
+    twice = exact_dedup(once, "text", "doc_id").select("doc_id", "text", "lang", "source", "n_chars")
+    assert once.count() == twice.count() == 100  # all 10 injected dups removed
+
+
+def test_cube_row_count_is_sum_of_grouping_sets(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    cube_n = li.cube("l_returnflag", "l_linestatus").count().count()
+    parts = (
+        li.groupBy("l_returnflag", "l_linestatus").count().count()
+        + li.groupBy("l_returnflag").count().count()
+        + li.groupBy("l_linestatus").count().count()
+        + 1
+    )
+    assert cube_n == parts
+
+
+def test_jdbc_stub_raises_cleanly(spark):
+    from shadowcat_data_spark.sources.io import jdbc_source
+
+    with pytest.raises(NotImplementedError, match="JDBC"):
+        jdbc_source(spark, "jdbc:postgresql://nowhere/db", "t", "id")
+
+
+def test_decode_stub_partitioning_invariant(spark):
+    """Fake media features must not depend on partitioning (mapInPandas
+    batch boundaries are an implementation detail)."""
+    from shadowcat_data_spark.pipeline.multimodal import decode_media, media_table
+
+    m = media_table(spark, SF_DIR)
+    a = decode_media(m.repartition(1)).select("media_id", "feature").toPandas()
+    b = decode_media(m.repartition(7)).select("media_id", "feature").toPandas()
+    a = a.sort_values("media_id").reset_index(drop=True)
+    b = b.sort_values("media_id").reset_index(drop=True)
+    assert all((x == y).all() for x, y in zip(a["feature"], b["feature"]))
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Our union+window as-of rewrite == pandas merge_asof on the same data."""
+    from shadowcat_data_spark.operators.joins import asof_join
+
+    e = load_table(spark, SF_DIR, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    ours = (
+        asof_join(purchases, clicks, ["user_id"], "ts", "ts", ["event_id"])
+        .select("event_id", "user_id", F.col("__asof_ts").alias("click_ts"))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    p = purchases.toPandas().sort_values(["ts", "event_id"])
+    c = clicks.toPandas().sort_values(["ts", "event_id"])
+    ref = pd.merge_asof(p, c, on="ts", by="user_id", direction="backward", suffixes=("", "_c"))
+    ref = ref.rename(columns={"ts_c": "click_ts"})[["event_id", "user_id", "ts"]].assign(
+        click_ts=pd.merge_asof(p, c.assign(click_ts=c["ts"]), on="ts", by="user_id")["click_ts"]
+    )
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (ours["click_ts"].fillna(pd.Timestamp(0)) == ref["click_ts"].fillna(pd.Timestamp(0))).all()
+
+
+def test_approx_sketches_within_tolerance(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.1
+    pcts = li.agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50")).collect()[0]
+    exact = li.agg(F.median("l_extendedprice").alias("m")).collect()[0]
+    assert abs(pcts.p50 - exact.m) / exact.m < 0.05
