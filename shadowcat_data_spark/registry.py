@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.sources.io",
     "shadowcat_data_spark.streaming.ops",
     "shadowcat_data_spark.udf.surface",
+    "shadowcat_data_spark.plans.analytics",
 ]
 
 _loaded = False
