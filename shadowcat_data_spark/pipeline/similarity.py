@@ -187,6 +187,131 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3c — IVF: k-means coarse quantizer, probe-limited search (scale path #2)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_centroids(
+    corpus: DataFrame, vec: str, k: int, iters: int = 3
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over DataFrame ops.
+
+    Per iteration: broadcast centroids → argmin assignment (JVM lambdas) →
+    per-cluster mean via posexplode+groupBy. Only the k×dim centroid matrix
+    ever reaches the driver — at 100 TB that is still a few KB.
+    """
+    seeds = corpus.orderBy(F.col(vec).getItem(0)).limit(k).select(vec).collect()
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assigned = _assign_nearest(corpus, vec, centroids).select(
+            F.col("__cluster"), F.posexplode(_to_double(F.col(vec))).alias("dim", "v")
+        )
+        rows = (
+            assigned.groupBy("__cluster", "dim")
+            .agg(F.avg("v").alias("c"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["__cluster"]][r["dim"]] = r["c"]
+        centroids = new
+    return centroids
+
+
+def _assign_nearest(df: DataFrame, vec: str, centroids: list[list[float]]) -> DataFrame:
+    """Add __cluster = argmin_k ||v - c_k||² (ties → lowest cluster id)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    _to_double(F.col(vec)),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return df.withColumn(
+        "__cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str,
+    c_id: str,
+    vec: str,
+    k: int,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: cluster the corpus once (coarse quantizer),
+    probe each query against its n_probe nearest clusters only, exact-cosine
+    re-rank inside. Candidate cost ∝ n_probe/n_clusters of the corpus."""
+    centroids = _kmeans_centroids(corpus, vec, n_clusters)
+    c = _assign_nearest(corpus, vec, centroids).select(
+        F.col(c_id).alias("cid"), _to_double(F.col(vec)).alias("ce"), "__cluster"
+    )
+    # per-query probe list: n_probe nearest centroids
+    q_assigned = queries.select(
+        F.col(q_id).alias("qid"), _to_double(F.col(vec)).alias("qe"), F.col(vec).alias("__v")
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"),
+                        F.array(*[F.lit(float(x)) for x in cen]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cl"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    q = (
+        q_assigned.withColumn("__probes", F.slice(F.array_sort(dists), 1, n_probe))
+        .select(
+            "qid", "qe", F.explode(F.col("__probes.cl")).alias("__cluster")
+        )
+    )
+    scored = q.join(c, "__cluster").select(
+        "qid",
+        "cid",
+        (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias(
+            "cos"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop(
+        "rnk"
+    )
+
+
+@query("l3c_ann_ivf", category="pipeline-similarity")
+def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (k-means quantizer; approximate → rows-only; recall
+    asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("vec_id") < 20),
+        e.filter(F.col("vec_id") >= 20),
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=5,
+    ).orderBy("qid", "cid")
+
+
+# ---------------------------------------------------------------------------
 # L4 — per-label embedding statistics (centroids)
 # ---------------------------------------------------------------------------
 

@@ -246,6 +246,58 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hypertable-style multi-granularity time rollup (one pass, GROUPING SETS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_rollup_multigrain",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         date_trunc('day',  CAST(ts AS TIMESTAMP)) AS day,
+         date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+         value
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'day' AS grain, day AS bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
+  FROM e GROUP BY day, event_type
+  UNION ALL
+  SELECT 'week', week, event_type,
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+  FROM e GROUP BY week, event_type
+)
+""",
+    category="plan",
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: day + week grains in ONE
+    pass via GROUPING SETS (the Expand operator fans each row into its
+    grains; one shuffle total instead of one per grain)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "value",
+    )
+    e.createOrReplaceTempView("events_grains")
+    return spark.sql(
+        """
+SELECT CASE WHEN day IS NOT NULL THEN 'day' ELSE 'week' END AS grain,
+       coalesce(day, week) AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total
+FROM events_grains
+GROUP BY GROUPING SETS ((day, event_type), (week, event_type))
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD-style merge (upsert emulation: anti-join + union)
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,21 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.2, f"ANN recall collapsed: {recall}"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF with n_probe=2/8 clusters must beat random-candidate recall."""
+    from shadowcat_data_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    truth = cosine_topk(q, c, "vec_id", "vec_id", "embedding", "embedding", 5).toPandas()
+    approx = ivf_topk(q, c, "vec_id", "vec_id", "embedding", 5).toPandas()
+    true_pairs = {(r.qid, r.cid) for r in truth.itertuples()}
+    got_pairs = {(r.qid, r.cid) for r in approx.itertuples()}
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
 def test_semi_anti_partition(spark):
     """left-semi ∪ left-anti == left table exactly (row-level partition)."""
     c = load_table(spark, SF_DIR, "customer")

@@ -1,0 +1,64 @@
+"""Streaming semantics that the batch-twin oracle can't see: real multi-batch
+watermark behavior (late-data drop / in-watermark accept)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk(spark, rows):
+    return (
+        spark.createDataFrame(rows, "id long, ts_s string")
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "wm_stream"
+    d.mkdir()
+    return str(d)
+
+
+def test_watermark_drops_late_beyond_accepts_within(spark, stream_dir):
+    """Batch 1 advances the watermark; batch 2 carries one row older than the
+    watermark (dropped) and one within it (accepted)."""
+    _mk(spark, [(1, "2024-06-01 12:00:10"), (2, "2024-06-01 13:00:10")]).coalesce(
+        1
+    ).write.mode("append").parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(stream_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_test")
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 → watermark = 13:00:10 - 1h = 12:00:10
+        # batch 2: id=3 at 08:00 (far beyond watermark → dropped),
+        #          id=4 at 12:30 (within the 12:00 window, not yet expired → counted)
+        _mk(spark, [(3, "2024-06-01 08:00:00"), (4, "2024-06-01 12:30:00")]).coalesce(
+            1
+        ).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.sql(
+        "SELECT window.start AS s, n FROM wm_test ORDER BY s, n"
+    ).collect()
+    starts = {r.s.strftime("%H:%M") for r in out}
+    assert "08:00" not in starts, f"late row leaked past the watermark: {out}"
+    # the 12:00 window appears twice in update mode: n=1 (batch 1), n=2 (batch 2)
+    twelve = sorted(r.n for r in out if r.s.strftime("%H:%M") == "12:00")
+    assert twelve == [1, 2], out
