@@ -198,6 +198,17 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 64
 N_BANDS = 16  # 16 bands × 4 rows → catches J ≳ 0.5 w.h.p.
 ROWS_PER_BAND = N_HASHES // N_BANDS
+MAX_BUCKET = 200  # LSH buckets larger than this are boilerplate, not dups
+_MASK32 = (1 << 32) - 1
+
+
+def _km_minhash_cols() -> list[Column]:
+    """64 minhash aggregates from TWO base hashes (Kirsch–Mitzenmacher):
+    h_i = h1 + i·h2, with h1/h2 masked to 32 bits so the arithmetic stays
+    in-range under ANSI mode. 2 xxhash64 calls per token instead of 64."""
+    h1 = F.xxhash64(F.col("tok")).bitwiseAND(F.lit(_MASK32))
+    h2 = F.xxhash64(F.lit(1), F.col("tok")).bitwiseAND(F.lit(_MASK32))
+    return [F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(N_HASHES)]
 
 
 def minhash_signatures(
@@ -205,21 +216,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """64-permutation MinHash signature per doc (over k-token shingles).
 
-    xxhash64(seed_i, shingle) emulates the i-th permutation; min per seed is
-    a plain partial-aggregable min → one explode + one groupBy, no UDF.
+    min per derived hash is a plain partial-aggregable min → one explode +
+    one groupBy, no UDF.
     """
     tok = tokenizer(df, id_col, text_col)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}") for i in range(N_HASHES)
-    ]
-    return tok.groupBy(id_col).agg(*mins)
+    return tok.groupBy(id_col).agg(*_km_minhash_cols())
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """Band the signatures; docs sharing any band bucket become candidates.
 
-    Bands are equi-join keys → shuffle hash join; hot buckets (boilerplate
-    docs) are handled by AQE skew-join at scale.
+    Pairs are generated inside each bucket from ONE collect_list pass (no
+    signature self-join → the expensive signature subtree is computed once,
+    not twice). ``max_bucket`` caps the quadratic fan-out: a bucket with
+    thousands of members is shared boilerplate, not duplication — standard
+    LSH practice is to drop it, which is also what bounds a single task's
+    memory at 100 TB.
     """
     bands = sigs.select(
         id_col,
@@ -237,12 +251,24 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    a = bands.select(F.col(id_col).alias("d1"), "band", "bucket")
-    b = bands.select(F.col(id_col).alias("d2"), "band", "bucket")
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    # all ordered pairs within a bucket: ids[i] × ids[i+1:]
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
 
@@ -251,26 +277,21 @@ def verify_candidate_jaccard(
     tok: DataFrame, cands: DataFrame, id_col: str
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for candidate pairs (never all pairs) —
-    this is what keeps LSH sub-quadratic: |cands| ≪ |pairs|."""
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    t1 = tok.select(F.col(id_col).alias("d1"), "tok")
-    t2 = tok.select(F.col(id_col).alias("d2"), "tok")
-    shared = (
-        cands.join(t1, "d1")
-        .join(t2, ["d2", "tok"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
+    this is what keeps LSH sub-quadratic: |cands| ≪ |pairs|.
+
+    Token sets are aggregated to one array per doc and intersected with
+    ``array_intersect`` (JVM, codegen) — two equi-joins total instead of a
+    per-token fan-out join. Per-doc arrays are bounded by document length,
+    so a row fits executor memory at any corpus scale.
+    """
+    sets = tok.groupBy(id_col).agg(F.collect_set("tok").alias("toks"))
+    s1 = sets.select(F.col(id_col).alias("d1"), F.col("toks").alias("t1"))
+    s2 = sets.select(F.col(id_col).alias("d2"), F.col("toks").alias("t2"))
+    shared = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
     return (
-        cands.join(shared, ["d1", "d2"], "left")
-        .withColumn("shared", F.coalesce(F.col("shared"), F.lit(0)))
-        .join(s1, "d1")
+        cands.join(s1, "d1")
         .join(s2, "d2")
-        .withColumn(
-            "jaccard", F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
-        )
+        .withColumn("jaccard", shared / (F.size("t1") + F.size("t2") - shared))
         .select("d1", "d2", "jaccard")
     )
 
@@ -279,13 +300,26 @@ def minhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, threshold: float,
     tokenizer=distinct_shingles,
 ) -> DataFrame:
-    """LSH candidates verified with exact (shingle) Jaccard ≥ threshold."""
+    """LSH candidates verified with exact (shingle) Jaccard ≥ threshold.
+
+    Signatures and per-doc token sets come from ONE combined groupBy over
+    the tokenized corpus, so the (identical) partial-agg subtree below the
+    shuffle is eligible for AQE stage reuse across the three consumers.
+    """
     tok = tokenizer(df, id_col, text_col)
-    cands = lsh_candidate_pairs(
-        minhash_signatures(df, id_col, text_col, tokenizer), id_col
+    combined = tok.groupBy(id_col).agg(
+        F.collect_set("tok").alias("toks"), *_km_minhash_cols()
     )
-    return verify_candidate_jaccard(tok, cands, id_col).filter(
-        F.col("jaccard") >= threshold
+    cands = lsh_candidate_pairs(combined, id_col)
+    s1 = combined.select(F.col(id_col).alias("d1"), F.col("toks").alias("t1"))
+    s2 = combined.select(F.col(id_col).alias("d2"), F.col("toks").alias("t2"))
+    shared = F.size(F.array_intersect(F.col("t1"), F.col("t2")))
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", shared / (F.size("t1") + F.size("t2") - shared))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
     )
 
 
