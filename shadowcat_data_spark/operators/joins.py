@@ -447,3 +447,138 @@ def self_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# J11 — bucketed co-located join (no shuffle at join time)
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int, path: str
+) -> None:
+    """Persist ``df`` bucketed+sorted by ``key``: the bucket id is a function
+    of the key, so two tables bucketed the same way join WITHOUT a shuffle
+    or sort — the single biggest lever for repeated fact-to-fact joins at
+    100 TB (pay the shuffle once at write time, amortize over every join)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders with both sides bucketed by orderkey — the join
+    plan is a SortMergeJoin over bucketed scans with ZERO Exchange nodes
+    (asserted in tests/test_plans.py)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), "shadowcat_bucketed", tag)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_bucketed(li, f"li_bucketed_{tag.replace('.', '_')}", "l_orderkey", 8,
+                   os.path.join(base, "lineitem"))
+    write_bucketed(o, f"o_bucketed_{tag.replace('.', '_')}", "o_orderkey", 8,
+                   os.path.join(base, "orders"))
+    lib = spark.table(f"li_bucketed_{tag.replace('.', '_')}")
+    ob = spark.table(f"o_bucketed_{tag.replace('.', '_')}")
+    # hint MERGE: at fixture scale Catalyst would broadcast the small side
+    # (and ignore bucketing); at 100 TB both sides are fact-sized and
+    # sort-merge over co-located buckets is the only sane plan — the hint
+    # pins the plan this operator exists to demonstrate.
+    return lib.hint("merge").join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+
+
+@query(
+    "j11_bucketed_join",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+    category="join",
+)
+def bucketed_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as a plain orders⋈lineitem join — but co-located: both
+    sides were bucketed by the join key at write time, so the join itself
+    shuffles nothing."""
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    ).cast("long")
+    return (
+        bucketed_orders_lineitem(spark, sf_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(rev).cast("double") / 1000000.0).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12 — salted join (deterministic skew mitigation)
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_expr: Column,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join where the big side's hot keys are split across ``n_salts``
+    sub-keys and the small side is replicated n_salts×. Result is identical
+    to the plain join; each hot key's rows now land on n_salts reducers
+    instead of one. ``salt_expr`` must be DETERMINISTIC (e.g. pmod of a
+    row-identifying hash) — F.rand() would break retries/speculation.
+    Complementary to AQE skew-join: salting also fixes skewed AGGREGATIONS
+    downstream, which AQE's join splitting does not."""
+    b = big.withColumn("__salt", salt_expr)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(
+        s, (F.col(big_key) == F.col(small_key)) & (b["__salt"] == s["__salt"])
+    ).drop("__salt")
+
+
+@query(
+    "j12_salted_join",
+    oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS volume
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+    category="join",
+)
+def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ supplier through the salting rewrite — hash-matches the
+    plain join, proving salting changes the distribution, not the result."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).cast("int")
+    vol = F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast("long")
+    return (
+        salted_join(li, s, "l_suppkey", "s_suppkey", salt)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(vol).cast("double") / 1000000.0).alias("volume"),
+        )
+    )

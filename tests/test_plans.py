@@ -99,3 +99,29 @@ def test_topn_uses_take_ordered(spark):
     o = load_table(spark, SF_DIR, "orders")
     df = o.orderBy(F.col("o_totalprice").desc()).limit(10)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key → SortMergeJoin with zero
+    shuffles: the whole point of paying the bucketing at write time."""
+    from shadowcat_data_spark.operators.joins import bucketed_orders_lineitem
+
+    plan = _plan(bucketed_orders_lineitem(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting redistributes rows but must not change the join result."""
+    from shadowcat_data_spark.operators.joins import salted_join
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    s = load_table(spark, SF_DIR, "supplier").select("s_suppkey", "s_name")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8)).cast("int")
+    salted = salted_join(li, s, "l_suppkey", "s_suppkey", salt)
+    plain = li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    assert salted.count() == plain.count()
+    diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+    assert diff == 0
