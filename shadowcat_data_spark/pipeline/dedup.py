@@ -366,3 +366,106 @@ def simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior property-tested)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L2d — duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 15
+) -> DataFrame:
+    """(node, comp) labels via iterative min-label propagation.
+
+    Each round every node takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds — dup clusters
+    are shallow, so a handful. Lineage is truncated per round with
+    ``localCheckpoint`` (on a cluster: ``checkpoint`` to durable storage),
+    otherwise the plan doubles every iteration. The only driver-side data
+    is one change-count scalar per round. This is the iterative-algorithm
+    escape hatch the DataFrame API handles fine — no RDDs needed.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select("a")
+        .union(sym.select("b"))
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_NEAR_DUP_EDGES_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT d1, d2
+  FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.75
+)
+"""
+
+
+@query(
+    "l2d_dup_clusters",
+    oracle=_NEAR_DUP_EDGES_SQL
+    + """
+, sym AS (
+  SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id
+""",
+    category="pipeline-dedup",
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate docs (exact Jaccard ≥ 0.75 pairs) into clusters;
+    cluster id = min doc_id in the component. The oracle computes the same
+    components with a recursive-CTE transitive closure — feasible only at
+    fixture scale, which is exactly why the engine side is the iterative
+    propagation that scales."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d, "doc_id", "text").filter(F.col("jaccard") >= 0.75)
+    labels = connected_components(edges, "d1", "d2")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")

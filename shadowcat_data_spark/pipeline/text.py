@@ -307,3 +307,102 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: (acc * 1000003 + v) % 2147483647,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# L9 — PII-style redaction (regex scrubbing before training)
+# ---------------------------------------------------------------------------
+
+# order matters: longest/most-specific pattern first
+_REDACTIONS = [
+    (r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+", "<EMAIL>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (r"\b[0-9]{10,}\b", "<LONGNUM>"),
+]
+
+
+def redact(col: Column) -> Column:
+    """Chain of regexp_replace — one generated-code pass per pattern, no
+    Python in the loop."""
+    out = col
+    for pat, repl in _REDACTIONS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+@query(
+    "l9_redact_pii",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+         '\\b[0-9]{10,}\\b', '<LONGNUM>', 'g') AS redacted,
+       CAST(length(text) AS BIGINT) AS n_before,
+       CAST(length(regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+         '\\b[0-9]{10,}\\b', '<LONGNUM>', 'g')) AS BIGINT) AS n_after
+FROM documents
+""",
+    category="pipeline-text",
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub email/SSN/long-number shapes from every document (the standard
+    pre-training redaction pass), reporting length before/after."""
+    d = load_table(spark, sf_dir, "documents")
+    r = redact(F.col("text"))
+    return d.select(
+        "doc_id",
+        r.alias("redacted"),
+        F.length("text").cast("bigint").alias("n_before"),
+        F.length(r).cast("bigint").alias("n_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L10 — benchmark-contamination check (n-gram blocklist, broadcast)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    docs: DataFrame, probes: DataFrame, id_col: str, text_col: str, probe_col: str
+) -> DataFrame:
+    """Docs containing ANY probe n-gram (eval-set contamination scan).
+
+    The probe set is the small side → broadcast; `contains` runs JVM-side
+    per (doc, probe) without materializing tokens. At 100 TB the probe set
+    (a benchmark suite's n-grams) is still MBs — the broadcast holds."""
+    return (
+        docs.join(
+            F.broadcast(probes),
+            F.col(text_col).contains(F.col(probe_col)),
+            "left_semi",
+        ).select(id_col)
+    )
+
+
+@query(
+    "l10_contamination",
+    oracle="""
+WITH probes AS (
+  SELECT DISTINCT text[1:40] AS probe FROM documents WHERE doc_id % 97 = 0
+)
+SELECT DISTINCT doc_id FROM documents, probes
+WHERE contains(text, probe)
+ORDER BY doc_id
+""",
+    category="pipeline-text",
+)
+def contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination scan with a self-derived probe set (every 97th doc's
+    first 40 chars stands in for an eval benchmark's n-grams)."""
+    d = load_table(spark, sf_dir, "documents")
+    probes = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.substring("text", 1, 40).alias("probe"))
+        .distinct()
+    )
+    return contamination_check(d, probes, "doc_id", "text", "probe").orderBy("doc_id")

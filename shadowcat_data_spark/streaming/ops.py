@@ -365,3 +365,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(joined.select("user_id", "click_id", "purchase_id"), "t8_out", "append")
     return out
+
+
+# ---------------------------------------------------------------------------
+# T9 — stream-static enrichment join (dimension lookup on a live stream)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t9_stream_static_join",
+    oracle="""
+SELECT event_type, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY event_type, c_mktsegment
+""",
+    category="streaming",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stream enriched against a STATIC dimension (the classic lookup
+    join): the static side is re-read per micro-batch, needs no watermark
+    and no state — Catalyst broadcasts it when small. Per-user events join
+    the customer dimension, then aggregate per (event_type, segment)."""
+    from ..session import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        events_stream(spark, sf_dir)
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_to_memory(enriched, "t9_out", "complete")

@@ -158,3 +158,29 @@ def test_approx_sketches_within_tolerance(spark):
     pcts = li.agg(F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50")).collect()[0]
     exact = li.agg(F.median("l_extendedprice").alias("m")).collect()[0]
     assert abs(pcts.p50 - exact.m) / exact.m < 0.05
+
+
+def test_rng_sample_fraction_and_determinism(spark):
+    """l11d: seeded sample is repeatable in-engine and near the fraction."""
+    from shadowcat_data_spark.pipeline.sampling import rng_sample
+
+    a = {r.doc_id for r in rng_sample(spark, SF_DIR).collect()}
+    b = {r.doc_id for r in rng_sample(spark, SF_DIR).collect()}
+    assert a == b  # same seed, same plan → same rows
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert 0.1 * total <= len(a) <= 0.3 * total  # fraction=0.2 ± slack
+
+
+def test_hash_split_is_a_partition(spark):
+    """l11: every doc lands in exactly one split; splits are key-stable
+    (subsetting the input never changes an id's split)."""
+    from shadowcat_data_spark.pipeline.sampling import hash_split
+
+    d = load_table(spark, SF_DIR, "documents")
+    cuts = {"train": "cccd", "val": "e666", "test": ""}
+    full = hash_split(d, "doc_id", cuts).select("doc_id", "split")
+    assert full.count() == d.count()
+    sub = hash_split(d.filter(F.col("doc_id") % 2 == 0), "doc_id", cuts).select(
+        "doc_id", "split"
+    )
+    assert sub.exceptAll(full).count() == 0
