@@ -482,3 +482,206 @@ def scd_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal", F.col("c_acctbal") + 100.0
     )
     return merge_upsert(c, updates, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape — join + conditional CASE aggregation
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@query("q12_priority_lines", oracle=_Q12_SQL, category="plan")
+def priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines shipped in 1996 split into high/low order-priority counts per
+    linestatus (TPC-H Q12 shape without the fixture-absent shipmode column).
+    The shipdate range prunes at the scan; the priority CASE folds into the
+    partial aggregate, so the shuffle carries two ints per group."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q12_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — conditional revenue ratio (promo share)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT)
+             / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+    category="plan",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from PROMO parts (TPC-H Q14 shape): a
+    single-row ratio of two conditionally-summed measures. Both sums are
+    int64-quantized so the ratio is bit-identical across engines; part is
+    broadcast, lineitem pruned to one month at the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        (
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            / F.sum(rev)
+        ).alias("promo_revenue_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity bands
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+   OR (p_type = 'PROMO' AND l_quantity < 5)
+"""
+
+
+@query("q19_disjunctive_bands", oracle=_Q19_SQL, category="plan")
+def disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over an OR-of-ANDs predicate mixing columns from both join
+    sides (TPC-H Q19 shape). Catalyst extracts the common single-side
+    conjuncts from the disjunction and pushes them below the join; the
+    residual mixed predicate evaluates post-join in codegen."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q19_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — per-key average threshold via pre-aggregated join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 7000000.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = lineitem.l_partkey
+              JOIN pq ON pq.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND 5 * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * cnt < sq
+""",
+    category="plan",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to sub-20%-of-average-quantity orders for one brand
+    (TPC-H Q17 shape). The textbook correlated AVG subquery is written as
+    what it must become at scale anyway: one pre-aggregation per part key
+    joined back to the fact. The threshold compare is integer
+    cross-multiplication (5·q·cnt < Σq) — no double division anywhere, so
+    the boundary rows match the oracle exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q100 = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(q100).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    joined = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == p["p_partkey"])
+        .join(pq, "l_partkey")
+        .filter(5 * q100 * F.col("cnt") < F.col("sq"))
+    )
+    return joined.agg(
+        (
+            F.sum(F.floor(F.col("l_extendedprice") * 1000000.0 + 0.5).cast("bigint"))
+            .cast("double")
+            / 7000000.0
+        ).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — anti-join against a global-average threshold
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS BIGINT) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS total_bal
+FROM customer, avg_bal
+WHERE CAST(FLOOR(c_acctbal * 1000000.0 + 0.5) AS BIGINT) > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    category="plan",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no urgent order, per segment
+    (TPC-H Q22 shape adapted to fixture columns). Exercises a scalar
+    aggregate subquery broadcast to every row plus an anti join; the
+    balance threshold compares quantized int64 against the exact
+    integer-sum average so boundary customers match the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    qbal = F.floor(F.col("c_acctbal") * 1000000.0 + 0.5).cast("bigint")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(qbal).cast("double") / F.count(F.lit(1))).alias("a"))
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(qbal > F.col("a"))
+    idle = rich.join(urgent, rich["c_custkey"] == urgent["o_custkey"], "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(qbal).cast("double") / 1000000.0).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -125,3 +125,73 @@ def test_salted_join_matches_plain_join(spark):
     assert salted.count() == plain.count()
     diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
     assert diff == 0
+
+
+def test_clustered_layout_enables_file_skipping(spark):
+    """s7: after range-clustering by l_shipdate, per-file min/max footer
+    stats are (a) tight and (b) mostly disjoint, so a one-month filter
+    overlaps only a small subset of files — the pruning payoff."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from shadowcat_data_spark.sources.io import _scratch
+    from shadowcat_data_spark.sources.layout import clustered_write
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    path = _scratch(SF_DIR, "lineitem_by_shipdate_test")
+    clustered_write(li, path, ["l_shipdate"], 8)
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        lo = min(md.row_group(g).column(col_idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col_idx).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    assert len(spans) == 8
+    spans.sort()
+    # disjoint ranges: each file's min is >= the previous file's max
+    for (_, prev_hi), (lo, _) in zip(spans, spans[1:]):
+        assert lo >= prev_hi
+    # a one-month window overlaps few files (here: at most 2 of 8)
+    import datetime as dt
+
+    w_lo, w_hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 2, 1)
+    overlapping = sum(1 for lo, hi in spans if lo < w_hi and hi >= w_lo)
+    assert overlapping <= 2, spans
+
+
+def test_zorder_key_locality(spark):
+    """s8: sorting by the Morton key bounds BOTH dimensions' spread within
+    each of k contiguous chunks (vs sorting by one column, which leaves the
+    other at full spread). Uses two uniform 0..255 dims — the property
+    needs comparable cardinality on both axes, which the skewed fixture
+    keys (10 distinct suppkeys) can't show."""
+    import statistics
+
+    from shadowcat_data_spark.sources.layout import zorder_key
+
+    n, k, full = 4096, 16, 255
+    base = spark.range(n).select(
+        (F.col("id") % 256).alias("x"),
+        F.floor(F.col("id") / 256 * 16).alias("y"),  # decorrelated 0..255
+    )
+    base = base.withColumn("y", (F.col("y") * 37 + F.col("x") * 13) % 256)
+    chunk = (
+        base.orderBy(zorder_key(F.col("x"), F.col("y")))
+        .coalesce(1)  # one partition → monotonic id preserves global order
+        .withColumn("rn", F.monotonically_increasing_id())
+        .withColumn("bucket", (F.col("rn") * k / n).cast("int"))
+    )
+    rows = chunk.groupBy("bucket").agg(
+        (F.max("x") - F.min("x")).alias("dx"),
+        (F.max("y") - F.min("y")).alias("dy"),
+    ).collect()
+    # median per-chunk spread must be well under the full range in BOTH
+    # dimensions — the whole point of multi-dim clustering
+    assert statistics.median(r.dx for r in rows) < 0.7 * full
+    assert statistics.median(r.dy for r in rows) < 0.7 * full

@@ -33,6 +33,10 @@ ALLOW = {
     # corpus is exactly the intended plan (BNLJ with broadcast build side)
     "l3_cosine_topk": {"BroadcastNestedLoopJoin"},
     "l4b_embedding_near_dup": {"BroadcastNestedLoopJoin"},
+    # contamination scan: `contains(text, probe)` is inherently non-equi;
+    # the probe set (benchmark n-grams) stays MBs at any corpus scale, so
+    # broadcast-NLJ over the broadcast probes IS the scale plan
+    "l10_contamination": {"BroadcastNestedLoopJoin"},
     # UDF-surface coverage queries exist to exercise the Python paths
     "u1_pandas_udf": {"ArrowEvalPython"},
     "u2_apply_in_pandas": {"FlatMapGroupsInPandas"},
