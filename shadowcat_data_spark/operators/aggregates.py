@@ -171,18 +171,20 @@ def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
     category="aggregate",
 )
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-grain aggregation: CUBE with grouping_id disambiguation."""
+    """Multi-grain aggregation: CUBE with grouping_id disambiguation.
+    Quantized sum — Expand multiplies input rows ×4, so the per-row
+    aggregate cost matters here more than in a plain groupBy."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("long").alias("gid"),
-        money_sum(F.col("l_quantity"), "sum_qty"),
+        quantized_sum(F.col("l_quantity"), "sum_qty", 100.0),
         F.count(F.lit(1)).alias("n"),
     )
 
