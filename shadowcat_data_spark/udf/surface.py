@@ -170,3 +170,59 @@ def udaf_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     toolchain lands)."""
     c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
     return c.groupBy("c_mktsegment").applyInPandas(_segment_avg, _U4_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# U5 — Python UDTF (table function): one row in → many rows out
+# ---------------------------------------------------------------------------
+
+
+def _make_chunk_udtf():
+    """Build the UDTF class lazily (the decorator needs a live Spark)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: bigint, chunk_text: string, n_tokens: bigint")
+    class ChunkDoc:
+        """Split one document into fixed-size token chunks (size 20,
+        no overlap) — the standard pre-tokenization chunking pass. A UDTF
+        is the right surface for 1→N row expansion with per-row Python
+        logic; Spark runs it per-partition, so it scales like any map."""
+
+        def eval(self, doc_id: int, text: str):  # noqa: D401
+            toks = [t for t in text.split(" ") if t]
+            # a token-less doc yields no chunks (matches the SQL twin)
+            for i in range(0, len(toks), 20):
+                chunk = toks[i : i + 20]
+                yield doc_id, i // 20, " ".join(chunk), len(chunk)
+
+    return ChunkDoc
+
+
+@query(
+    "u5_udtf_chunking",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(toks[(i * 20 + 1):((i + 1) * 20)], ' ') AS chunk_text,
+       CAST(LEAST(20, len(toks) - i * 20) AS BIGINT) AS n_tokens
+FROM t, UNNEST(range(CAST(CEIL(len(toks) / 20.0) AS BIGINT))) AS u(i)
+ORDER BY doc_id, chunk_idx
+""",
+    category="udf",
+)
+def udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → 20-token chunks via a lateral-joined Python UDTF (U5).
+    The oracle reproduces the chunking with pure SQL list slicing, so the
+    UDTF's row expansion is value-checked, not just row-counted."""
+    spark.udtf.register("chunk_doc", _make_chunk_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+FROM documents AS d, LATERAL chunk_doc(d.doc_id, d.text) AS c
+ORDER BY doc_id, chunk_idx
+"""
+    )

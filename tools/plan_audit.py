@@ -42,6 +42,9 @@ ALLOW = {
     "u2_apply_in_pandas": {"FlatMapGroupsInPandas"},
     "u3_map_in_pandas": {"MapInPandas"},
     "u4_udaf_segment_avg": {"FlatMapGroupsInPandas"},
+    # UDTF-surface coverage: Spark 4 runs Python UDTFs via BatchEvalPythonUDTF
+    # (not Arrow-batched yet) — the Python table-function path is the point
+    "u5_udtf_chunking": {"BatchEvalPython"},
     "mm_decode_features": {"MapInPandas"},
     "t6_stateful_per_key": {"FlatMapGroupsInPandas", "ArrowEvalPython"},
 }
