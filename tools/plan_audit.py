@@ -37,6 +37,11 @@ ALLOW = {
     # the probe set (benchmark n-grams) stays MBs at any corpus scale, so
     # broadcast-NLJ over the broadcast probes IS the scale plan
     "l10_contamination": {"BroadcastNestedLoopJoin"},
+    # scalar-aggregate subquery pattern: a ONE-row aggregate (global avg /
+    # min-max bounds) broadcast-joined with no key — the build side is a
+    # single row at any data scale, so BNLJ here is a constant-cost apply
+    "q22_idle_rich_customers": {"BroadcastNestedLoopJoin"},
+    "m4_gap_fill_locf": {"BroadcastNestedLoopJoin"},
     # UDF-surface coverage queries exist to exercise the Python paths
     "u1_pandas_udf": {"ArrowEvalPython"},
     "u2_apply_in_pandas": {"FlatMapGroupsInPandas"},
