@@ -396,3 +396,97 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return run_to_memory(enriched, "t9_out", "complete")
+
+
+# ---------------------------------------------------------------------------
+# T10 — transformWithStateInPandas (Spark 4 arbitrary-state API) — GATED
+# ---------------------------------------------------------------------------
+
+
+def _twspandas_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol; the
+    image ships no ``google.protobuf``, so the operator is gated (same
+    policy as the JDBC stub). On a normal cluster image it runs as-is."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_running_total_processor():
+    """Build the StatefulProcessor lazily (import is Spark-4-only)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class RunningTotal(StatefulProcessor):
+        """Per-user running (count, exact-micros total) in a ValueState.
+
+        transformWithStateInPandas is the successor to
+        applyInPandasWithState (t6): typed state cells (value/list/map),
+        timers, and TTL instead of one opaque state tuple. The total is
+        accumulated in int64 micro-units so the emitted double is exact
+        and order-independent."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("micros", LongType()), StructField("n", LongType())]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            micros, n = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                q = (pdf["value"] * 1000000.0 + 0.5).apply(int)  # floor>0
+                micros += int(q.sum())
+                n += len(pdf)
+            self._agg.update((micros, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [micros / 1000000.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotal()
+
+
+def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state operator (typed state cells + timers). The
+    final snapshot per user equals the batch aggregate. NOT registered as
+    a driver query: the image lacks protobuf (see _twspandas_available);
+    t6 (applyInPandasWithState) carries the oracle-checked stateful
+    coverage. pytest asserts this raises cleanly here and stays runnable
+    on a full image."""
+    if not _twspandas_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "image does not ship; run on a standard Spark 4 cluster image"
+        )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_running_total_processor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return run_to_memory(out, "t10_out", "update")

@@ -184,3 +184,18 @@ def test_hash_split_is_a_partition(spark):
         "doc_id", "split"
     )
     assert sub.exceptAll(full).count() == 0
+
+
+def test_transform_with_state_gated_cleanly(spark):
+    """t10: the transformWithStateInPandas operator raises a clear
+    NotImplementedError on this image (no protobuf) instead of crashing
+    mid-stream; on a full cluster image it runs."""
+    from shadowcat_data_spark.streaming.ops import (
+        _twspandas_available,
+        transform_with_state,
+    )
+
+    if _twspandas_available():
+        pytest.skip("protobuf present — operator runs for real here")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        transform_with_state(spark, SF_DIR)
