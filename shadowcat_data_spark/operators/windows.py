@@ -119,32 +119,43 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w4_running_agg",
     oracle="""
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber,
+         SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS cents,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+)
 SELECT l_orderkey, l_linenumber,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6)))
-            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-       CAST(COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+       CAST(SUM(cents) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 100.0 AS running_total,
+       CAST(SUM(n) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
-FROM lineitem
+FROM per_line
 """,
     category="window",
 )
 def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative sum/count per order (decimal sum → frame-order-independent)."""
+    """Cumulative sum/count per order. The fixture's (orderkey, linenumber)
+    is NOT unique, and a running frame ordered by a non-unique key is
+    ambiguous under ties (engines disagree on tie order — bit us at
+    sf0.01). So: aggregate ties first, then accumulate over the now-unique
+    key — the only deterministic shape for a running total."""
     li = load_table(spark, sf_dir, "lineitem")
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
     w = (
         W.partitionBy("l_orderkey")
         .orderBy("l_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return li.select(
+    return per_line.select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast("decimal(22,6)"))
-        .over(w)
-        .cast("double")
-        .alias("running_total"),
-        F.count(F.lit(1)).over(w).alias("running_n"),
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("running_total"),
+        F.sum("n").over(w).cast("long").alias("running_n"),
     )
 
 
