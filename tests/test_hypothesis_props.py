@@ -1,0 +1,49 @@
+"""Hypothesis property tests for the pure-expression operators — algebraic
+laws that need no oracle and run on a tiny in-memory frame. One shared
+frame per case keeps Spark job count low; hypothesis drives the VALUES."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from shadowcat_data_spark.sources.layout import zorder_key
+from shadowcat_data_spark.pipeline.text import _REDACTIONS
+
+
+def _morton_py(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_zorder_matches_reference_interleave(spark, pairs):
+    """The SQL bit-interleave equals the literal Python Morton encode —
+    and is therefore invertible (both halves recoverable)."""
+    df = spark.createDataFrame(pairs, "x: long, y: long")
+    got = df.select(zorder_key(F.col("x"), F.col("y")).alias("z"), "x", "y").collect()
+    for r in got:
+        assert r.z == _morton_py(r.x, r.y)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.text(alphabet="ab0-@. ", min_size=0, max_size=60))
+def test_redaction_is_idempotent(spark, s):
+    """Applying the PII scrub twice equals applying it once (no pattern
+    matches its own replacement tokens)."""
+    from shadowcat_data_spark.pipeline.text import redact
+
+    df = spark.createDataFrame([(s,)], "t: string")
+    once = df.select(redact(F.col("t")).alias("r"))
+    twice = once.select(redact(F.col("r")).alias("r"))
+    assert once.collect() == twice.collect()
