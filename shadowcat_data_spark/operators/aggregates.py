@@ -348,3 +348,55 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_discount") <= 0.05, price_dec)).cast("double").alias("lo_disc_rev"),
         F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("big_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A5c — explicit GROUPING SETS (arbitrary grain list, not cube/rollup)
+# ---------------------------------------------------------------------------
+
+_A5C_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+# (GROUPING takes ONE arg in Spark; the two-bit gid is composed by hand so
+# the identical SQL text runs on both engines.)
+
+
+@query("a5c_grouping_sets", oracle=_A5C_SQL, category="aggregate")
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-grain list that cube/rollup
+    are sugar for; same single-Expand plan, only the requested grains."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_A5C_SQL)
+
+
+# ---------------------------------------------------------------------------
+# A11 — bitwise aggregates (flag accumulation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a11_bitwise_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(BIT_OR(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS flags_or,
+       CAST(BIT_AND(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS flags_and,
+       CAST(BIT_XOR(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS flags_xor
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise OR/AND/XOR aggregation — permission-mask / feature-flag
+    rollups; associative+commutative, so partial aggregation applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_or(ln).alias("flags_or"),
+        F.bit_and(ln).alias("flags_and"),
+        F.bit_xor(ln).alias("flags_xor"),
+    )

@@ -336,3 +336,20 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "ts", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# O6 — TABLESAMPLE (block/Bernoulli sampling at the scan)
+# ---------------------------------------------------------------------------
+
+
+@query("o6_tablesample", oracle=None, category="relational")
+def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLESAMPLE — sampling applied during the scan (before any
+    downstream operator), the cheap way to develop against a slice of a
+    100 TB table. Seeded per-partition RNG → rows-only check (the
+    deterministic alternative is the md5 hash-sampling in l11*)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    )
