@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.streaming.ops",
     "shadowcat_data_spark.udf.surface",
     "shadowcat_data_spark.plans.analytics",
+    "shadowcat_data_spark.plans.tpch",
     "shadowcat_data_spark.plans.maintenance",
 ]
 

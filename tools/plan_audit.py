@@ -41,6 +41,8 @@ ALLOW = {
     # min-max bounds) broadcast-joined with no key — the build side is a
     # single row at any data scale, so BNLJ here is a constant-cost apply
     "q22_idle_rich_customers": {"BroadcastNestedLoopJoin"},
+    "q11_important_stock": {"BroadcastNestedLoopJoin"},
+    "q15_top_supplier": {"BroadcastNestedLoopJoin"},
     "m4_gap_fill_locf": {"BroadcastNestedLoopJoin"},
     # UDF-surface coverage queries exist to exercise the Python paths
     "u1_pandas_udf": {"ArrowEvalPython"},
