@@ -342,3 +342,37 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
         F.sha2(F.concat_ws("|", F.col("lang"), F.col("text")), 256).alias("keyed_sha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F9b — VARIANT type (Spark 4): open-schema semi-structured path
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f9b_variant",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 7 AS k_mod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+FROM events
+GROUP BY k_mod
+""",
+    category="function",
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semi-structured extraction as f9_json but through Spark 4's
+    VARIANT type: ``parse_json`` once into an open-schema binary encoding,
+    then typed ``variant_get`` paths — the scale answer when event payloads
+    have no stable schema (from_json needs one up front; variant defers
+    typing to the access site and pushes shredded columns at the scan in
+    Parquet readers that support it). DuckDB has no variant; its JSON
+    functions are the semantic oracle."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("k_sum"))
+    )

@@ -473,3 +473,54 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L14 — end-to-end corpus dedup sweep: clusters → canonical doc → clean corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l14_corpus_dedup_sweep",
+    oracle=_NEAR_DUP_EDGES_SQL
+    + """
+, sym AS (
+  SELECT d1 AS a, d2 AS b FROM edges UNION SELECT d2, d1 FROM edges
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+), removed AS (
+  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+)
+SELECT lang,
+       CAST(COUNT(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM removed)) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM removed)) AS BIGINT) AS n_removed
+FROM documents
+GROUP BY lang
+""",
+    category="pipeline-dedup",
+)
+def corpus_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup removal pipeline end-to-end: Jaccard edges →
+    connected components → keep ONE canonical doc per cluster (the min
+    doc_id = the cluster label itself, so no extra ranking pass) → report
+    kept/removed per language. This is the operation a 100 TB corpus
+    actually runs nightly; at that scale the edge step is l2b's MinHash-LSH
+    instead of exact pairs, and the rest of the pipeline is unchanged —
+    which is the point of keeping the sweep compositional."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(d, "doc_id", "text").filter(F.col("jaccard") >= 0.75)
+    labels = connected_components(edges, "d1", "d2")
+    removed = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("rm_id")
+    )
+    flagged = d.select("doc_id", "lang").join(
+        F.broadcast(removed), F.col("doc_id") == F.col("rm_id"), "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.when(F.col("rm_id").isNull(), 1)).alias("n_kept"),
+        F.count(F.when(F.col("rm_id").isNotNull(), 1)).alias("n_removed"),
+    )

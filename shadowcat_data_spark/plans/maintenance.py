@@ -263,3 +263,179 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.last("n", ignorenulls=True).over(w).alias("n_locf"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# M5 — CDC apply: merge a change log into a snapshot, last-writer-wins
+# ---------------------------------------------------------------------------
+
+
+def apply_changelog(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Apply an insert/update/delete change log to a snapshot.
+
+    ``changes`` columns: key, ``op`` ('I'/'U'/'D'), ``seq`` (version order),
+    plus the new column values. Last-writer-wins: only the highest-``seq``
+    change per key applies. One window over the changelog (small relative to
+    the snapshot) + one shuffle join on the key — the snapshot is never
+    rewritten per-change, which is what makes this the 100 TB CDC pattern
+    (the same shape Delta/Iceberg MERGE compiles to)."""
+    w = W.partitionBy(key).orderBy(F.col("seq").desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "seq")
+    )
+    val_cols = [c for c in latest.columns if c not in (key, "op")]
+    merged = snapshot.alias("s").join(latest.alias("c"), key, "left")
+    kept = merged.filter(F.col("c.op").isNull() | (F.col("c.op") == "U")).select(
+        key,
+        *[
+            F.when(F.col("c.op") == "U", F.col(f"c.{c}"))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in val_cols
+        ],
+    )
+    inserts = latest.filter(F.col("op") == "I").select(key, *val_cols)
+    return kept.unionByName(inserts)
+
+
+@query(
+    "m5_cdc_apply",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_totalprice + 20.0
+  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 1, NULL FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', 1, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 2
+),
+latest AS (
+  SELECT k, op, o_totalprice
+  FROM changes QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+)
+SELECT k AS o_orderkey, o_totalprice FROM (
+  SELECT s.o_orderkey AS k,
+         CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+         c.op
+  FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.k
+  WHERE c.op IS NULL OR c.op = 'U'
+  UNION ALL
+  SELECT k, o_totalprice, op FROM latest WHERE op = 'I'
+)
+""",
+    category="maintenance",
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic synthetic change log to the orders snapshot:
+    updates on keys %5==1 (two versions — the seq-2 one must win), deletes
+    on %5==0, inserts of new keys for %5==2. The +10.0/+20.0 double adds are
+    IEEE-exact in both engines. Exercises the full CDC merge: LWW window,
+    delete filter, update substitution, insert union."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd1 = o.filter(F.col("o_orderkey") % 5 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    upd2 = o.filter((F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 3 == 0)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 5 == 2).select(
+        (F.col("o_orderkey") + 10000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice"),
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    snap = o.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    return apply_changelog(snap, changes, "k").select(
+        F.col("k").alias("o_orderkey"), "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 — delete propagation: cascade a key delete-set through FK chains
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m6_delete_propagation",
+    oracle="""
+WITH del_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 = 0),
+del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+),
+del_lines AS (
+  SELECT 1 AS one FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+)
+SELECT * FROM (
+  SELECT 'customer' AS table_name,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM del_cust) AS n_deleted,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) - (SELECT COUNT(*) FROM del_cust) AS n_kept
+  UNION ALL
+  SELECT 'orders',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM del_orders),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) - (SELECT COUNT(*) FROM del_orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM del_lines),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) - (SELECT COUNT(*) FROM del_lines)
+)
+""",
+    category="maintenance",
+)
+def delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style cascade: a customer delete-set propagates through
+    customer→orders→lineitem, reporting deleted/kept counts per table.
+    Each hop is a semi join against the previous hop's keys (broadcast
+    while the delete-set is small; at 100 TB a shuffle semi join on the FK).
+    The real job would anti-join-rewrite each table; counting both sides
+    here proves the partition without materializing the rewrite twice.
+    Everything is ONE plan (flag column + conditional count per table,
+    union of one-row frames) — no driver-side count loop, so the three
+    table scans run as one job and can share the scheduler wave."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    del_cust = c.filter(F.col("c_custkey") % 17 == 0)
+    del_orders = o.join(
+        F.broadcast(del_cust), o["o_custkey"] == del_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+
+    def counted(name: str, df: DataFrame, is_del) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.when(is_del, 1)).alias("n_deleted"),
+            F.count(F.when(~is_del, 1)).alias("n_kept"),
+        )
+
+    cust_counts = counted("customer", c, F.col("c_custkey") % 17 == 0)
+    ord_flag = o.join(
+        F.broadcast(del_cust), o["o_custkey"] == del_cust["c_custkey"], "left"
+    )
+    ord_counts = counted("orders", ord_flag, F.col("c_custkey").isNotNull())
+    line_flag = li.join(
+        del_orders.withColumnRenamed("o_orderkey", "del_ok"),
+        li["l_orderkey"] == F.col("del_ok"),
+        "left",
+    )
+    line_counts = counted("lineitem", line_flag, F.col("del_ok").isNotNull())
+    return cust_counts.unionByName(ord_counts).unionByName(line_counts)
