@@ -490,3 +490,50 @@ def transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(out, "t10_out", "update")
+
+
+# ---------------------------------------------------------------------------
+# T11 — composite streaming ETL pipeline (dedup → enrich → window → sink)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t11_streaming_pipeline",
+    oracle="""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+    category="streaming",
+)
+def streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole nightly job as ONE standing stream: watermark → stateful
+    dedup on the event key → static-dimension enrichment (broadcast lookup
+    join, re-resolved per micro-batch) → 1-day tumbling aggregate. Chaining
+    proves the stages compose: dedup state and window state coexist in one
+    query, bounded by the same watermark; the static join adds no state at
+    all. Batch oracle = the same dedup/join/agg in plain SQL (event_id is
+    the fixture PK, so the dedup's semantic contribution is idempotence,
+    not row loss). At scale each stage is what its batch twin is — keyed
+    state + broadcast + partial agg; nothing holds unbounded state."""
+    from ..session import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    qval = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 day"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(qval).cast("double") / 1000000.0).alias("total_value"),
+        )
+    )
+    out = run_to_memory(agg, "t11_out", "complete")
+    return out.select(
+        F.col("window.start").alias("day"), "c_mktsegment", "n", "total_value"
+    )
