@@ -400,3 +400,34 @@ def bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and(ln).alias("flags_and"),
         F.bit_xor(ln).alias("flags_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A12 — two-level HLL sketch rollup (Apache DataSketches, Spark 3.5+)
+# ---------------------------------------------------------------------------
+
+
+@query("a12_hll_sketch_rollup", category="aggregate")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per region via MERGEABLE sketches: build one HLL
+    sketch per nation (`hll_sketch_agg`), then UNION the binary sketches up
+    to region (`hll_union_agg`) — never re-touching the base table. This
+    two-level rollup is THE 100 TB distinct-count pattern: per-partition
+    sketches are a few KB each, re-aggregate at any grain in fixed space,
+    and persist for incremental refresh (yesterday's sketch ∪ today's
+    delta). Estimates are engine-hash-specific → rows-only check here;
+    accuracy vs exact counts asserted in tests/test_properties.py."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sk")
+    )
+    return (
+        per_nation.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(F.hll_union_agg("sk").alias("merged"))
+        .select(
+            "n_regionkey",
+            F.hll_sketch_estimate("merged").alias("approx_customers"),
+        )
+    )

@@ -13,6 +13,7 @@ and it runs unchanged.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -197,3 +198,83 @@ def jdbc_source(
             f"JDBC source configured for {url}/{table} but no JDBC driver is "
             "available in this environment; add the driver jar to the classpath."
         ) from exc
+
+
+# ---------------------------------------------------------------------------
+# S10 — schema evolution: mergeSchema across parquet batches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s10_schema_evolution",
+    oracle="""
+SELECT r_regionkey, r_name, NULL AS ingest_batch FROM region
+UNION ALL
+SELECT r_regionkey, r_name, 2 AS ingest_batch FROM region
+""",
+    category="source",
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two ingest batches with DIFFERENT schemas (batch 2 adds an
+    ``ingest_batch`` column) land in one dataset dir; ``mergeSchema``
+    reconciles the footers into the union schema, old rows null-padded.
+    This is how a long-lived 100 TB dataset absorbs additive schema change
+    without rewriting history. (Production note: mergeSchema reads every
+    file footer — pin the merged schema explicitly once known.)"""
+    r = load_table(spark, sf_dir, "region")
+    path = _scratch(sf_dir, "evolving")
+    shutil.rmtree(path, ignore_errors=True)
+    r.write.mode("overwrite").parquet(path)
+    r.withColumn("ingest_batch", F.lit(2)).write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "r_regionkey", "r_name", F.col("ingest_batch").cast("int").alias("ingest_batch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 — malformed-record quarantine on JSON ingest (PERMISSIVE mode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s11_corrupt_record_quarantine",
+    oracle="""
+SELECT 'good' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM region
+UNION ALL
+SELECT 'bad', 2
+""",
+    category="source",
+)
+def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real feeds contain garbage lines. PERMISSIVE JSON ingest routes
+    unparseable records into ``_corrupt_record`` instead of failing the
+    job (FAILFAST) or silently dropping them (DROPMALFORMED); the plan
+    then splits good rows from quarantined ones in one pass. The count
+    contract: rows parsed == clean input rows, corrupt == injected bad
+    lines. At scale the quarantine bucket becomes a partitioned sink that
+    feeds a repair/replay queue."""
+    r = load_table(spark, sf_dir, "region")
+    path = _scratch(sf_dir, "dirty_json")
+    shutil.rmtree(path, ignore_errors=True)
+    r.select(F.to_json(F.struct("r_regionkey", "r_name")).alias("value")).coalesce(
+        1
+    ).write.mode("overwrite").text(path)
+    with open(os.path.join(path, "bad.txt"), "w") as fh:
+        fh.write('{"r_regionkey": 99, "r_name": \n')  # truncated JSON
+        fh.write("not json at all\n")
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # required: _corrupt_record queries must not re-infer per branch
+    )
+    bucket = F.when(F.col("_corrupt_record").isNull(), "good").otherwise("bad")
+    return parsed.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))

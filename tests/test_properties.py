@@ -199,3 +199,27 @@ def test_transform_with_state_gated_cleanly(spark):
         pytest.skip("protobuf present — operator runs for real here")
     with pytest.raises(NotImplementedError, match="protobuf"):
         transform_with_state(spark, SF_DIR)
+
+
+def test_hll_rollup_matches_exact_by_region(spark):
+    """a12: sketch-merge estimates per region ≈ exact distincts (lgK=14 →
+    ~0.4% rse; assert 2%), and merged-total == sum of exact per-region
+    distincts (customers belong to exactly one nation→region)."""
+    from shadowcat_data_spark.operators.aggregates import hll_sketch_rollup
+
+    approx = {
+        r.n_regionkey: r.approx_customers
+        for r in hll_sketch_rollup(spark, SF_DIR).collect()
+    }
+    c = load_table(spark, SF_DIR, "customer")
+    n = load_table(spark, SF_DIR, "nation")
+    exact = {
+        r.n_regionkey: r.exact
+        for r in c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.02, (k, approx[k], exact[k])

@@ -62,3 +62,41 @@ def test_watermark_drops_late_beyond_accepts_within(spark, stream_dir):
     # the 12:00 window appears twice in update mode: n=1 (batch 1), n=2 (batch 2)
     twelve = sorted(r.n for r in out if r.s.strftime("%H:%M") == "12:00")
     assert twelve == [1, 2], out
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicates state must persist across micro-batches: a key seen in
+    batch 1 and re-sent in batch 2 (within the watermark) is emitted once."""
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+    sdir = str(d)
+    _mk(spark, [(1, "2024-06-01 12:00:00"), (2, "2024-06-01 12:10:00")]).coalesce(
+        1
+    ).write.mode("append").parquet(sdir)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(sdir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: id=1 is a cross-batch duplicate (must NOT re-emit);
+        # id=3 is new (must emit)
+        _mk(spark, [(1, "2024-06-01 12:20:00"), (3, "2024-06-01 12:30:00")]).coalesce(
+            1
+        ).write.mode("append").parquet(sdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(r.id for r in spark.sql("SELECT id FROM dedup_test").collect())
+    assert ids == [1, 2, 3], f"cross-batch dedup broken: {ids}"
