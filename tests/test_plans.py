@@ -195,3 +195,31 @@ def test_zorder_key_locality(spark):
     # dimensions — the whole point of multi-dim clustering
     assert statistics.median(r.dx for r in rows) < 0.7 * full
     assert statistics.median(r.dy for r in rows) < 0.7 * full
+
+
+def test_q21_decorrelates_to_single_fact_pass(spark):
+    """q21's EXISTS/NOT-EXISTS pair must stay collapsed into one per-order
+    aggregate: no nested-loop join and no third lineitem scan."""
+    from shadowcat_data_spark.plans.tpch import waiting_orders
+
+    plan = _plan(waiting_orders(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("lineitem.parquet") <= 2  # late-lines side + flags side
+
+
+def test_q18_preaggregates_before_join(spark):
+    """The HAVING pre-aggregation must sit BELOW the orders join (join
+    inputs are |groups|, not |lineitem|). ``explain("formatted")`` prints
+    pre-order from the root, so a correctly placed aggregate appears AFTER
+    the joins in the text; an aggregate printed before every join would
+    mean the plan regressed to join-then-aggregate."""
+    from shadowcat_data_spark.plans.analytics import large_orders
+
+    plan = _plan(large_orders(spark, SF_DIR))
+    first_agg = plan.find("HashAggregate")
+    first_join = min(
+        x
+        for x in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+        if x != -1
+    )
+    assert first_agg != -1 and first_join != -1 and first_join < first_agg

@@ -223,3 +223,48 @@ def test_hll_rollup_matches_exact_by_region(spark):
     assert approx.keys() == exact.keys()
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.02, (k, approx[k], exact[k])
+
+
+def test_cdc_apply_is_idempotent_and_lww(spark):
+    """m5: applying the same changelog twice equals applying it once, and
+    the seq-2 update wins over seq-1 for every key carrying both."""
+    from shadowcat_data_spark.plans.maintenance import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, 11.0),
+            (1, "U", 2, 12.0),  # LWW winner
+            (2, "D", 1, None),
+            (9, "I", 1, 90.0),
+        ],
+        "k long, op string, seq int, v double",
+    )
+    once = apply_changelog(snap, changes, "k")
+    rows = {r.k: r.v for r in once.collect()}
+    assert rows == {1: 12.0, 3: 30.0, 9: 90.0}
+    # idempotence: re-applying U/D is a no-op; re-applying I of an absent key
+    # re-inserts the same row → same final state
+    twice = apply_changelog(once, changes, "k")
+    assert {r.k: r.v for r in twice.collect()} == rows
+
+
+def test_delete_propagation_leaves_no_orphans(spark):
+    """m6's kept/deleted split must be a partition AND the kept orders may
+    not reference a deleted customer (cascade completeness)."""
+    from shadowcat_data_spark.plans.maintenance import delete_propagation
+
+    out = {r.table_name: (r.n_deleted, r.n_kept) for r in delete_propagation(spark, SF_DIR).collect()}
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    for name, df in (("customer", c), ("orders", o), ("lineitem", li)):
+        assert sum(out[name]) == df.count(), name
+    # completeness: orders kept ∩ orders of deleted customers = ∅
+    del_cust = c.filter(F.col("c_custkey") % 17 == 0).select("c_custkey")
+    orphan = (
+        o.join(del_cust, o["o_custkey"] == del_cust["c_custkey"], "left_semi").count()
+    )
+    assert orphan == out["orders"][0]
