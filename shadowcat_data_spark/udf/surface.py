@@ -226,3 +226,48 @@ FROM documents AS d, LATERAL chunk_doc(d.doc_id, d.text) AS c
 ORDER BY doc_id, chunk_idx
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# U6 — mapInArrow: the pandas-free Arrow batch path
+# ---------------------------------------------------------------------------
+
+_U6_SCHEMA = "o_orderkey long, price_band int"
+
+
+def _arrow_price_band(batches):
+    """RecordBatch-in → RecordBatch-out, pure pyarrow.compute — skips the
+    Arrow→pandas→Arrow conversion mapInPandas pays (copies + dtype
+    coercions). The win matters on wide/binary batches at scale; semantics
+    here are deliberately simple so the oracle is plain SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        band = pc.cast(
+            pc.floor(pc.divide(batch.column("o_totalprice"), 50000.0)), pa.int32()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("o_orderkey"), band], names=["o_orderkey", "price_band"]
+        )
+
+
+@query(
+    "u6_map_in_arrow",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS price_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders GROUP BY 1
+""",
+    category="udf",
+)
+def map_in_arrow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition transform on raw Arrow RecordBatches (``mapInArrow``),
+    feeding a JVM aggregation. floor(x/c) on float64 is IEEE-identical in
+    pyarrow.compute and both SQL engines, so the banding hash-matches."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    banded = o.mapInArrow(_arrow_price_band, _U6_SCHEMA)
+    return banded.groupBy("price_band").agg(
+        F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key")
+    )

@@ -48,6 +48,7 @@ ALLOW = {
     "u1_pandas_udf": {"ArrowEvalPython"},
     "u2_apply_in_pandas": {"FlatMapGroupsInPandas"},
     "u3_map_in_pandas": {"MapInPandas"},
+    "u6_map_in_arrow": {"MapInArrow"},
     "u4_udaf_segment_avg": {"FlatMapGroupsInPandas"},
     # UDTF-surface coverage: Spark 4 runs Python UDTFs via BatchEvalPythonUDTF
     # (not Arrow-batched yet) — the Python table-function path is the point
@@ -63,6 +64,7 @@ FLAGS = (
     "BroadcastNestedLoopJoin",
     "FlatMapGroupsInPandas",
     "MapInPandas",
+    "MapInArrow",
 )
 
 
