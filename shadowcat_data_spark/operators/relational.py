@@ -353,3 +353,79 @@ def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT o_orderkey, o_totalprice FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
     )
+
+
+# ---------------------------------------------------------------------------
+# O7 — scalable global enumeration (the zipWithIndex problem, done right)
+# ---------------------------------------------------------------------------
+
+
+def _enumerate_batches(batches):
+    """Arrow-batch enumerator: assigns 0-based positions WITHIN one input
+    partition. The iterator covers exactly one partition in order, so a
+    running counter across batches yields the partition-local rank."""
+    import pyarrow as pa
+
+    pos = 0
+    for batch in batches:
+        n = batch.num_rows
+        idx = pa.array(range(pos, pos + n), type=pa.int64())
+        pos += n
+        yield batch.append_column("local_rn", idx)
+
+
+def global_enumerate(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Total-order global index WITHOUT a single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels every row through ONE task
+    — the classic 100 TB deadend. The scalable idiom: (1) range-shuffle +
+    local sort (same machinery as ORDER BY, fully parallel), (2) enumerate
+    WITHIN each partition (no shuffle — one Arrow pass), (3) per-partition
+    counts (32-row aggregate) → running-sum offsets, broadcast back. One
+    big shuffle total; the only global coordination is the tiny offset
+    table. Correctness does not depend on where the range sampler places
+    partition boundaries, only on the order columns forming a unique tuple."""
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields)
+    local = ranged.mapInArrow(_enumerate_batches, schema_str + ", local_rn long")
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("global_id", F.col("offset") + F.col("local_rn") + 1)
+        .drop("pid", "local_rn", "offset")
+    )
+
+
+@query(
+    "o7_global_enumerate",
+    oracle="""
+SELECT o_orderkey, CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_id
+FROM orders
+""",
+    category="relational",
+)
+def global_enumerate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 1-based ids over orders in o_orderkey order — equals the
+    oracle's single-window ROW_NUMBER, computed with the parallel
+    range+offset plan (docstring above). The id column every training-shard
+    manifest / stable-export job needs."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return global_enumerate(o, ["o_orderkey"]).select("o_orderkey", "global_id")

@@ -49,6 +49,9 @@ ALLOW = {
     "u2_apply_in_pandas": {"FlatMapGroupsInPandas"},
     "u3_map_in_pandas": {"MapInPandas"},
     "u6_map_in_arrow": {"MapInArrow"},
+    # scalable global-enumerate: the Arrow pass is the per-partition
+    # enumerator that REPLACES the single-task global window
+    "o7_global_enumerate": {"MapInArrow"},
     "u4_udaf_segment_avg": {"FlatMapGroupsInPandas"},
     # UDTF-surface coverage: Spark 4 runs Python UDTFs via BatchEvalPythonUDTF
     # (not Arrow-batched yet) — the Python table-function path is the point
