@@ -376,3 +376,38 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") % 7).alias("k_mod"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("k_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# F11 — ANSI-safe arithmetic: try_* returns NULL where ANSI mode would throw
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f11_try_arithmetic",
+    oracle="""
+SELECT p_partkey,
+       TRY_CAST(p_name AS INTEGER) AS name_as_int,
+       TRY_CAST(p_brand[7:] AS INTEGER) AS brand_num,
+       CASE WHEN p_size % 3 = 0 THEN NULL
+            ELSE p_retailprice / CAST(p_size % 3 AS DOUBLE) END AS price_ratio
+FROM part
+""",
+    category="function",
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode by default: bad casts and division by zero
+    THROW instead of silently nulling. The ``try_*`` family is the escape
+    hatch dirty-data pipelines need — same expression, NULL on failure,
+    still whole-stage-codegen. ``try_cast`` on a non-numeric name nulls;
+    on the digits sliced off ``Brand#N`` it parses; ``try_divide`` nulls
+    exactly where the CASE-guarded oracle does."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.try_to_number(F.col("p_name"), F.lit("999")).cast("int").alias("name_as_int"),
+        F.expr("try_cast(substr(p_brand, 7) AS INT)").alias("brand_num"),
+        F.try_divide(
+            F.col("p_retailprice"), (F.col("p_size") % 3).cast("double")
+        ).alias("price_ratio"),
+    )
