@@ -537,3 +537,81 @@ def streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("day"), "c_mktsegment", "n", "total_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# T12 — stream-stream LEFT OUTER join (null emission on watermark expiry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t12_stream_outer_join",
+    oracle="""
+WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'),
+cut AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+               - INTERVAL 3 HOUR AS cutoff)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.ts <= (SELECT cutoff FROM cut)
+""",
+    category="streaming",
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: matches emit as they arrive, but an
+    UNMATCHED click can only emit (with NULL purchase) once the watermark
+    proves no in-window purchase can still arrive — the state store holds
+    the click until click_ts + interval < watermark, then emits and
+    evicts. That expiry rule is the semantic difference from t8's inner
+    join and from any batch join. The final no-data micro-batch only
+    advances the watermark to min(max_ts) − delay, so clicks in the last
+    watermark+interval sliver never get their null verdict in a finite
+    run; both engines therefore restrict to clicks ≤ 3 h (delay 1 h +
+    interval 1 h + 1 h margin) before the streams end — outside that
+    sliver, streaming output ≡ the batch LEFT JOIN, which is the oracle."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "click_ts")
+    out = run_to_memory(joined, "t12_out", "append")
+    from ..session import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    cut = (
+        e.filter(F.col("event_type") == "click")
+        .agg(F.max("ts").alias("mc"))
+        .crossJoin(
+            e.filter(F.col("event_type") == "purchase").agg(F.max("ts").alias("mp"))
+        )
+        .select(F.least("mc", "mp").alias("m"))
+        .collect()[0]["m"]
+    )
+    import datetime
+
+    cutoff = cut - datetime.timedelta(hours=3)
+    return out.filter(F.col("click_ts") <= F.lit(cutoff)).select(
+        "click_id", "purchase_id"
+    )
