@@ -439,3 +439,35 @@ def delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     line_counts = counted("lineitem", line_flag, F.col("del_ok").isNotNull())
     return cust_counts.unionByName(ord_counts).unionByName(line_counts)
+
+
+# ---------------------------------------------------------------------------
+# M7 — catalog surface: managed tables, metadata listing, integrity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m7_catalog_roundtrip",
+    oracle="""
+SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation GROUP BY n_regionkey
+""",
+    category="maintenance",
+)
+def catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metastore path end-to-end: ``saveAsTable`` a managed table into
+    a dedicated database, confirm it via the catalog API, query it back by
+    NAME (not path), drop-safe. A registry/catalog system lives on this
+    surface — named tables are what downstream consumers bind to, and the
+    catalog is where stats for CBO (`ANALYZE TABLE`) attach. The result is
+    computed from the round-tripped managed table; the oracle reads the
+    original parquet — equality proves a lossless catalog round-trip."""
+    tag = "sc_" + str(abs(hash(sf_dir)) % 10**8)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {tag}")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").saveAsTable(f"{tag}.nation_managed")
+    assert any(
+        t.name == "nation_managed" for t in spark.catalog.listTables(tag)
+    ), "catalog listing missing the managed table"
+    back = spark.table(f"{tag}.nation_managed")
+    return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
