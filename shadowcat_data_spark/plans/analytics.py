@@ -271,8 +271,10 @@ ORDER BY revenue DESC, n_name
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by supplier nation where customer and supplier are in the
-    same nation (TPC-H Q5 shape): fact-to-fact join through orders plus the
-    extra co-location equi-predicate; all dimensions broadcast."""
+    same nation (TPC-H Q5 shape). Same scale-ordered plan as j6_star_join:
+    the region-filtered supplier dimension broadcasts against lineitem
+    FIRST (semi-reduces the fact ~5× before any shuffle), then the two
+    fact-side shuffles run on survivors only."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -282,21 +284,24 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000.0 + 0.5
     ).cast("long")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    s_asia = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o_window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s_asia), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o_window, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg((F.sum(rev).cast("double") / 1000000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
