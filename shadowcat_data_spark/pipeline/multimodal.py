@@ -161,3 +161,65 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("meta.n_bytes").cast("long")).alias("total_bytes"),
         F.max("meta.width").alias("max_width"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MM — frame sampling: 1 media row → N frame rows (video/audio pattern)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 16  # stub "frame" stride over the payload
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler (mapInPandas kernel): emits one row per
+    FRAME_BYTES-stride of the payload — the 1→N expansion shape of real
+    video frame extraction / audio windowing (ffmpeg/torchaudio go here).
+    Expansion happens INSIDE the batch iterator, so output batches can
+    exceed input batches without any driver involvement, and a long video
+    never materializes as one giant row-list on a single executor thread."""
+    for pdf in batches:
+        ids, fmts, idxs, offs = [], [], [], []
+        for media_id, fmt, content in zip(pdf["media_id"], [m["format"] for m in pdf["meta"]], pdf["content"]):
+            n = len(bytes(content))
+            n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(n_frames):
+                ids.append(media_id)
+                fmts.append(fmt)
+                idxs.append(i)
+                offs.append(i * FRAME_BYTES)
+        yield pd.DataFrame(
+            {"media_id": ids, "format": fmts, "frame_idx": idxs, "frame_off": offs}
+        )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(SUM((64 + 15) // 16) AS BIGINT) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_media
+FROM documents
+GROUP BY 1
+""",
+    category="pipeline-multimodal",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the fake media corpus (payload = 64-byte sha256 hex →
+    4 frames each) and aggregate frames/media per format. The Python stage
+    is pure plumbing; the frame COUNT is pure arithmetic on payload length,
+    so the whole 1→N pipeline is oracle-checkable even though the sampler
+    is a stub. Real decoders swap into ``sample_frames_batch`` unchanged."""
+    frames = media_table(spark, sf_dir).mapInPandas(sample_frames_batch, FRAME_SCHEMA)
+    return frames.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("media_id").alias("n_media"),
+    )

@@ -57,6 +57,7 @@ ALLOW = {
     # (not Arrow-batched yet) — the Python table-function path is the point
     "u5_udtf_chunking": {"BatchEvalPython"},
     "mm_decode_features": {"MapInPandas"},
+    "mm_frame_sample": {"MapInPandas"},
     "t6_stateful_per_key": {"FlatMapGroupsInPandas", "ArrowEvalPython"},
 }
 
