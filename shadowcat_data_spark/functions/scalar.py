@@ -411,3 +411,74 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice"), (F.col("p_size") % 3).cast("double")
         ).alias("price_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F5b — calendar functions (month boundaries, ISO weeks, weekday math)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f5b_calendar",
+    oracle="""
+SELECT o_orderkey,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    category="function",
+)
+def calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end snap, month arithmetic (end-of-month clamping included),
+    weekday and ISO week — the calendar toolkit every reporting rollup
+    needs. Convention trap pinned here: Spark's dayofweek is 1=Sunday,
+    DuckDB's is 0=Sunday (oracle adds 1); DATE-typed results cast to
+    timestamp (DATE output encodings differ across engines)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F12 — collation-aware comparison (Spark 4 COLLATE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f12_collation",
+    oracle="""
+SELECT lower(p_name) AS name_ci, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS p_name,
+             p_partkey
+      FROM part)
+GROUP BY 1
+""",
+    category="function",
+)
+def collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4's COLLATE (UNICODE_CI)
+    instead of lower() normalization: the collation travels with the TYPE,
+    so every comparison/join/group on the column is case-insensitive
+    without rewriting expressions — and collation-aware sorts/joins stay
+    inside codegen. The mixed-case input is synthesized (upper every even
+    key); output normalizes to lower for the cross-engine compare since
+    group REPRESENTATIVES under CI collation are pick-arbitrary."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("p_name"),
+    )
+    ci = F.expr("p_name COLLATE UNICODE_CI")
+    return (
+        p.groupBy(ci.alias("name_grp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("name_grp")).cast("string").alias("name_ci"), "n")
+    )
