@@ -462,7 +462,11 @@ def catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog is where stats for CBO (`ANALYZE TABLE`) attach. The result is
     computed from the round-tripped managed table; the oracle reads the
     original parquet — equality proves a lossless catalog round-trip."""
-    tag = "sc_" + str(abs(hash(sf_dir)) % 10**8)
+    # stable per-sf_dir name (Python hash() is process-salted — it would
+    # mint a fresh database every run and litter the warehouse dir)
+    import hashlib
+
+    tag = "sc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {tag}")
     n = load_table(spark, sf_dir, "nation")
     n.write.mode("overwrite").saveAsTable(f"{tag}.nation_managed")
