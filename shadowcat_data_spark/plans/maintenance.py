@@ -10,6 +10,8 @@ audit referential integrity, profile column health, fill calendar gaps.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import query
@@ -465,9 +467,18 @@ def catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stable per-sf_dir name (Python hash() is process-salted — it would
     # mint a fresh database every run and litter the warehouse dir)
     import hashlib
+    import shutil
+    from urllib.parse import urlparse
 
     tag = "sc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {tag}")
+    # the warehouse DIRECTORY outlives the in-memory catalog: a table dir
+    # left by a previous process isn't in THIS session's catalog, and
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
+    # overwrite mode — drop both the entry and the stale location first
+    spark.sql(f"DROP TABLE IF EXISTS {tag}.nation_managed")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, f"{tag}.db", "nation_managed"), ignore_errors=True)
     n = load_table(spark, sf_dir, "nation")
     n.write.mode("overwrite").saveAsTable(f"{tag}.nation_managed")
     assert any(
