@@ -264,3 +264,26 @@ def test_global_enumerate_is_exact_permutation(spark):
     ks = [r.k for r in out]
     assert ids == list(range(1, 1001))
     assert ks == sorted(ks)
+
+
+def test_analyze_table_attaches_cbo_stats(spark, tmp_path):
+    """`ANALYZE TABLE` must attach rowCount/sizeInBytes statistics the
+    cost-based optimizer reads — the cluster-side prerequisite for CBO
+    join reordering that SCALE.md defers to (AQE covers it locally)."""
+    df = load_table(spark, SF_DIR, "nation")
+    spark.sql("CREATE DATABASE IF NOT EXISTS stats_test")
+    spark.sql("DROP TABLE IF EXISTS stats_test.nation_stats")
+    import shutil
+    from urllib.parse import urlparse
+    import os as _os
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(_os.path.join(wh, "stats_test.db", "nation_stats"), ignore_errors=True)
+    df.write.saveAsTable("stats_test.nation_stats")
+    spark.sql("ANALYZE TABLE stats_test.nation_stats COMPUTE STATISTICS")
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED stats_test.nation_stats").collect()
+    }
+    assert "Statistics" in desc, sorted(desc)
+    assert "25 rows" in desc["Statistics"], desc["Statistics"]

@@ -100,3 +100,42 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
 
     ids = sorted(r.id for r in spark.sql("SELECT id FROM dedup_test").collect())
     assert ids == [1, 2, 3], f"cross-batch dedup broken: {ids}"
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Exactly-once across restarts: a NEW query resuming from the same
+    checkpoint must process only data that arrived after the stop — no
+    duplicates from re-reading batch 1."""
+    src = tmp_path / "ckpt_src"
+    src.mkdir()
+    sdir, ckpt, sink = str(src), str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def start():
+        return (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(sdir)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    _mk(spark, [(1, "2024-06-01 12:00:00"), (2, "2024-06-01 12:10:00")]).coalesce(
+        1
+    ).write.mode("append").parquet(sdir)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _mk(spark, [(3, "2024-06-01 12:20:00")]).coalesce(1).write.mode("append").parquet(sdir)
+    q2 = start()  # fresh query object, same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    ids = sorted(r.id for r in spark.read.parquet(sink).collect())
+    assert ids == [1, 2, 3], f"checkpoint recovery re/under-processed: {ids}"
