@@ -406,3 +406,84 @@ def contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return contamination_check(d, probes, "doc_id", "text", "probe").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L16 — collocation mining: PMI-scored bigrams over the corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l16_bigram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), uni AS (
+  SELECT t, COUNT(*) AS c FROM (SELECT unnest(ts) AS t FROM toks) WHERE t <> '' GROUP BY t
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM (
+    SELECT u.pz[1] AS w1, u.pz[2] AS w2 FROM (
+      SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS pz FROM toks
+    ) u
+  ) WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2
+  HAVING COUNT(*) >= 5
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       round(ln(CAST(n_tokens AS DOUBLE) * c_xy / (u1.c * u2.c)), 9) AS pmi
+FROM bi JOIN uni u1 ON w1 = u1.t JOIN uni u2 ON w2 = u2.t, n
+WHERE c_xy >= 5
+""",
+    category="pipeline-text",
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocations: pointwise mutual information of adjacent token pairs
+    (PMI = ln(N·c_xy / (c_x·c_y)), min support 5). Bigrams come from
+    zipping each token array with its own tail (``arrays_zip`` + ``slice``
+    — stays in codegen, no self-join on position). Two aggregates (unigram,
+    bigram) + two broadcast-ready joins; at 100 TB the unigram table is the
+    vocabulary (small), and min-support prunes the bigram tail before the
+    join. ln rounds to 9 dp (last-ulp divergence across libm builds)."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens()
+    pairs = F.arrays_zip(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))).alias("w1"),
+        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))).alias("w2"),
+    )
+    bi = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    uni = (
+        d.select(F.explode(ts).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c_y"))
+    return (
+        bi.join(F.broadcast(u1), F.col("w1") == F.col("t1"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("t2"))
+        .join(F.broadcast(n_tokens))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("n_tokens").cast("double")
+                    * F.col("c_xy")
+                    / (F.col("c_x") * F.col("c_y"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
