@@ -139,3 +139,32 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
 
     ids = sorted(r.id for r in spark.read.parquet(sink).collect())
     assert ids == [1, 2, 3], f"checkpoint recovery re/under-processed: {ids}"
+
+
+def test_available_now_trigger_processes_all_then_stops(spark, tmp_path):
+    """Trigger.AvailableNow: process everything present, in rate-limited
+    batches, then terminate on its own — the batch-over-stream execution
+    mode for scheduled incremental jobs (vs processAllAvailable, which
+    needs the caller to decide when to stop)."""
+    src = tmp_path / "an_src"
+    src.mkdir()
+    sdir = str(src)
+    _mk(spark, [(1, "2024-06-01 12:00:00"), (2, "2024-06-01 12:10:00")]).coalesce(
+        1
+    ).write.mode("append").parquet(sdir)
+    _mk(spark, [(3, "2024-06-01 12:20:00")]).coalesce(1).write.mode("append").parquet(
+        sdir
+    )
+
+    q = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(sdir)
+        .writeStream.format("memory")
+        .queryName("an_test")
+        .trigger(availableNow=True)
+        .option("maxFilesPerTrigger", "1")
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    ids = sorted(r.id for r in spark.sql("SELECT id FROM an_test").collect())
+    assert ids == [1, 2, 3]
