@@ -271,3 +271,38 @@ def map_in_arrow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded.groupBy("price_band").agg(
         F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# U7 — Arrow-optimized scalar Python UDF (Spark 4 useArrow=True)
+# ---------------------------------------------------------------------------
+
+
+def _priority_rank(p: str) -> int:
+    """Plain-Python business rule (the kind that arrives as a code snippet,
+    not a vectorizable expression): parse the leading digit of an order
+    priority label."""
+    return int(p.split("-", 1)[0])
+
+
+@query(
+    "u7_arrow_scalar_udf",
+    oracle="""
+SELECT CAST(o_orderpriority[1] AS INTEGER) AS prank,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+""",
+    category="udf",
+)
+def arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-signature Python UDF with Arrow transport (``useArrow=True``):
+    the author writes per-row Python, Spark batches it over Arrow instead
+    of pickling row-by-row (~2-5× over the legacy path). Still the slow
+    lane vs pandas_udf/built-ins — registered here because inherited
+    per-row business rules are a fact of ETL life; the plan auditor flags
+    any OTHER query that sprouts this node."""
+    fn = F.udf(_priority_rank, "int", useArrow=True)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(fn(F.col("o_orderpriority")).alias("prank")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
