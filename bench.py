@@ -52,24 +52,30 @@ def main() -> None:
     spark = get_spark("shadowcat-bench")
     specs = registry.load_all()
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = specs[name].fn
-        run_once(spark, fn)  # warm-up (scan cache, codegen)
-        times[name] = round(statistics.median(run_once(spark, fn) for _ in range(3)), 4)
-        print(f"[bench] {name}: {times[name]}s", file=sys.stderr)
+        try:
+            run_once(spark, fn)  # warm-up (scan cache, codegen)
+            times[name] = round(
+                statistics.median(run_once(spark, fn) for _ in range(3)), 4
+            )
+            print(f"[bench] {name}: {times[name]}s", file=sys.stderr)
+        except Exception as exc:  # one broken query must not erase the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"[bench] {name}: ERROR {errors[name]}", file=sys.stderr)
     total = round(sum(times.values()), 4)
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
