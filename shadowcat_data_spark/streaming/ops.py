@@ -615,3 +615,134 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("click_ts") <= F.lit(cutoff)).select(
         "click_id", "purchase_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# T13 — streaming CDC apply: materialized view maintained per micro-batch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t13_streaming_cdc_apply",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_totalprice + 20.0
+  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 1, NULL FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', 1, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 2
+),
+latest AS (
+  SELECT k, op, o_totalprice
+  FROM changes QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+)
+SELECT k AS o_orderkey, o_totalprice FROM (
+  SELECT s.o_orderkey AS k,
+         CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+         c.op
+  FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.k
+  WHERE c.op IS NULL OR c.op = 'U'
+  UNION ALL
+  SELECT k, o_totalprice, op FROM latest WHERE op = 'I'
+)
+""",
+    category="streaming",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m5's CDC merge as a STANDING stream: the changelog arrives in
+    micro-batches (4 files, one per trigger) and ``foreachBatch`` folds
+    each batch into a keyed state table with last-writer-wins BY SEQ —
+    fold(state ∪ batch) is seq-ordered, not arrival-ordered, so the final
+    state is identical under ANY batch split (the property that makes
+    streaming CDC safe to re-shard/replay). Epoch-suffixed state dirs give
+    idempotent per-batch commits (the exactly-once file-sink pattern).
+    Final answer = fold result applied to the snapshot — hash-equal to
+    m5's one-shot batch oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..session import ensure_session, load_table
+
+    ensure_session(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = os.path.join(tempfile.gettempdir(), "shadowcat_stream_cdc", tag)
+    shutil.rmtree(work, ignore_errors=True)
+    chg_dir = os.path.join(work, "changes")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd1 = o.filter(F.col("o_orderkey") % 5 == 1).select(
+        F.col("o_orderkey").alias("k"), F.lit("U").alias("op"),
+        F.lit(1).alias("seq"), (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    upd2 = o.filter((F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 3 == 0)).select(
+        F.col("o_orderkey").alias("k"), F.lit("U").alias("op"),
+        F.lit(2).alias("seq"), (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"), F.lit("D").alias("op"),
+        F.lit(1).alias("seq"), F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 5 == 2).select(
+        (F.col("o_orderkey") + 10000000).alias("k"), F.lit("I").alias("op"),
+        F.lit(1).alias("seq"), F.col("o_totalprice"),
+    )
+    # 4 range-split files → 4 micro-batches with maxFilesPerTrigger=1
+    upd1.unionByName(upd2).unionByName(dels).unionByName(ins).repartitionByRange(
+        4, "k", "seq"
+    ).write.mode("overwrite").parquet(chg_dir)
+
+    from pyspark.sql import Window as W
+
+    def _lww(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("k").orderBy(F.col("seq").desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        prev = [
+            int(d) for d in os.listdir(state_root) if d.isdigit() and int(d) < epoch_id
+        ]
+        cur = batch_df
+        if prev:
+            cur = spark.read.parquet(os.path.join(state_root, str(max(prev)))).unionByName(
+                batch_df
+            )
+        _lww(cur).write.mode("overwrite").parquet(
+            os.path.join(state_root, str(epoch_id))
+        )
+
+    q = (
+        spark.readStream.schema("k long, op string, seq int, o_totalprice double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chg_dir)
+        .writeStream.foreachBatch(fold_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final_epoch = max(int(d) for d in os.listdir(state_root) if d.isdigit())
+    latest = spark.read.parquet(os.path.join(state_root, str(final_epoch))).drop("seq")
+    snap = o.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    merged = snap.alias("s").join(latest.alias("c"), "k", "left")
+    kept = merged.filter(F.col("c.op").isNull() | (F.col("c.op") == "U")).select(
+        "k",
+        F.when(F.col("c.op") == "U", F.col("c.o_totalprice"))
+        .otherwise(F.col("s.o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = latest.filter(F.col("op") == "I").select("k", "o_totalprice")
+    return kept.unionByName(inserts).select(F.col("k").alias("o_orderkey"), "o_totalprice")
