@@ -486,3 +486,49 @@ def catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), "catalog listing missing the managed table"
     back = spark.table(f"{tag}.nation_managed")
     return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+# ---------------------------------------------------------------------------
+# M8 — governed views: row-level + column-level security (Lakeguard pattern)
+# ---------------------------------------------------------------------------
+
+
+def governed_customer_view(spark: SparkSession, sf_dir: str, segment: str) -> DataFrame:
+    """Tenant-scoped secure view over customer: row filter (only the
+    tenant's market segment) + column masking (names redacted to a stable
+    token, balances bucketed to quartiles of their absolute range). The
+    enforcement point is the VIEW DEFINITION — consumers never see the
+    base table, which is how fine-grained access control composes with a
+    shared engine (cf. PAPERS.md: Databricks Lakeguard, SIGMOD 2025). At
+    scale the row filter pushes down to the scan like any predicate."""
+    c = load_table(spark, sf_dir, "customer")
+    masked_name = F.concat(F.lit("cust-"), F.sha2(F.col("c_name"), 256).substr(1, 8))
+    bal_bucket = F.least(
+        F.greatest(F.floor(F.col("c_acctbal") / 2500.0).cast("int"), F.lit(-1)),
+        F.lit(4),
+    )
+    return c.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey",
+        masked_name.alias("masked_name"),
+        bal_bucket.alias("balance_bucket"),
+        "c_mktsegment",
+    )
+
+
+@query(
+    "m8_governed_view",
+    oracle="""
+SELECT c_custkey,
+       concat('cust-', substr(sha256(c_name), 1, 8)) AS masked_name,
+       CAST(LEAST(GREATEST(FLOOR(c_acctbal / 2500.0), -1), 4) AS INTEGER) AS balance_bucket,
+       c_mktsegment
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+""",
+    category="maintenance",
+)
+def governed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILDING tenant's governed view: row-filtered, name-masked,
+    balance-bucketed. sha256 and floor are bit-identical across engines, so
+    even the masking is oracle-checkable."""
+    return governed_customer_view(spark, sf_dir, "BUILDING")
