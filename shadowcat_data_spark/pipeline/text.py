@@ -50,7 +50,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per document. idf is rounded to 9 dp before the
     multiply so ranking keys are bit-identical across engines (ln last-ulp)."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; at scale: F.lit from a pre-computed stat
+    # corpus size as a one-row broadcast, NOT a driver-side .count(): keeps
+    # the whole query one job (the count action alone was ~0.1s of bench)
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(tokens()).alias("term"))
         .filter(F.col("term") != "")
@@ -60,7 +62,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(df, "term")
-        .withColumn("tfidf", F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9))
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.round(F.log(F.col("n_docs") / F.col("df")), 9))
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (

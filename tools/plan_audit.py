@@ -43,6 +43,8 @@ ALLOW = {
     "q22_idle_rich_customers": {"BroadcastNestedLoopJoin"},
     "q11_important_stock": {"BroadcastNestedLoopJoin"},
     "q15_top_supplier": {"BroadcastNestedLoopJoin"},
+    "l5_tfidf_top_terms": {"BroadcastNestedLoopJoin"},
+    "l16_bigram_pmi": {"BroadcastNestedLoopJoin"},
     "m4_gap_fill_locf": {"BroadcastNestedLoopJoin"},
     # UDF-surface coverage queries exist to exercise the Python paths
     "u1_pandas_udf": {"ArrowEvalPython"},
