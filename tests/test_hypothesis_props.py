@@ -47,3 +47,40 @@ def test_redaction_is_idempotent(spark, s):
     once = df.select(redact(F.col("t")).alias("r"))
     twice = once.select(redact(F.col("r")).alias("r"))
     assert once.collect() == twice.collect()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=40),
+    st.integers(min_value=50, max_value=600),
+)
+def test_token_packing_invariants(spark, sizes, budget):
+    """l12's shard id is floor((running_sum-1)/budget) in doc order — i.e.
+    the budget-block containing the doc's LAST token (an oversized doc may
+    skip ids; hypothesis found that with sizes=[51], budget=50 → shard 1).
+    Check the Spark window against a pure-Python fold, plus the overshoot
+    bound: a shard's last token sits within its block and its first doc
+    starts at most first_doc-1 tokens before it, so
+    total - budget <= first_doc - 1 (docs never split)."""
+    from pyspark.sql import Window as W
+
+    rows = [(i, int(s)) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = df.withColumn(
+        "shard", F.floor((F.sum("n_tok").over(w) - 1) / budget).cast("bigint")
+    ).orderBy("doc_id").collect()
+
+    running, expect = 0, []
+    for s in sizes:
+        running += s
+        expect.append((running - 1) // budget)
+    assert [r.shard for r in packed] == expect
+
+    totals: dict[int, int] = {}
+    first_doc: dict[int, int] = {}
+    for r in packed:
+        totals[r.shard] = totals.get(r.shard, 0) + r.n_tok
+        first_doc.setdefault(r.shard, r.n_tok)
+    for s, tot in totals.items():
+        assert tot - budget <= first_doc[s] - 1, (s, tot, budget, first_doc[s])
