@@ -287,3 +287,41 @@ def test_analyze_table_attaches_cbo_stats(spark, tmp_path):
     }
     assert "Statistics" in desc, sorted(desc)
     assert "25 rows" in desc["Statistics"], desc["Statistics"]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling must actually fire when a join key is hot:
+    with the skew thresholds forced low, the executed plan marks the
+    SortMergeJoin with skew=true and splits the oversized partition. This
+    is the runtime half of the skew story (j12's salting is the manual
+    half) — worth pinning because a conf regression would silently turn
+    100 TB hot keys back into stragglers."""
+    skewed = spark.range(0, 500_000).select(
+        F.when(F.col("id") % 100 < 97, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),  # fat rows
+    )
+    dim = spark.range(0, 50_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = skewed.join(dim, "k")
+        # execute through THIS DataFrame's own queryExecution: count()/write
+        # plan separately and would leave this plan isFinalPlan=false
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -168,3 +168,52 @@ def test_available_now_trigger_processes_all_then_stops(spark, tmp_path):
     assert q.awaitTermination(120), "availableNow query did not self-terminate"
     ids = sorted(r.id for r in spark.sql("SELECT id FROM an_test").collect())
     assert ids == [1, 2, 3]
+
+
+def test_rocksdb_state_store_backend(spark, tmp_path):
+    """Stateful streaming on the RocksDB state-store provider — the
+    production backend for large state (HDFS-backed in-memory maps don't
+    survive 100 GB of dedup keys). The provider is a per-query option via
+    the session conf; verify a dedup query runs and dedups on it."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path / "rocks_src"
+        d.mkdir()
+        sdir = str(d)
+        _mk(
+            spark,
+            [(1, "2024-06-01 12:00:00"), (1, "2024-06-01 12:01:00"), (2, "2024-06-01 12:02:00")],
+        ).coalesce(1).write.mode("append").parquet(sdir)
+        stream = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(sdir)
+            .dropDuplicates(["id"])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rocks_test")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # the backend actually in use shows as rocksdb* custom metrics
+            # on the state operator (provider class isn't echoed directly)
+            ops = q.lastProgress["stateOperators"]
+            assert ops and any(
+                k.startswith("rocksdb") for k in ops[0]["customMetrics"]
+            ), ops
+        finally:
+            q.stop()
+        ids = sorted(r.id for r in spark.sql("SELECT id FROM rocks_test").collect())
+        assert ids == [1, 2]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
