@@ -109,3 +109,101 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("i").cast("long").alias("sum_i"),
         F.min("msg").alias("first_msg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom SINK via the Python Data Source writer API
+# ---------------------------------------------------------------------------
+
+if _HAVE_PYDS:
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _JsonlCommit(WriterCommitMessage):
+        def __init__(self, path: str, rows: int):
+            self.path = path
+            self.rows = rows
+
+    class JsonlWriter(DataSourceWriter):
+        """Per-partition writer: each task streams its rows to ONE .jsonl
+        part file and reports it in the commit message — the same
+        task-commit protocol every distributed sink needs (files become
+        visible only if the job commits; a failed task's file is simply
+        never reported)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(part, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _JsonlCommit(part, n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = [
+                {"path": m.path, "rows": m.rows} for m in messages if m is not None
+            ]
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+                json.dump(manifest, fh)
+
+        def abort(self, messages):
+            import os
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+
+    class JsonlSinkDataSource(DataSource):
+        """``df.write.format("jsonlsink").option("path", ...)`` sink."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonlsink"
+
+        def writer(self, schema, overwrite: bool) -> JsonlWriter:
+            return JsonlWriter(self.options)
+
+    def register_jsonl_sink(spark: SparkSession) -> None:
+        spark.dataSource.register(JsonlSinkDataSource)
+
+
+@query(
+    "s13_python_datasink",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    category="sink",
+)
+def python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation through the custom Python sink (per-task part files +
+    job-commit manifest), then read the .jsonl back with an explicit
+    schema. Round-trip equality against the source table proves the sink
+    loses nothing and the commit protocol reported every partition."""
+    if not _HAVE_PYDS:
+        raise NotImplementedError("Python Data Source API requires PySpark 4+")
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    register_jsonl_sink(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "shadowcat_jsonl_sink", tag)
+    shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    n.write.format("jsonlsink").option("path", path).mode("append").save()
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert sum(m["rows"] for m in manifest) == n.count(), "manifest undercounts"
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(os.path.join(path, "part-*.jsonl"))
+    )
