@@ -207,3 +207,95 @@ def python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
         .json(os.path.join(path, "part-*.jsonl"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING source via SimpleDataSourceStreamReader
+# ---------------------------------------------------------------------------
+
+if _HAVE_PYDS:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class RangeLogStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked micro-batch feed: each poll emits one
+        deterministic batch and advances the offset; replay between two
+        committed offsets regenerates identical rows — the property that
+        gives a custom source exactly-once semantics under checkpoint
+        recovery (offsets are durable, data is re-derivable)."""
+
+        def __init__(self, options):
+            self.batches = int(options.get("batches", 5))
+            self.rows = int(options.get("rows_per_batch", 200))
+
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def _rows(self, b: int):
+            return [(b, b * self.rows + i) for i in range(self.rows)]
+
+        def read(self, start):
+            b = int(start["batch"])
+            if b >= self.batches:
+                return (iter([]), start)
+            return (iter(self._rows(b)), {"batch": b + 1})
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for b in range(int(start["batch"]), int(end["batch"])):
+                out.extend(self._rows(b))
+            return iter(out)
+
+    class RangeLogStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "rangelogstream"
+
+        def schema(self) -> str:
+            return "batch int, value bigint"
+
+        def simpleStreamReader(self, schema) -> RangeLogStreamReader:
+            return RangeLogStreamReader(self.options)
+
+    def register_rangelog_stream(spark: SparkSession) -> None:
+        spark.dataSource.register(RangeLogStreamDataSource)
+
+
+@query(
+    "t14_python_stream_source",
+    oracle="""
+SELECT CAST(i // 200 AS INTEGER) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(i) AS BIGINT) AS sum_value
+FROM range(1000) t(i)
+GROUP BY 1
+""",
+    category="streaming",
+)
+def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream from the custom Python source (5 deterministic micro-batches
+    of 200 rows), aggregate per batch in complete mode. The oracle
+    reproduces the feed from ``range()`` — the source delivered every
+    offset exactly once."""
+    if not _HAVE_PYDS:
+        raise NotImplementedError("Python Data Source API requires PySpark 4+")
+    register_rangelog_stream(spark)
+    stream = (
+        spark.readStream.format("rangelogstream")
+        .option("batches", "5")
+        .option("rows_per_batch", "200")
+        .load()
+    )
+    agg = stream.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").cast("long").alias("sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t14_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("t14_out")
