@@ -176,6 +176,155 @@ def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L18 — target-mixture domain resampling (exact quotas, integer arithmetic)
+# ---------------------------------------------------------------------------
+
+# target corpus mixture by language, in percent (sums to 100)
+_MIX_WEIGHTS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+
+
+@query(
+    "l18_mixture_resample",
+    oracle=f"""
+WITH w(lang, wt) AS (VALUES {", ".join(f"('{l}', {p})" for l, p in _MIX_WEIGHTS.items())}),
+counts AS (
+  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+), budget AS (
+  SELECT MIN(n_l * 100 // wt) AS b FROM counts JOIN w USING (lang)
+), quota AS (
+  SELECT lang, b * wt // 100 AS k_l FROM w, budget
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) JOIN quota USING (lang)
+WHERE rk <= k_l
+""",
+    category="pipeline-sampling",
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target language mixture (40% en, 15%
+    each de/es/fr/zh) by downsampling every language to an exact integer
+    quota: budget B = min over langs of n_l*100 DIV w_l (the largest total
+    honoring every share), quota k_l = B*w_l DIV 100, rows chosen by
+    md5(doc_id) rank — deterministic, integer-only, re-run stable. The
+    quota table is 5 rows → broadcast; the only wide shuffle is the
+    per-lang rank window, which at 100 TB becomes a per-lang sort — or the
+    md5 threshold variant (l11b) when approximate shares suffice."""
+    d = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(list(_MIX_WEIGHTS.items()), "lang string, wt int")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    budget = (
+        counts.join(w, "lang")
+        .select(F.expr("n_l * 100 div wt").alias("cap"))
+        .agg(F.min("cap").alias("b"))
+    )
+    quota = w.join(F.broadcast(budget)).select(
+        "lang", F.expr("b * wt div 100").alias("k_l")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", rk.alias("rk"))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("k_l"))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L19 — deterministic per-epoch training shuffle (shard + position)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l19_epoch_shuffle",
+    oracle="""
+SELECT epoch, shard, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                             CAST(d.doc_id AS VARCHAR)), 1, 1))::INTEGER AS shard
+  FROM documents d, (SELECT unnest(range(0, 3)) AS epoch) e
+)
+""",
+    category="pipeline-sampling",
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-loader epoch shuffling as a query: for each of 3 epochs, every
+    doc gets a shard (first md5 nibble of epoch:doc_id → 16 shards) and a
+    position within the shard (rank of the remaining digest). Each epoch
+    is an independent uniform permutation, reproducible on any engine and
+    any cluster size — the property a resumable training run needs. At
+    scale: one narrow projection fans out ×epochs, then one window per
+    (epoch, shard) — 16×epochs balanced sort groups, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("epoch")
+    ).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    e = e.withColumn("shard", F.conv(F.substring("h", 1, 1), 16, 10).cast("int"))
+    pos = F.row_number().over(W.partitionBy("epoch", "shard").orderBy("h", "doc_id"))
+    return e.select("epoch", "shard", "doc_id", pos.cast("long").alias("pos"))
+
+
+# ---------------------------------------------------------------------------
+# L20 — weighted sampling without replacement (exponential-key / A-ES)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l20_weighted_sample",
+    oracle="""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::INTEGER + 1)
+                   / 16777217.0) / n_chars, 9) AS k
+  FROM documents
+)
+ORDER BY k, doc_id
+LIMIT 50
+""",
+    category="pipeline-sampling",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 50 docs without replacement (Efraimidis–
+    Spirakis exponential keys): key = -ln(u)/w with u a deterministic
+    md5-derived uniform and w = n_chars; the 50 smallest keys win.
+    P(doc in sample) scales with its weight, yet the draw is a pure
+    function of doc_id — reproducible across engines, re-runs, and
+    cluster sizes. ln is rounded to 9 dp before ranking (last-ulp), ties
+    break on doc_id. At scale this is a TakeOrdered top-k, no sort of the
+    full corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(16777217.0)
+    k = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), k.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L13 — embedding int8 quantization (shrinking vectors before ANN / storage)
 # ---------------------------------------------------------------------------
 

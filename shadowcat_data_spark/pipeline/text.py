@@ -412,6 +412,161 @@ def contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L10b — n-gram decontamination (shingle overlap against an eval probe set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l10b_ngram_decontaminate",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ts) - 5 + 2, 2)),
+                                 i -> array_to_string(ts[i:i+4], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+  ) WHERE s <> ''
+), probe AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0
+), doc_sh AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id
+), hits AS (
+  SELECT sh.doc_id, COUNT(*) AS n_hits
+  FROM sh JOIN probe USING (s)
+  WHERE sh.doc_id % 97 <> 0
+  GROUP BY sh.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_shingles AS hit_ratio
+FROM doc_sh LEFT JOIN hits USING (doc_id)
+WHERE COALESCE(n_hits, 0) > 0
+""",
+    category="pipeline-text",
+)
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination by k-token-shingle overlap (the 13-gram
+    scan of GPT-3-style pipelines, here k=5 for the short fixture docs):
+    every 97th doc stands in for the benchmark; any other doc sharing ≥1
+    shingle is flagged with its hit count and contaminated-shingle ratio.
+    The probe shingle set is DISTINCT and tiny relative to the corpus →
+    broadcast inner join per shingle, then one groupBy(doc_id); no
+    all-pairs product at any scale."""
+    from .dedup import distinct_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = distinct_shingles(d, "doc_id", "text", k=5)
+    probe = sh.filter(F.col("doc_id") % 97 == 0).select("tok").distinct()
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    n_sh = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(probe), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_sh.join(hits, "doc_id")
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            (F.col("n_hits").cast("double") / F.col("n_shingles")).alias("hit_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L17 — repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l17_repetition_stats",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''
+  GROUP BY doc_id, t
+), tok AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(tf) AS BIGINT) AS top_tf
+  FROM tf GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT w1 || ' ' || w2) AS BIGINT) AS n_distinct_bigrams
+  FROM (
+    SELECT doc_id, pz[1] AS w1, pz[2] AS w2 FROM (
+      SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS pz
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))
+  ) WHERE w1 <> '' AND w2 <> ''
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, top_tf,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_ratio,
+       CAST(top_tf AS DOUBLE) / n_tokens AS top_token_frac,
+       CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / NULLIF(n_bigrams, 0)
+         AS dup_bigram_ratio
+FROM tok LEFT JOIN bi USING (doc_id)
+""",
+    category="pipeline-text",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText quality
+    rules): duplicate-token ratio, most-frequent-token fraction, and
+    duplicate-bigram ratio. Highly repetitive docs (boilerplate, keyword
+    stuffing, generation loops) score high and get filtered upstream of
+    training. Two explode→agg passes (unigram, bigram) joined on doc_id —
+    both shuffles key on doc_id, so at 100 TB this is two well-spread
+    aggregations, no wide joins. All ratios are int/int doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens()
+    tf = (
+        d.select("doc_id", F.explode(ts).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tok = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("tf").cast("long").alias("top_tf"),
+    )
+    pairs = F.arrays_zip(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))).alias("w1"),
+        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))).alias("w2"),
+    )
+    bi = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.countDistinct(F.concat_ws(" ", "w1", "w2"))
+            .cast("long")
+            .alias("n_distinct_bigrams"),
+        )
+    )
+    return tok.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_tf",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_ratio"
+        ),
+        (F.col("top_tf").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        (
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.nullif(F.col("n_bigrams"), F.lit(0))
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L16 — collocation mining: PMI-scored bigrams over the corpus
 # ---------------------------------------------------------------------------
 
