@@ -268,3 +268,56 @@ def test_delete_propagation_leaves_no_orphans(spark):
         o.join(del_cust, o["o_custkey"] == del_cust["c_custkey"], "left_semi").count()
     )
     assert orphan == out["orders"][0]
+
+
+def test_mixture_resample_hits_exact_quotas(spark):
+    """l18: kept counts per lang must equal the integer quotas derived from
+    the target mixture — and never exceed the lang's available docs."""
+    from shadowcat_data_spark.pipeline.sampling import _MIX_WEIGHTS, mixture_resample
+
+    d = load_table(spark, SF_DIR, "documents")
+    avail = {r.lang: r.n for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    budget = min(avail[l] * 100 // w for l, w in _MIX_WEIGHTS.items())
+    kept = (
+        mixture_resample(spark, SF_DIR)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    kept = {r.lang: r.n for r in kept}
+    for lang, w in _MIX_WEIGHTS.items():
+        quota = budget * w // 100
+        assert kept.get(lang, 0) == quota, (lang, kept.get(lang), quota)
+        assert quota <= avail[lang]
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
+    """l19: each epoch covers every doc exactly once; within a shard the
+    positions are contiguous 1..n; different epochs give different orders."""
+    from shadowcat_data_spark.pipeline.sampling import epoch_shuffle
+
+    out = epoch_shuffle(spark, SF_DIR).toPandas()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    orders = {}
+    for epoch, g in out.groupby("epoch"):
+        assert sorted(g.doc_id) == sorted(set(g.doc_id)) and len(g) == n_docs
+        for _, s in g.groupby("shard"):
+            assert sorted(s.pos) == list(range(1, len(s) + 1))
+        orders[epoch] = list(g.sort_values(["shard", "pos"]).doc_id)
+    assert orders[0] != orders[1] != orders[2]
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """l20: the draw is deterministic, size-bounded, and the kept docs'
+    mean weight must exceed the corpus mean (weights = n_chars bias the
+    exponential keys toward long docs)."""
+    from shadowcat_data_spark.pipeline.sampling import weighted_sample
+
+    a = weighted_sample(spark, SF_DIR).toPandas().sort_values("doc_id")
+    b = weighted_sample(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert list(a.doc_id) == list(b.doc_id)
+    assert len(a) == min(50, load_table(spark, SF_DIR, "documents").count())
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert a.n_chars.mean() > corpus_mean
