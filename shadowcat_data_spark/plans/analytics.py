@@ -690,3 +690,47 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory assembly — per-user ordered event sequence as one nested row
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trajectory_assembly",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+       list(struct_pack(ts := CAST(ts AS TIMESTAMP), event_id := event_id,
+                        event_type := event_type, value := value)
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS steps
+FROM events GROUP BY user_id
+""",
+    category="plan",
+)
+def trajectory_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble each user's full event stream into ONE ordered
+    array<struct> row — the exact shape an agent-trajectory / session-replay
+    training pipeline feeds a sequence model. ``collect_list`` gathers in
+    arbitrary (partition) order, so the list is made deterministic with
+    ``array_sort``, which orders structs lexicographically by field — the
+    struct leads with the unique (ts, event_id) pair, making the sort a
+    total order. One shuffle on user_id; per-user payload is bounded by a
+    user's own event count (cap with a rank-filter upstream if a bot user
+    could exceed executor memory at 100 TB)."""
+    e = load_table(spark, sf_dir, "events")
+    step = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").alias("value"),
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.array_sort(F.collect_list(step)).alias("steps"),
+    )
