@@ -734,3 +734,84 @@ def trajectory_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.array_sort(F.collect_list(step)).alias("steps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank — fixed-iteration, integer-arithmetic (iterative algorithm demo)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    its = []
+    for k in range(iters):
+        its.append(f"""it{k + 1} AS (
+  SELECT n.node, CAST(150000 + COALESCE(c.contrib, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM((85 * r.r) // (100 * d.outdeg)) AS contrib
+    FROM edges e JOIN deg d USING (src) JOIN it{k} r ON r.node = e.src
+    GROUP BY e.dst
+  ) c USING (node)
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS s,
+                  'C' || CAST(o.o_custkey AS VARCHAR) AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), it0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+), {", ".join(its)}
+SELECT node, r FROM it{iters}
+"""
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(_PR_ITERS), category="plan")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the bipartite
+    supplier↔customer trading graph derived from lineitem⋈orders — the
+    iterative-algorithm pattern as a DataFrame loop. All arithmetic is
+    scaled-integer (rank ×1e6, per-edge contribution ``(85*r) div
+    (100*outdeg)``), so partial-sum merge order can't flip a single bit:
+    the same query is exact on any cluster AND oracle-checkable, unlike a
+    floating-point PageRank. Per iteration: one broadcast-sized join to
+    ranks + one groupBy(dst) shuffle; edges/deg are computed once and
+    reused. On a cluster, cache edges+deg and cut lineage each iteration
+    (checkpoint) exactly as pipeline.dedup.connected_components does."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(85 * r) div (100 * outdeg)")).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(150000) + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks
