@@ -431,3 +431,33 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("merged").alias("approx_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 — approximate frequent items (ApproxTopK sketch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a13_approx_top_k",
+    oracle="""
+SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS count
+FROM orders GROUP BY o_orderpriority
+""",
+    category="aggregate",
+)
+def approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Spark 4 ``approx_top_k``, a DataSketches
+    ItemsSketch) over order priority, exploded to (item, count) rows. With
+    maxItemsTracked ≥ the distinct count the sketch degrades gracefully to
+    EXACT counts — which is what makes this oracle-checkable; the
+    high-cardinality regime (vocab ≫ tracked) is covered by a property
+    test against the exact top-k. At 100 TB the sketch is the point:
+    KB-sized mergeable state per partition instead of a full groupBy of a
+    skewed key domain."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.agg(F.expr("approx_top_k(o_orderpriority, 5, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("count"))
+    )

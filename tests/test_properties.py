@@ -321,3 +321,27 @@ def test_weighted_sample_favors_heavy_docs(spark):
         load_table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
     )
     assert a.n_chars.mean() > corpus_mean
+
+
+def test_approx_top_k_matches_exact_on_high_cardinality(spark):
+    """a13's sketch, given headroom (maxItemsTracked ≥ vocabulary), must
+    reproduce the exact top-10 term counts of the token stream; items
+    strictly above the 10th count must all be present."""
+    d = load_table(spark, SF_DIR, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("t")).filter(F.col("t") != "")
+    approx = (
+        toks.agg(F.expr("approx_top_k(t, 10, 1000000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select("e.item", "e.count")
+        .toPandas()
+    )
+    exact = (
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), "t")
+        .limit(10)
+        .toPandas()
+    )
+    assert sorted(approx["count"]) == sorted(exact["count"])
+    boundary = exact["count"].min()
+    must_have = set(exact[exact["count"] > boundary].t)
+    assert must_have <= set(approx["item"])
