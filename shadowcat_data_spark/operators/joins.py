@@ -607,3 +607,84 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(vol).cast("double") / 1000000.0).alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J13 — interval-overlap join (interval × interval, bucket-expansion rewrite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j13_interval_overlap",
+    oracle="""
+WITH L AS (
+  SELECT o_orderkey AS l_id, CAST(o_orderdate AS DATE) AS l_lo,
+         CAST(o_orderdate AS DATE) + 7 AS l_hi
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+), R AS (
+  SELECT o_orderkey AS r_id, CAST(o_orderdate AS DATE) AS r_lo,
+         CAST(o_orderdate AS DATE) + 7 AS r_hi
+  FROM orders
+  WHERE o_orderpriority = '5-LOW'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+)
+SELECT l_id, r_id,
+       CAST(date_diff('day', GREATEST(l_lo, r_lo), LEAST(l_hi, r_hi)) AS BIGINT)
+         AS overlap_days
+FROM L JOIN R ON l_lo < r_hi AND r_lo < l_hi
+""",
+    category="join",
+)
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (urgent-order activity windows vs
+    low-priority windows, 7-day half-open intervals): the join predicate
+    ``l_lo < r_hi AND r_lo < l_hi`` has no equi key, so a naive plan is a
+    BNLJ cross product. The rewrite: explode each interval to the ISO
+    weeks it covers, equi-join on week (hash join, shuffles only matching
+    weeks), keep exactly the FIRST shared week (``wk = week(greatest(l_lo,
+    r_lo))`` — a dedup-free emit condition), then apply the residual
+    overlap predicate. Scales as Σ per-bucket products like j8's band
+    join; bucket width tunes fan-out vs selectivity. The oracle states the
+    same join in its natural theta form."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def windows(prio: str, lid: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderpriority") == prio)
+                & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-03-01").cast("timestamp"))
+            )
+            .select(
+                F.col("o_orderkey").alias(lid),
+                F.col("o_orderdate").cast("date").alias(f"{lid[0]}_lo"),
+                F.date_add(F.col("o_orderdate").cast("date"), 7).alias(f"{lid[0]}_hi"),
+            )
+        )
+
+    def week(c) -> Column:
+        return F.floor(F.datediff(c, F.lit("1970-01-01").cast("date")) / 7)
+
+    L = windows("1-URGENT", "l_id").withColumn(
+        "wk", F.explode(F.sequence(week(F.col("l_lo")), week(F.col("l_hi"))))
+    )
+    R = windows("5-LOW", "r_id").withColumn(
+        "wk", F.explode(F.sequence(week(F.col("r_lo")), week(F.col("r_hi"))))
+    )
+    return (
+        L.join(R, "wk")
+        .filter(
+            (F.col("l_lo") < F.col("r_hi"))
+            & (F.col("r_lo") < F.col("l_hi"))
+            & (F.col("wk") == week(F.greatest("l_lo", "r_lo")))
+        )
+        .select(
+            "l_id",
+            "r_id",
+            F.datediff(F.least("l_hi", "r_hi"), F.greatest("l_lo", "r_lo"))
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )
