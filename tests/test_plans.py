@@ -325,3 +325,22 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_topk_per_group_pushes_window_group_limit(spark):
+    """w2's rank-filter must plan with Partial+Final WindowGroupLimit —
+    the map-side top-3-per-group pruning that makes the pattern scale;
+    without it every row shuffles into the window sort."""
+    from shadowcat_data_spark.operators.windows import topk_per_group
+
+    plan = _plan(topk_per_group(spark, SF_DIR))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_interval_overlap_is_equi_join_not_bnlj(spark):
+    """j13's week-bucket expansion must plan as an equi join on wk — a
+    NestedLoop plan means the theta predicate leaked into the join."""
+    from shadowcat_data_spark.operators.joins import interval_overlap
+
+    plan = _plan(interval_overlap(spark, SF_DIR))
+    assert "NestedLoop" not in plan
