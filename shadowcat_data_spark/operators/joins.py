@@ -614,6 +614,39 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def interval_overlap_join(
+    L: DataFrame,
+    R: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Equi-join rewrite of ``L ⋈ R ON l_lo < r_hi AND r_lo < l_hi``
+    (half-open date intervals). Each interval explodes to the day-buckets
+    it covers, the join runs on bucket, and a pair is emitted only in the
+    FIRST bucket both share (``wk = bucket(greatest(lo))``) so no distinct
+    pass is needed. Output: all L columns then all R columns. Fan-out per
+    row is interval_len/bucket_days + 1 — pick the bucket near the typical
+    interval length."""
+
+    def bucket(c: Column) -> Column:
+        return F.floor(F.datediff(c, F.lit("1970-01-01").cast("date")) / bucket_days)
+
+    Lw = L.withColumn("__wk", F.explode(F.sequence(bucket(F.col(l_lo)), bucket(F.col(l_hi)))))
+    Rw = R.withColumn("__wk", F.explode(F.sequence(bucket(F.col(r_lo)), bucket(F.col(r_hi)))))
+    return (
+        Lw.join(Rw, "__wk")
+        .filter(
+            (F.col(l_lo) < F.col(r_hi))
+            & (F.col(r_lo) < F.col(l_hi))
+            & (F.col("__wk") == bucket(F.greatest(l_lo, r_lo)))
+        )
+        .select(*L.columns, *R.columns)
+    )
+
+
 @query(
     "j13_interval_overlap",
     oracle="""
@@ -664,27 +697,14 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def week(c) -> Column:
-        return F.floor(F.datediff(c, F.lit("1970-01-01").cast("date")) / 7)
-
-    L = windows("1-URGENT", "l_id").withColumn(
-        "wk", F.explode(F.sequence(week(F.col("l_lo")), week(F.col("l_hi"))))
+    joined = interval_overlap_join(
+        windows("1-URGENT", "l_id"), windows("5-LOW", "r_id"),
+        "l_lo", "l_hi", "r_lo", "r_hi", bucket_days=7,
     )
-    R = windows("5-LOW", "r_id").withColumn(
-        "wk", F.explode(F.sequence(week(F.col("r_lo")), week(F.col("r_hi"))))
-    )
-    return (
-        L.join(R, "wk")
-        .filter(
-            (F.col("l_lo") < F.col("r_hi"))
-            & (F.col("r_lo") < F.col("l_hi"))
-            & (F.col("wk") == week(F.greatest("l_lo", "r_lo")))
-        )
-        .select(
-            "l_id",
-            "r_id",
-            F.datediff(F.least("l_hi", "r_hi"), F.greatest("l_lo", "r_lo"))
-            .cast("long")
-            .alias("overlap_days"),
-        )
+    return joined.select(
+        "l_id",
+        "r_id",
+        F.datediff(F.least("l_hi", "r_hi"), F.greatest("l_lo", "r_lo"))
+        .cast("long")
+        .alias("overlap_days"),
     )

@@ -84,3 +84,40 @@ def test_token_packing_invariants(spark, sizes, budget):
         first_doc.setdefault(r.shard, r.n_tok)
     for s, tot in totals.items():
         assert tot - budget <= first_doc[s] - 1, (s, tot, budget, first_doc[s])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 60), st.integers(1, 20)), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 60), st.integers(1, 20)), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=14),
+)
+def test_interval_overlap_rewrite_equals_naive_theta(spark, ls, rs, bucket_days):
+    """j13's bucket-expansion rewrite must emit exactly the pairs of the
+    naive cross-join theta filter, each exactly once, for ANY intervals
+    and ANY bucket width (the first-shared-bucket condition is what
+    hypothesis is hunting here)."""
+    from shadowcat_data_spark.operators.joins import interval_overlap_join
+
+    def frame(rows, pre):
+        return spark.createDataFrame(
+            [(i, off, off + ln) for i, (off, ln) in enumerate(rows)],
+            f"{pre}_id int, {pre}_o int, {pre}_e int",
+        ).select(
+            f"{pre}_id",
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col(f"{pre}_o")).alias(f"{pre}_lo"),
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col(f"{pre}_e")).alias(f"{pre}_hi"),
+        )
+
+    L, R = frame(ls, "l"), frame(rs, "r")
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(L, R, "l_lo", "l_hi", "r_lo", "r_hi", bucket_days).collect()
+    )
+    naive = sorted(
+        (r.l_id, r.r_id)
+        for r in L.crossJoin(R)
+        .filter((F.col("l_lo") < F.col("r_hi")) & (F.col("r_lo") < F.col("l_hi")))
+        .collect()
+    )
+    assert got == naive
