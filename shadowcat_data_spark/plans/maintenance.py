@@ -532,3 +532,78 @@ def governed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance-bucketed. sha256 and floor are bit-identical across engines, so
     even the masking is oracle-checkable."""
     return governed_customer_view(spark, sf_dir, "BUILDING")
+
+
+# ---------------------------------------------------------------------------
+# M9 — declarative data-quality expectation suite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m9_expectation_suite",
+    oracle="""
+SELECT 'customer.c_custkey.not_null' AS rule_id,
+       CAST(COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT) AS violations
+FROM customer
+UNION ALL
+SELECT 'customer.c_custkey.unique',
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'customer.c_acctbal.in_range',
+       CAST(COUNT(CASE WHEN c_acctbal NOT BETWEEN -1000.0 AND 10000.0 THEN 1 END)
+            AS BIGINT) FROM customer
+UNION ALL
+SELECT 'customer.c_mktsegment.in_set',
+       CAST(COUNT(CASE WHEN c_mktsegment NOT IN
+            ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+            THEN 1 END) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'orders.o_totalprice.positive',
+       CAST(COUNT(CASE WHEN o_totalprice <= 0.0 THEN 1 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders.o_custkey.fk_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+""",
+    category="maintenance",
+)
+def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (the dbt-test / Great-Expectations
+    job shape): each rule reduces to ONE violation count — null check,
+    uniqueness, numeric range, value-set membership, FK integrity — and
+    the suite is a union of tiny aggregates. Catalyst collapses the
+    per-table rules into shared scans; the FK rule is an anti join, never
+    a correlated probe. The (rule_id, violations) relation is the contract
+    a pipeline gate consumes: non-zero rows block the publish step. At
+    100 TB every rule is a scan-local partial aggregate except the anti
+    join, which shuffles only keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+    def rule(df: DataFrame, rule_id: str, violation) -> DataFrame:
+        return df.agg(
+            F.count(F.when(violation, 1)).cast("long").alias("violations")
+        ).select(F.lit(rule_id).alias("rule_id"), "violations")
+
+    unique = c.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long").alias("violations")
+    ).select(F.lit("customer.c_custkey.unique").alias("rule_id"), "violations")
+    orphans = (
+        o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("orders.o_custkey.fk_customer").alias("rule_id"), "violations")
+    )
+    return (
+        rule(c, "customer.c_custkey.not_null", F.col("c_custkey").isNull())
+        .unionByName(unique)
+        .unionByName(
+            rule(c, "customer.c_acctbal.in_range", ~F.col("c_acctbal").between(-1000.0, 10000.0))
+        )
+        .unionByName(
+            rule(c, "customer.c_mktsegment.in_set", ~F.col("c_mktsegment").isin(segs))
+        )
+        .unionByName(rule(o, "orders.o_totalprice.positive", F.col("o_totalprice") <= 0.0))
+        .unionByName(orphans)
+    )
