@@ -8,9 +8,10 @@ Design notes (scale-first):
   AQE coalesces from a higher initial number, so we only pin it for local.
 - Session timezone pinned UTC: parquet fixtures are UTC-naive and the DuckDB
   oracle is UTC-naive (pyspark_guide.md:207-209).
-- ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-  natively; we read nanos-as-long and truncate to microseconds, which matches
-  DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation exactly (verified).
+- ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) (which Spark 4
+  refuses to read natively — read nanos-as-long, truncate to µs) or plain
+  TIMESTAMP(MICROS); ``load_table`` sniffs the read dtype and normalizes both
+  to session-TZ TimestampType.
 """
 
 from __future__ import annotations
@@ -94,10 +95,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanos-as-long → microsecond TimestampType. Integer DIV avoids the
-        # double-precision loss of ns/1000.0 at 1.7e18 magnitudes; truncation
-        # (not rounding) matches DuckDB CAST(ts AS TIMESTAMP).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Fixture generators have shipped events.ts as either TIMESTAMP(NANOS)
+        # (read nanos-as-long, truncate to µs — matches DuckDB CAST truncation)
+        # or plain TIMESTAMP(MICROS) (read as NTZ under inferTimestampNTZ).
+        # Normalize both to session-TZ TimestampType so downstream window /
+        # watermark / oracle comparisons see one type regardless of generator.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # Integer DIV avoids double-precision loss of ns/1000.0 at 1.7e18.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
