@@ -43,6 +43,10 @@ _DYNAMIC_CONFS = {
     # events.parquet carries TIMESTAMP(NANOS,false); without this Spark 4
     # raises PARQUET_TYPE_ILLEGAL on read.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin the NTZ inference so the load_table/events_stream dtype sniff sees
+    # a deterministic type for TIMESTAMP(MICROS) fixtures regardless of the
+    # owning session's defaults.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -100,11 +104,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # or plain TIMESTAMP(MICROS) (read as NTZ under inferTimestampNTZ).
         # Normalize both to session-TZ TimestampType so downstream window /
         # watermark / oracle comparisons see one type regardless of generator.
-        ts_type = dict(df.dtypes)["ts"]
+        ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             # Integer DIV avoids double-precision loss of ns/1000.0 at 1.7e18.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif ts_type.startswith("timestamp_ntz"):
+        elif ts_type is not None and ts_type.startswith("timestamp_ntz"):
+            # NTZ→TZ cast preserves the wall-time only under a UTC session TZ;
+            # ensure_session sets it best-effort, so verify before casting.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    f"events.ts is TIMESTAMP_NTZ but session timeZone={tz!r}; "
+                    "set spark.sql.session.timeZone=UTC or the cast shifts wall-times"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -32,22 +32,45 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..registry import query
 from ..session import ensure_session
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+# Fixture generators have shipped events.ts as TIMESTAMP(NANOS) (readable
+# only as long under legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS) (read
+# as NTZ under inferTimestampNTZ). A stream needs its schema declared up
+# front, so sniff the footer once per sf_dir with a batch read and declare
+# the matching type — keeping the stream an exact twin of load_table().
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
+def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
+    kind = _EVENTS_TS_KIND.get(sf_dir)
+    if kind is None:
+        dtypes = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+        kind = dtypes.get("ts", "timestamp")
+        _EVENTS_TS_KIND[sf_dir] = kind
+    return kind
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events parquet (explicit schema — required for
-    streaming; ts arrives as raw nanos → truncate to µs like the batch path)."""
+    """File-stream over the events parquet. The declared schema mirrors the
+    sniffed batch dtype (see ``session.load_table``) so streaming windows /
+    watermarks see identical timestamps to the batch twin."""
     ensure_session(spark)
+    ts_kind = _events_ts_kind(spark, sf_dir)
+    ts_decl = "bigint" if ts_kind == "bigint" else ts_kind
+    schema = (
+        f"event_id long, ts {ts_decl}, user_id long, event_type string, "
+        "value double, props string"
+    )
     # file streams need a directory; glob-filter down to the events file
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_kind == "bigint":  # raw nanos → truncate to µs (integer DIV: no fp loss)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_kind.startswith("timestamp_ntz"):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
