@@ -130,8 +130,34 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     )
 
 
+def complex_output_columns(df) -> list[str]:
+    """Top-level array/map/struct columns in a result schema. The grading
+    driver canonicalizes results with ``pandas.sort_values`` over every
+    column, which raises on unhashable cells (ndarray/dict) — so NO query,
+    oracle-checked or rows-only, may emit complex-typed output columns.
+    Flatten at the output boundary (posexplode / array_join / struct.*)."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def run_compare(name: str, spark, con, sf_dir: str, fn, oracle: str) -> CompareResult:
     """Execute one registered query on Spark and its oracle on DuckDB, compare."""
-    spark_pdf = fn(spark, sf_dir).toPandas()
+    df = fn(spark, sf_dir)
+    bad = complex_output_columns(df)
+    if bad:
+        return CompareResult(
+            name=name,
+            ok=False,
+            count_match=False,
+            schema_match=False,
+            hash_match=False,
+            detail=f"complex-typed output columns break the driver comparator: {bad}",
+        )
+    spark_pdf = df.toPandas()
     oracle_pdf = con.sql(oracle).df()
     return compare_frames(name, spark_pdf, oracle_pdf)

@@ -230,8 +230,8 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        CAST(len(embedding) AS INTEGER) AS n_dims,
        embedding[1] AS head_val,
-       embedding[1:3] AS head3,
-       list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0) AS head3_doubled,
+       ((0.0 + CAST(embedding[1] AS DOUBLE)) + CAST(embedding[2] AS DOUBLE)) + CAST(embedding[3] AS DOUBLE) AS head3_sum,
+       CAST(embedding[2] AS DOUBLE) * 2.0 AS second_doubled,
        list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_sq,
        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
 FROM embeddings
@@ -240,17 +240,22 @@ FROM embeddings
 )
 def array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/element_at/slice + transform/filter/aggregate lambdas over the
-    multimodal array<float> column (all JVM-side; exact vs oracle)."""
+    multimodal array<float> column (all JVM-side; exact vs oracle). Array
+    intermediates are reduced to scalars for the output — the grading
+    comparator canonicalizes with pandas and cannot sort array cells. The
+    fold is a fixed left-to-right order, so double sums match the oracle's
+    explicit parenthesization bit-for-bit."""
     e = load_table(spark, sf_dir, "embeddings")
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head3_d = F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
         F.element_at("embedding", 1).alias("head_val"),
-        F.slice("embedding", 1, 3).alias("head3"),
-        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double") * 2.0).alias(
-            "head3_doubled"
-        ),
+        F.aggregate(head3_d, F.lit(0.0), lambda acc, x: acc + x).alias("head3_sum"),
+        F.element_at(
+            F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double") * 2.0), 2
+        ).alias("second_doubled"),
         F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x).alias("norm_sq"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
     )
@@ -265,24 +270,28 @@ def array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f8_map_funcs",
     oracle="""
 SELECT vec_id,
-       map_keys(MAP {'label': label, 'half': label // 2}) AS mkeys,
-       map_values(MAP {'label': label, 'half': label // 2}) AS mvals,
+       array_to_string(map_keys(MAP {'label': label, 'half': label // 2}), ',') AS mkeys,
+       array_to_string(map_values(MAP {'label': label, 'half': label // 2}), ',') AS mvals,
        MAP {'label': label, 'half': label // 2}['label'][1] AS label_val
 FROM embeddings
 """,
     category="function",
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction / keys / values / element access (map columns stay
-    out of the output schema — engines disagree on map cell encoding)."""
+    """Map construction / keys / values / element access. Neither map nor
+    array cells survive the grading comparator's pandas canonicalization, so
+    keys/values are emitted as ','-joined strings (insertion order — both
+    engines preserve map literal order)."""
     e = load_table(spark, sf_dir, "embeddings")
     m = F.create_map(
         F.lit("label"), F.col("label"), F.lit("half"), (F.col("label") / 2).cast("int")
     )
     return e.select(
         "vec_id",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.transform(F.map_values(m), lambda v: v.cast("string")), ",").alias(
+            "mvals"
+        ),
         F.element_at(m, "label").alias("label_val"),
     )
 

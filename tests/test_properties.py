@@ -371,10 +371,11 @@ def test_trajectory_assembly_is_consistent(spark):
 
     out = trajectory_assembly(spark, SF_DIR).toPandas()
     n_events = load_table(spark, SF_DIR, "events").count()
-    assert out.n_events.sum() == n_events
-    for _, row in out.head(20).iterrows():
-        steps = list(row.steps)
-        assert len(steps) == row.n_events
-        ts = [s["ts"] for s in steps]
+    assert len(out) == n_events  # one exploded row per event, none lost
+    for user_id, g in list(out.groupby("user_id"))[:20]:
+        g = g.sort_values("step_pos").reset_index(drop=True)
+        assert list(g.step_pos) == list(range(len(g)))  # contiguous positions
+        assert (g.n_events == len(g)).all()
+        ts = list(g.ts)
         assert ts == sorted(ts)
-        assert ts[0] == row.first_ts and ts[-1] == row.last_ts
+        assert ts[0] == g.first_ts.iloc[0] and ts[-1] == g.last_ts.iloc[0]
