@@ -471,3 +471,67 @@ def approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A14 — linear-regression aggregates (regr_* family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a14_regression_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit of extendedprice on quantity via the regr_* family
+    (co-moment accumulators: partial-aggregable, single pass, no shuffle
+    beyond the final groupBy). Rounded to 6dp — co-moments are doubles and
+    partial-merge order varies with partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16 — ordered string aggregation (LISTAGG WITHIN GROUP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a16_listagg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, '|' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation GROUP BY n_regionkey
+""",
+    category="aggregate",
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ANSI ordered string
+    aggregation (Spark 4). The WITHIN GROUP ordering is what makes the
+    result deterministic under any partitioning; an unordered listagg is
+    partition-order-dependent and would never hash-match."""
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("a16_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM a16_nation GROUP BY n_regionkey
+        """
+    )

@@ -708,3 +708,86 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J14 — LATERAL correlated subquery join (top-N per row)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j14_lateral_join",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+    category="join",
+)
+def lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by price.
+    Catalyst decorrelates this into a join + per-key window rank (see
+    DomainJoin in the analyzed plan) — the same physical shape as the W2
+    rewrite, but declared in ANSI form. Deterministic via the unique
+    o_orderkey tiebreaker."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("j14_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("j14_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM j14_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM j14_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# J15 — Bloom-style pre-filtered join (coarse-bucket semi join before shuffle)
+# ---------------------------------------------------------------------------
+
+_J15_BUCKETS = 8192
+
+
+@query(
+    "j15_bloom_prefilter_join",
+    oracle="""
+SELECT l.l_orderkey, l.l_partkey, p.p_brand,
+       CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#23'
+""",
+    category="join",
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈selective-dim with an explicit Bloom-style pre-filter: the
+    filtered dim's key set is collapsed to coarse hash buckets (a 1-hash
+    Bloom filter with 8192 cells), broadcast, and semi-joined against the
+    fact BEFORE the exact join. False positives are removed by the exact
+    join; the result is identical to the plain join (the oracle). At 100 TB
+    the bucket semi-join prunes most fact rows before the wide shuffle —
+    the manual twin of Spark's runtime bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), kept explicit so the
+    plan shape is inspectable and engine-version-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    bucket_of = lambda c: F.pmod(F.xxhash64(c), F.lit(_J15_BUCKETS))  # noqa: E731
+    dim_buckets = p.select(bucket_of(F.col("p_partkey")).alias("bkt")).distinct()
+    pre = li.join(
+        F.broadcast(dim_buckets),
+        bucket_of(F.col("l_partkey")) == F.col("bkt"),
+        "left_semi",
+    )
+    return pre.join(F.broadcast(p), pre.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_partkey",
+        "p_brand",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("price_cents"),
+    )

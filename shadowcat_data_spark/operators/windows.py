@@ -256,3 +256,89 @@ def first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("ts").over(w).alias("first_ts"),
         F.last("ts").over(w).alias("last_ts"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# W8 — nth_value / IGNORE NULLS navigation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w8_nth_value_ignore_nulls",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       nth_value(CASE WHEN s_acctbal > 0 THEN s_name END, 2 IGNORE NULLS) OVER w
+         AS second_positive,
+       first_value(CASE WHEN s_acctbal > 0 THEN s_name END IGNORE NULLS) OVER w
+         AS first_positive
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    category="window",
+)
+def nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation with NULL skipping: the 2nd and 1st positive-balance
+    supplier name per nation, in key order. IGNORE NULLS turns nth_value /
+    first_value into 'nth matching row' — the idiom for 'first valid
+    observation' in sensor/feature pipelines (a LOCF building block)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        W.partitionBy("s_nationkey")
+        .orderBy("s_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    positive = F.when(F.col("s_acctbal") > 0, F.col("s_name"))
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.nth_value(positive, 2, ignoreNulls=True).over(w).alias("second_positive"),
+        F.first(positive, ignorenulls=True).over(w).alias("first_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W9 — moving median (composed: Spark has no median-with-frame)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w9_moving_median",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       median(l_quantity) OVER (PARTITION BY l_suppkey
+                                ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         AS med_qty
+FROM lineitem WHERE l_suppkey <= 20
+""",
+    category="window",
+)
+def moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a 6-row trailing frame. Spark rejects median with
+    a window frame, so it is COMPOSED: collect_list over the frame →
+    array_sort → middle element(s), interpolating even-sized frames as the
+    mean of the two middles (exactly DuckDB's median). The frame is bounded
+    (6 rows), so the per-row array is O(1) — this composition stays safe at
+    any scale, unlike an unbounded-frame collect.
+
+    The fixture's (l_orderkey, l_linenumber) is NOT unique, so the ROWS
+    frame orders by (orderkey, linenumber, quantity, extendedprice): rows
+    still tied after all four keys are interchangeable for this output —
+    same median inputs — so every engine's tie order yields one multiset."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .rowsBetween(-5, 0)
+    )
+    arr = F.array_sort(F.collect_list("l_quantity").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        ((lo + hi) / 2.0).alias("med_qty"),
+    )

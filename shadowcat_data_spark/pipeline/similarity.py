@@ -401,3 +401,66 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.count(F.when(F.col("cos") >= 0.2, 1)).alias("n_close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3d — blocked-GEMM exact top-k (the vectorized 100 TB scale path)
+# ---------------------------------------------------------------------------
+
+
+@query("l3d_blocked_gemm_topk", category="pipeline-similarity")
+def blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k computed as a blocked matrix multiply: the query
+    block (k×d, tiny) is broadcast into every corpus partition, and each
+    Arrow batch does ONE float64 numpy GEMM instead of per-pair array
+    folds. Same answer as l3_cosine_topk (asserted in the test suite to
+    1e-9 — summation order differs, so rows-only here), but the per-row
+    cost is a BLAS inner loop, which is what survives a 100 TB corpus:
+    per-partition work is (batch × d) @ (d × k), no shuffle until the
+    final per-query top-k reduction over partition-local candidates.
+
+    The partition-local rank pre-prune (top-k per query WITHIN each Arrow
+    batch) bounds the shuffle to k rows per (partition, query) — the
+    classic distributed-top-k two-phase reduction."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    q_rows = (
+        e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    )  # 5 query vectors — a bounded, deliberate driver-side broadcast
+    qids = np.array([r.vec_id for r in q_rows])
+    qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score_batches(batches):
+        for pdf in batches:
+            cmat = np.array(list(pdf.embedding), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            cos = (cmat @ qmat.T) / np.outer(cnorm, qnorm)  # (batch, nq)
+            n_c, n_q = cos.shape
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, n_c),
+                    "cid": np.tile(pdf.vec_id.to_numpy(), n_q),
+                    "cos": cos.T.ravel(),
+                }
+            )
+            # partition-local pre-prune: only k candidates per query leave
+            out = (
+                out.sort_values(["qid", "cos", "cid"], ascending=[True, False, True])
+                .groupby("qid", sort=False)
+                .head(k)
+            )
+            yield out
+
+    corpus = e.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    scored = corpus.mapInPandas(score_batches, "qid long, cid long, cos double")
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+        .orderBy("qid", "cid")
+    )

@@ -652,3 +652,166 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L21 — span-level corpus dedup (CCNet-style paragraph dedup, adapted to the
+# sentence-less fixture corpus: fixed 10-token spans stand in for paragraphs)
+# ---------------------------------------------------------------------------
+
+_SPAN = 10
+
+
+@query(
+    "l21_span_dedup",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), spans AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS span_idx,
+         array_to_string(list_slice(toks, j * {_SPAN} + 1, j * {_SPAN} + {_SPAN}), ' ')
+           AS span_text
+  FROM tok CROSS JOIN UNNEST(generate_series(0,
+         CAST(CEIL(len(toks) / {_SPAN}.0) AS BIGINT) - 1)) AS t(j)
+), ranked AS (
+  SELECT doc_id, span_idx, span_text,
+         ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx)
+           AS occurrence
+  FROM spans
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE occurrence = 1) AS BIGINT) AS n_kept,
+       string_agg(span_text, ' ' ORDER BY span_idx)
+         FILTER (WHERE occurrence = 1) AS kept_text
+FROM ranked GROUP BY doc_id
+""",
+    category="pipeline-text",
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: split each doc into consecutive 10-token spans,
+    drop every span whose exact text already occurred earlier in the corpus
+    (first occurrence by (doc_id, span_idx) wins), and reassemble the kept
+    text per doc. This is the paragraph-level dedup a CCNet-style pipeline
+    runs before training — the unit is a span because the fixture corpus
+    has no sentence boundaries. One explode + one span-hash shuffle +
+    one per-doc reassembly; the span window partitions by span_text, so
+    hot spans (boilerplate) skew-split under AQE at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / float(_SPAN)).cast("int")
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda j: F.array_join(F.slice(toks, j * _SPAN + 1, _SPAN), " "),
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    w = W.partitionBy("span_text").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("occurrence", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("occurrence") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        # nullif: a doc whose every span is a dup must yield NULL like the
+        # oracle's filtered string_agg (spans are non-empty, so '' ⇔ none kept)
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("occurrence") == 1,
+                                F.struct("span_idx", "span_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.span_text,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L22 — character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l22_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), freq AS (
+  SELECT doc_id, ch, COUNT(*) AS n,
+         COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS p
+  FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       round(-SUM(p * log2(p)), 6) AS entropy_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+FROM freq GROUP BY doc_id
+""",
+    category="pipeline-text",
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution per document — the
+    cheap gibberish/boilerplate detector (low entropy = repeated filler,
+    high = random noise). Explode to chars → two-level aggregation; both
+    shuffles key on doc_id so the plan stays one exchange. Rounded to 6dp:
+    the p·log2 p sum order differs between engines."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    wdoc = W.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(wdoc)
+    return (
+        freq.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L23 — corpus-percentile length-band filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l23_length_band_filter",
+    oracle="""
+WITH bounds AS (
+  SELECT percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS p5,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, p5, p95
+FROM documents, bounds
+WHERE n_chars >= p5 AND n_chars <= p95
+""",
+    category="pipeline-text",
+)
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter that keeps documents inside the corpus's [p5, p95]
+    length band — thresholds COMPUTED FROM THE DATA (exact interpolated
+    percentiles), not hardcoded. The one-row bounds aggregate is broadcast
+    into the filter, so the corpus is scanned twice but shuffled never —
+    at 100 TB swap the exact percentile for percentile_approx and the
+    second scan reuses cached/columnar input."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.percentile(F.col("n_chars"), F.lit(0.05)).alias("p5"),
+        F.percentile(F.col("n_chars"), F.lit(0.95)).alias("p95"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("p5")) & (F.col("n_chars") <= F.col("p95")))
+        .select("doc_id", "lang", "n_chars", "p5", "p95")
+    )

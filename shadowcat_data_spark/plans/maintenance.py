@@ -607,3 +607,114 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rule(o, "orders.o_totalprice.positive", F.col("o_totalprice") <= 0.0))
         .unionByName(orphans)
     )
+
+
+# ---------------------------------------------------------------------------
+# M10 — incremental aggregate maintenance (merge partials ≡ full recompute)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m10_incremental_agg",
+    oracle="""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS total_value
+FROM events GROUP BY 1, 2
+""",
+    category="maintenance",
+)
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the daily summary is
+    kept as MERGEABLE partials (count + quantized sum), so applying a new
+    batch is agg(delta) ∪ summary → re-agg — never a full recompute. The
+    oracle IS the full recompute, proving merge ≡ rebuild. The split date
+    models 'summary so far + tonight's batch'. At 100 TB the summary table
+    is tiny relative to the fact, so maintenance cost is O(delta), the
+    whole point of incremental view maintenance. Quantized integer sums
+    make the merge exactly associative — double partials would drift."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "value",
+        F.col("ts"),
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long")).alias("sum_q"),
+        )
+
+    base = partials(e.filter(F.col("ts") < cutoff))  # existing summary
+    delta = partials(e.filter(F.col("ts") >= cutoff))  # tonight's batch
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_q").alias("sum_q"))
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("sum_q").cast("double") / 1e6).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M11 — SCD type-2 history build (validity intervals from a change feed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m11_scd2_history",
+    oracle="""
+WITH versions AS (
+  SELECT o_orderkey AS k, 0 AS seq, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, 1, o_totalprice + 10.0 FROM orders WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, 2, o_totalprice + 20.0
+  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0
+)
+SELECT k AS o_orderkey, CAST(seq AS INTEGER) AS valid_from, price,
+       CAST(LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS INTEGER) AS valid_to,
+       LEAD(seq) OVER (PARTITION BY k ORDER BY seq) IS NULL AS is_current
+FROM versions
+""",
+    category="maintenance",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2: fold a versioned change feed into
+    validity intervals — each version row gets [valid_from, valid_to) from
+    its own sequence number and the NEXT version's (lead), with the open
+    interval marking the current row. One window over (key, seq); at scale
+    this is a single shuffle on the dimension key, and the change feed is
+    the same deterministic synthetic CDC used by m5/t13 (two updates on
+    keys %5==1, the second only on %3==0)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 5 == 1)
+    v0 = base.select(
+        F.col("o_orderkey").alias("k"), F.lit(0).alias("seq"), F.col("o_totalprice").alias("price")
+    )
+    v1 = base.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        (F.col("o_totalprice") + 10.0).alias("price"),
+    )
+    v2 = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"), F.lit(2).alias("seq"), (F.col("o_totalprice") + 20.0).alias("price")
+    )
+    versions = v0.unionByName(v1).unionByName(v2)
+    w = W.partitionBy("k").orderBy("seq")
+    nxt = F.lead("seq").over(w)
+    return versions.select(
+        F.col("k").alias("o_orderkey"),
+        F.col("seq").cast("int").alias("valid_from"),
+        "price",
+        nxt.cast("int").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

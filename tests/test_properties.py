@@ -379,3 +379,20 @@ def test_trajectory_assembly_is_consistent(spark):
         ts = list(g.ts)
         assert ts == sorted(ts)
         assert ts[0] == g.first_ts.iloc[0] and ts[-1] == g.last_ts.iloc[0]
+
+
+def test_blocked_gemm_topk_matches_brute_force(spark):
+    """l3d (numpy GEMM scale path) must return the same neighbors as the
+    l3 array-fold brute force, with scores equal to 1e-9 (summation order
+    differs between BLAS and the fold, nothing else)."""
+    from shadowcat_data_spark.pipeline.similarity import (
+        blocked_gemm_topk,
+        cosine_topk_query,
+    )
+
+    gemm = blocked_gemm_topk(spark, SF_DIR).toPandas()
+    brute = cosine_topk_query(spark, SF_DIR).toPandas()
+    g = gemm.sort_values(["qid", "cid"]).reset_index(drop=True)
+    b = brute.sort_values(["qid", "cid"]).reset_index(drop=True)
+    assert list(zip(g.qid, g.cid)) == list(zip(b.qid, b.cid))
+    assert (g.cos - b.cos).abs().max() < 1e-9
