@@ -344,3 +344,37 @@ def test_interval_overlap_is_equi_join_not_bnlj(spark):
 
     plan = _plan(interval_overlap(spark, SF_DIR))
     assert "NestedLoop" not in plan
+
+
+def test_bloom_prefilter_join_is_all_broadcast(spark):
+    """j15: both phases (bucket semi + exact join) must broadcast — the
+    fact table is never shuffled, which is the entire point of the
+    pre-filter at scale."""
+    from shadowcat_data_spark.operators.joins import bloom_prefilter_join
+
+    plan = _plan(bloom_prefilter_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi + inner
+    assert "SortMergeJoin" not in plan  # fact side never shuffled for a join
+    assert "LeftSemi" in plan
+
+
+def test_lateral_join_decorrelates(spark):
+    """j14: the LATERAL top-2 subquery must decorrelate to a join + window
+    rank, not a per-row nested-loop replay."""
+    from shadowcat_data_spark.operators.joins import lateral_join
+
+    plan = _plan(lateral_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_span_dedup_shuffle_count_is_bounded(spark):
+    """l21 needs exactly two data shuffles: one on span_text (occurrence
+    window), one on doc_id (reassembly). A third would mean the plan
+    re-shuffles the exploded spans."""
+    from shadowcat_data_spark.pipeline.text import span_dedup
+
+    plan = _plan(span_dedup(spark, SF_DIR))
+    # tree nodes only — "formatted" prints each operator again in the detail
+    assert plan.count("+- Exchange") <= 2
