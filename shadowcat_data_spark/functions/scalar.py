@@ -573,3 +573,36 @@ def str_to_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "len").alias("m_len"),
         F.size(m).alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F15 — trigonometry / angle conversion (rounded: libm last-ulp differences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f15_trig",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(sin(l_discount), 9) AS sin_d,
+       round(cos(l_discount), 9) AS cos_d,
+       round(atan2(l_discount, l_tax), 9) AS angle,
+       round(degrees(l_discount), 9) AS deg,
+       round(radians(l_quantity), 9) AS rad
+FROM lineitem WHERE l_orderkey <= 1000
+""",
+    category="function",
+)
+def trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sin/cos/atan2/degrees/radians — rounded to 9dp (JVM StrictMath and
+    C libm may differ in the last ulp; everything else is bit-exact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_discount"), 9).alias("sin_d"),
+        F.round(F.cos("l_discount"), 9).alias("cos_d"),
+        F.round(F.atan2(F.col("l_discount"), F.col("l_tax")), 9).alias("angle"),
+        F.round(F.degrees("l_discount"), 9).alias("deg"),
+        F.round(F.radians("l_quantity"), 9).alias("rad"),
+    )

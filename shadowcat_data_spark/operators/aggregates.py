@@ -535,3 +535,98 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM a16_nation GROUP BY n_regionkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# A17 — boolean aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a17_bool_agg",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_discount < 0.1) AS all_low_disc,
+       bool_or(l_quantity > 49) AS any_bulk,
+       bool_and(l_extendedprice > 0) AS all_priced,
+       bool_or(l_tax > 0.07) AS any_high_tax
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI EVERY/ANY as bool_and/bool_or — constant-state partial
+    aggregation (a single AND/OR per partition), the cheapest possible
+    group invariant check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") < 0.1).alias("all_low_disc"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_bulk"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_priced"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18 — deterministic mode
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a18_mode",
+    oracle="""
+SELECT l_returnflag, l_quantity AS mode_qty
+FROM (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY n DESC, l_quantity) = 1
+""",
+    category="aggregate",
+)
+def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group via Spark 4's deterministic mode
+    (ties → lowest value), oracle'd by the explicit count+rank rewrite.
+    Native mode keeps a per-group value→count map in the aggregation
+    buffer — fine for bounded domains like quantity; for unbounded
+    domains use the count+rank rewrite the oracle shows, which shuffles
+    (group, value) pairs instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_quantity", True).alias("mode_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6b — pivot with multiple aggregates per cell
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a6b_pivot_multi_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+            FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / 100.0 AS F_sum_qty,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F_n,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+            FILTER (WHERE l_linestatus = 'O') AS DOUBLE) / 100.0 AS O_sum_qty,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O_n
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with TWO aggregates per pivoted value (sum + count) — Spark
+    names the columns {value}_{agg alias}, which the oracle mirrors as
+    FILTER-ed aggregates (the universal pivot desugaring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            quantized_sum(F.col("l_quantity"), "sum_qty", 100.0),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

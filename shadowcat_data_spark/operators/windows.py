@@ -342,3 +342,51 @@ def moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         ((lo + hi) / 2.0).alias("med_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W10 — running distinct count (composed: no COUNT(DISTINCT) window in Spark)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w10_running_distinct",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT)
+         AS distinct_types_so_far
+FROM marked
+""",
+    category="window",
+)
+def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative COUNT(DISTINCT event_type) per user — neither engine
+    supports DISTINCT aggregates over a running frame, so it is composed
+    from two windows: mark each (user, type)'s FIRST occurrence, then
+    running-sum the marks. Both windows shuffle on user_id (one exchange;
+    the first adds event_type to the sort key only), and per-row state is
+    O(1) — the collect_set-over-frame alternative would carry the whole
+    set per row."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    marked = e.withColumn(
+        "first_seen", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )

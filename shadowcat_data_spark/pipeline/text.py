@@ -815,3 +815,61 @@ def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_chars") >= F.col("p5")) & (F.col("n_chars") <= F.col("p95")))
         .select("doc_id", "lang", "n_chars", "p5", "p95")
     )
+
+
+# ---------------------------------------------------------------------------
+# L24 — event-sequence pattern match (MATCH_RECOGNIZE-lite over trajectories)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l24_sequence_pattern",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END,
+                    '' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS trace
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(trace) AS INTEGER) AS n_events,
+       CAST(len(regexp_extract_all(trace, 'vc*p')) AS INTEGER) AS n_funnels,
+       regexp_matches(trace, 'vc*p') AS converted,
+       CAST(len(regexp_extract_all(trace, 'ee')) AS INTEGER) AS n_error_bursts
+FROM seq
+""",
+    category="pipeline-text",
+)
+def sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: encode each user's ordered event trajectory as
+    a one-char-per-event string, then detect behavioral patterns with plain
+    regex — view→clicks→purchase funnels ('vc*p') and error bursts ('ee').
+    This is the poor man's CEP that covers most funnel analytics with ONE
+    groupBy + string ops; per-user trace length is bounded by the user's
+    own event count (same bound as trajectory_assembly). At 100 TB, cap
+    traces with a rank-filter upstream for bot users."""
+    e = load_table(spark, sf_dir, "events")
+    initial = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    step = F.struct(F.col("ts"), F.col("event_id"), initial.alias("ch"))
+    traces = (
+        e.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(step)).alias("steps"))
+        .select(
+            "user_id",
+            F.array_join(F.transform("steps", lambda s: s.ch), "").alias("trace"),
+        )
+    )
+    return traces.select(
+        "user_id",
+        F.length("trace").alias("n_events"),
+        F.size(F.regexp_extract_all("trace", F.lit("vc*p"), 0)).alias("n_funnels"),
+        F.col("trace").rlike("vc*p").alias("converted"),
+        F.size(F.regexp_extract_all("trace", F.lit("ee"), 0)).alias("n_error_bursts"),
+    )

@@ -718,3 +718,51 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.cast("int").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M12 — backfill planner (which partitions are missing from a summary?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m12_backfill_plan",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+), summary AS (
+  SELECT * FROM daily WHERE CAST(extract(day FROM day) AS INTEGER) % 3 <> 0
+), bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+), cal AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+)
+SELECT c.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_to_backfill
+FROM cal c LEFT JOIN daily d ON c.day = d.day
+WHERE NOT EXISTS (SELECT 1 FROM summary s WHERE s.day = c.day)
+""",
+    category="maintenance",
+)
+def backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: compare a (hole-injected) summary table against
+    the full calendar spanned by the fact and emit the partitions a
+    backfill job must rebuild, with the row count each would write.
+    Calendar generation is sequence+explode in executors; the summary
+    comparison is an anti join — at 100 TB both sides are summary-sized
+    (days), never fact-sized, so the planning query is free regardless of
+    fact volume. Holes are injected deterministically (day-of-month %3==0)
+    to model lost partitions."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    summary = daily.filter(F.dayofmonth("day") % 3 != 0)
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    missing = cal.join(summary, "day", "left_anti")
+    return missing.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_to_backfill")
+    )

@@ -278,3 +278,55 @@ def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = F.when(F.col("_corrupt_record").isNull(), "good").otherwise("bad")
     return parsed.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# S14 — CSV with embedded delimiters/quotes/newlines (RFC-4180 quoting)
+# ---------------------------------------------------------------------------
+
+TRICKY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tricky", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+@query(
+    "s14_csv_quoted_roundtrip",
+    oracle="""
+SELECT doc_id,
+       'a,"b" ' || lang || chr(10) || 'tail' AS tricky,
+       lang
+FROM documents
+""",
+    category="source",
+)
+def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip where every value contains a comma, an embedded
+    double quote, AND a newline — written RFC-4180 style (escape = double
+    quote, not Spark's backslash default) and read back with multiLine.
+    multiLine is the scale caveat: quoted-newline files are NOT splittable
+    by row, so each file becomes one task — keep such files small at
+    ingest, or re-encode newline-free. The oracle reconstructs the value
+    from the source columns, proving byte fidelity through the text hop."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('a,"b" '), F.col("lang"), F.lit("\ntail")).alias("tricky"),
+        "lang",
+    )
+    path = _scratch(sf_dir, "docs_tricky_csv")
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        spark.read.schema(TRICKY_SCHEMA)
+        .option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )

@@ -769,3 +769,62 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inserts = latest.filter(F.col("op") == "I").select("k", "o_totalprice")
     return kept.unionByName(inserts).select(F.col("k").alias("o_orderkey"), "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# T15 — session window with DYNAMIC (per-event) gap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t15_session_dynamic_gap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+              ELSE INTERVAL 10 MINUTE END AS gap
+  FROM events
+), g AS (
+  SELECT user_id, ts, gap,
+         CASE WHEN MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR ts >= MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, ts, gap,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+           AS sid
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts + gap) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    category="streaming",
+)
+def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions whose gap depends on the EVENT: purchases hold the session
+    open 30 minutes, everything else 10 — the 'engagement-weighted session'
+    pattern. Spark's session_window accepts a gap EXPRESSION; the batch
+    twin is lag/cumsum sessionization generalized to a running MAX of
+    per-event window ends (a fixed gap degenerates to t3's form). Ties on
+    (user, ts) stay deterministic: same-ts events always co-session, so
+    either tie order yields identical windows."""
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, "t15_out", "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
