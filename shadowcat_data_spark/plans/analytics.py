@@ -827,3 +827,87 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# BFS k-hop reachability (iterative frontier expansion)
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+
+
+@query(
+    "graph_khop_reach",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS s,
+                  'C' || CAST(o.o_custkey AS VARCHAR) AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs
+), seeds AS (
+  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier WHERE s_suppkey <= 3
+), h0 AS (SELECT node, 0 AS d FROM seeds),
+h1 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM h0
+    UNION ALL SELECT e.dst, 1 FROM edges e JOIN h0 ON h0.node = e.src
+  ) GROUP BY node
+),
+h2 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM h1
+    UNION ALL SELECT e.dst, h1.d + 1 FROM edges e JOIN h1 ON h1.node = e.src
+  ) GROUP BY node
+),
+h3 AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM h2
+    UNION ALL SELECT e.dst, h2.d + 1 FROM edges e JOIN h2 ON h2.node = e.src
+  ) GROUP BY node
+)
+SELECT CAST(d AS INTEGER) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM h3 WHERE d <= {_BFS_HOPS} GROUP BY d
+""",
+    category="plan",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS frontier expansion: how many graph nodes are within k hops of a
+    seed set (suppliers 1-3) over the supplier↔customer trading graph.
+    Per hop: frontier ⋈ edges → union → min-distance groupBy — the same
+    iterative-DataFrame shape as PageRank/connected-components, with the
+    distance label replacing the rank. Integer distances make every hop
+    exact; the oracle unrolls the same k joins as CTEs. At scale the
+    frontier is usually ≪ nodes, so the per-hop join broadcasts the
+    frontier; lineage is cut per hop exactly like connected_components."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # reused every hop: cut lineage once
+    dist = s.filter(F.col("s_suppkey") <= 3).select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"),
+        F.lit(0).alias("d"),
+    )
+    for _ in range(_BFS_HOPS):
+        expanded = edges.join(dist.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(expanded).groupBy("node").agg(F.min("d").alias("d"))
+        ).localCheckpoint(eager=True)
+    return (
+        dist.filter(F.col("d") <= _BFS_HOPS)
+        .groupBy(F.col("d").cast("int").alias("hop"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

@@ -306,3 +306,73 @@ def arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(fn(F.col("o_orderpriority")).alias("prank")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# U8 — UDTF with analyze(): output schema computed from the call arguments
+# ---------------------------------------------------------------------------
+
+
+def _make_ngram_udtf():
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructType
+    from pyspark.sql.functions import udtf
+
+    @udtf
+    class NGrams:
+        """Emit the document's n-grams; `n` is a compile-time constant and
+        analyze() names the output column 'gram{n}' from it — the schema is
+        derived per CALL SITE, which static @udtf(returnType=...) cannot do."""
+
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument):
+            if not n.isConstantExpression:
+                raise Exception("n must be a constant")
+            width = int(n.value)
+            schema = (
+                StructType()
+                .add("doc_id", LongType())
+                .add("pos", IntegerType())
+                .add(f"gram{width}", StringType())
+            )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, n):
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                yield doc_id, i, " ".join(toks[i : i + n])
+
+    return NGrams
+
+
+@query(
+    "u8_udtf_analyze_ngrams",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram3
+FROM t, UNNEST(range(len(toks) - 2)) AS u(i)
+WHERE len(toks) >= 3
+ORDER BY doc_id, pos
+""",
+    category="udf",
+)
+def udtf_analyze_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (U8): ``analyze()`` computes the output
+    schema from the constant n argument at plan time — the column is
+    literally named gram3 because the call site passed n=3. The lateral
+    expansion itself runs Arrow-batched per partition like u5; the oracle
+    re-derives the trigrams with SQL list slicing."""
+    spark.udtf.register("ngrams_udtf", _make_ngram_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("u8_documents")
+    return spark.sql(
+        """
+SELECT g.doc_id, g.pos, g.gram3
+FROM u8_documents AS d, LATERAL ngrams_udtf(d.doc_id, d.text, 3) AS g
+WHERE d.doc_id < 50
+ORDER BY doc_id, pos
+"""
+    )
