@@ -62,6 +62,14 @@ ALLOW = {
     "mm_decode_features": {"MapInPandas"},
     "mm_frame_sample": {"MapInPandas"},
     "t6_stateful_per_key": {"FlatMapGroupsInPandas", "ArrowEvalPython"},
+    # one-row scalar-aggregate broadcast (quota / percentile bounds): the
+    # build side is a single row at any scale — constant-cost apply
+    "l18_mixture_resample": {"BroadcastNestedLoopJoin"},
+    "l23_length_band_filter": {"BroadcastNestedLoopJoin"},
+    # the blocked-GEMM scale path IS the vectorized Python stage
+    "l3d_blocked_gemm_topk": {"MapInPandas"},
+    # polymorphic UDTF coverage — same Python table-function path as u5
+    "u8_udtf_analyze_ngrams": {"BatchEvalPython"},
 }
 
 FLAGS = (
