@@ -606,3 +606,37 @@ def trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees("l_discount"), 9).alias("deg"),
         F.round(F.radians("l_quantity"), 9).alias("rad"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F16 — XML parsing (Spark 4 from_xml)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f16_xml",
+    oracle="""
+SELECT doc_id, lang AS x_lang, CAST(n_chars AS INTEGER) AS x_len
+FROM documents
+""",
+    category="function",
+)
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml round-trip: synthesize an XML doc per row, parse it back
+    with an explicit schema, and emit the extracted scalars (struct stays
+    internal — the grading comparator cannot sort struct cells). Proves
+    the Spark 4 XML reader inverts the construction exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><lang>"),
+        F.col("lang"),
+        F.lit("</lang><len>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</len></doc>"),
+    )
+    parsed = F.from_xml(xml, "lang STRING, len INT")
+    return d.select(
+        "doc_id",
+        parsed.getField("lang").alias("x_lang"),
+        parsed.getField("len").alias("x_len"),
+    )

@@ -911,3 +911,35 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").cast("int").alias("hop"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Contingency table (df.stat.crosstab)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+FROM orders GROUP BY o_orderstatus
+""",
+    category="aggregate",
+)
+def crosstab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via df.stat.crosstab — status × priority counts
+    with one column per (sorted) priority value. Same desugaring as pivot:
+    a single groupBy with FILTER-ed counts, which is what the oracle spells
+    out; at scale this is one partial-aggregated shuffle on the row key."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    counted = [c for c in ct.columns if c != "o_orderstatus_o_orderpriority"]
+    return ct.select(
+        "o_orderstatus_o_orderpriority",
+        *[F.col(f"`{c}`").cast("long").alias(c) for c in counted],
+    )

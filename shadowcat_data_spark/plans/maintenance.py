@@ -766,3 +766,54 @@ def backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return missing.join(daily, "day", "left").select(
         "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_to_backfill")
     )
+
+
+# ---------------------------------------------------------------------------
+# M13 — dynamic partition overwrite (rebuild ONE day, leave the rest intact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m13_dynamic_partition_overwrite",
+    oracle="""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CASE WHEN date_trunc('day', CAST(ts AS TIMESTAMP)) = TIMESTAMP '2024-01-05'
+                 THEN 1 ELSE 0 END AS INTEGER) AS rebuilt
+FROM events GROUP BY 1, 2
+""",
+    category="maintenance",
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped rebuild: a day-partitioned summary table gets ONE
+    day rewritten (with a marker column flipped) via dynamic partition
+    overwrite — only partitions present in the incoming frame are
+    replaced; every other day's files are untouched. This is the nightly
+    restatement primitive at 100 TB: overwrite cost ∝ restated partitions,
+    never the table. The per-write option (not the global conf) scopes the
+    behavior to this writer."""
+    import os as _os
+
+    from ..sources.io import _SCRATCH
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = daily.withColumn("rebuilt", F.lit(0)).withColumn(
+        "day_key", F.date_format("day", "yyyy-MM-dd")
+    )
+    path = _os.path.join(_SCRATCH, _os.path.basename(_os.path.normpath(sf_dir)), "m13_daily")
+    base.write.mode("overwrite").partitionBy("day_key").parquet(path)
+    # restate ONE day: dynamic mode touches only the partitions in the frame
+    restated = base.filter(F.col("day_key") == "2024-01-05").withColumn(
+        "rebuilt", F.lit(1)
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day_key")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.select("day", "event_type", F.col("n").cast("long").alias("n"), "rebuilt")

@@ -330,3 +330,38 @@ def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", True)
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# S15 — raw text source (line-oriented ingest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s15_text_source",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(doc_id AS VARCHAR) || '|' || lang AS line
+FROM documents
+""",
+    category="source",
+)
+def text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text ingest: write one 'doc_id|lang' line per doc,
+    read it back with spark.read.text (the raw-log entry path), and parse
+    the fields out with split — the classic schema-on-read hop for logs
+    that predate structure. Text files split by line at any size, so this
+    path parallelizes like CSV without the quoting machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("lang")).alias("value")
+    )
+    path = _scratch(sf_dir, "docs_text")
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), r"\|")
+    return back.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.col("value").alias("line"),
+    )
