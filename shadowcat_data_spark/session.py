@@ -59,10 +59,38 @@ _DYNAMIC_CONFS = {
 }
 
 
+def effective_cpus() -> int:
+    """CPUs this process can actually burn: min of os.cpu_count, the
+    scheduler affinity mask, and the cgroup (v2 then v1) CPU quota.
+    ``local[os.cpu_count()]`` on a quota-limited container oversubscribes
+    the quota N× and every task slows down proportionally — sizing the
+    executor pool to the quota is the difference between 32 threads on 4
+    effective cores and 4 threads that each get a full core."""
+    n = os.cpu_count() or 4
+    try:
+        n = min(n, len(os.sched_getaffinity(0)))
+    except (AttributeError, OSError):
+        pass
+    try:  # cgroup v2: "200000 100000" → 2 CPUs; "max ..." → unlimited
+        with open("/sys/fs/cgroup/cpu.max") as f:
+            quota_s, period_s = f.read().split()[:2]
+        if quota_s != "max":
+            n = min(n, max(1, int(int(quota_s) / int(period_s))))
+    except (OSError, ValueError, IndexError):
+        try:  # cgroup v1
+            q = int(open("/sys/fs/cgroup/cpu/cpu.cfs_quota_us").read())
+            p = int(open("/sys/fs/cgroup/cpu/cpu.cfs_period_us").read())
+            if q > 0:
+                n = min(n, max(1, q // p))
+        except (OSError, ValueError):
+            pass
+    return max(1, n)
+
+
 def get_spark(app_name: str = "shadowcat_data_spark") -> SparkSession:
     """Build (or get) the shared local session. Tests and bench use this;
     the driver brings its own session, which ``ensure_session`` adapts."""
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(effective_cpus()))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
