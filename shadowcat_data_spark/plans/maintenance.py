@@ -817,3 +817,64 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(path)
     return back.select("day", "event_type", F.col("n").cast("long").alias("n"), "rebuilt")
+
+
+# ---------------------------------------------------------------------------
+# M14 — join-key skew report (the "will this shuffle straggle?" diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m14_skew_report",
+    oracle="""
+SELECT col, CAST(n_keys AS BIGINT) AS n_keys, CAST(max_n AS BIGINT) AS max_n,
+       med_n, round(max_n / (total * 1.0 / n_keys), 6) AS skew_factor
+FROM (
+  SELECT 'lineitem.l_suppkey' AS col, COUNT(*) AS n_keys, MAX(n) AS max_n,
+         median(n) AS med_n, SUM(n) AS total
+  FROM (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+  UNION ALL
+  SELECT 'lineitem.l_partkey', COUNT(*), MAX(n), median(n), SUM(n)
+  FROM (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+  UNION ALL
+  SELECT 'orders.o_custkey', COUNT(*), MAX(n), median(n), SUM(n)
+  FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+)
+ORDER BY col
+""",
+    category="maintenance",
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for the table's hot join keys: per key
+    column, the key count, the heaviest key's row count, the median, and
+    the skew factor (max/mean). skew_factor ≫ 1 predicts a straggler task
+    in any shuffle keyed on that column — the number AQE's skew-join
+    threshold and manual salting decisions should be read against. Each
+    column's profile is a two-level aggregation (key counts → distribution
+    stats); the per-column reports union into one plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        return per_key.agg(
+            F.lit(label).alias("col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_n"),
+            F.median("n").alias("med_n"),
+            F.sum("n").alias("total"),
+        )
+    rep = (
+        profile(li, "l_suppkey", "lineitem.l_suppkey")
+        .unionByName(profile(li, "l_partkey", "lineitem.l_partkey"))
+        .unionByName(profile(o, "o_custkey", "orders.o_custkey"))
+    )
+    return rep.select(
+        "col",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("max_n").cast("long").alias("max_n"),
+        "med_n",
+        F.round(
+            F.col("max_n") / (F.col("total") / F.col("n_keys")), 6
+        ).alias("skew_factor"),
+    ).orderBy("col")
