@@ -396,3 +396,77 @@ def test_blocked_gemm_topk_matches_brute_force(spark):
     b = brute.sort_values(["qid", "cid"]).reset_index(drop=True)
     assert list(zip(g.qid, g.cid)) == list(zip(b.qid, b.cid))
     assert (g.cos - b.cos).abs().max() < 1e-9
+
+
+def test_span_dedup_preserves_first_occurrences(spark):
+    """l21: kept span count equals the corpus's distinct span count (each
+    distinct span survives exactly once), and a doc with no earlier
+    duplicates keeps its full text verbatim."""
+    from shadowcat_data_spark.pipeline.text import span_dedup
+
+    out = span_dedup(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+
+    def spans_of(text):
+        toks = text.split(" ")
+        return [" ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)]
+
+    all_spans = [s for t in docs.sort_values("doc_id").text for s in spans_of(t)]
+    assert out.n_kept.sum() == len(set(all_spans))
+    # doc 0 is first in (doc_id, span_idx) order: nothing can precede it —
+    # unless one of its own spans repeats inside the doc
+    d0 = docs[docs.doc_id == 0].text.iloc[0]
+    if len(set(spans_of(d0))) == len(spans_of(d0)):
+        assert out[out.doc_id == 0].kept_text.iloc[0] == d0
+
+
+def test_moving_median_matches_pandas_rolling(spark):
+    """w9 (composed frame median) == pandas rolling(6, min_periods=1).median
+    per supplier."""
+    from shadowcat_data_spark.operators.windows import moving_median
+
+    ours = moving_median(spark, SF_DIR).toPandas()
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_suppkey") <= 20)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    li = li.sort_values(["l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    ref = (
+        li.groupby("l_suppkey")["l_quantity"]
+        .rolling(6, min_periods=1)
+        .median()
+        .reset_index(level=0)
+    )
+    li["ref_med"] = ref["l_quantity"].to_numpy()
+    merged = ours.merge(
+        li,
+        on=["l_suppkey", "l_orderkey", "l_linenumber"],
+        how="left",
+    )
+    # non-unique (orderkey, linenumber) rows merge ambiguously — compare on
+    # the unambiguous (unique-tuple) rows, which is almost all of them
+    uniq = merged.groupby(["l_suppkey", "l_orderkey", "l_linenumber"]).filter(
+        lambda g: len(g) == 1
+    )
+    assert (uniq.med_qty - uniq.ref_med).abs().max() == 0.0
+
+
+def test_dynamic_session_covers_every_event(spark):
+    """t15: per-user session event counts sum to the user's event total
+    (every event in exactly one session), and sessions don't overlap."""
+    from shadowcat_data_spark.streaming.ops import session_dynamic_gap
+
+    out = session_dynamic_gap(spark, SF_DIR).toPandas()
+    totals = (
+        load_table(spark, SF_DIR, "events").groupBy("user_id").count().toPandas()
+    )
+    per_user = out.groupby("user_id").n_events.sum().reset_index()
+    m = per_user.merge(totals, on="user_id")
+    assert (m.n_events == m["count"]).all()
+    for _, g in list(out.groupby("user_id"))[:10]:
+        g = g.sort_values("session_start")
+        starts = list(g.session_start)[1:]
+        ends = list(g.session_end)[:-1]
+        assert all(s >= e for s, e in zip(starts, ends))
