@@ -640,3 +640,39 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("lang").alias("x_lang"),
         parsed.getField("len").alias("x_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F17 — scalar bit manipulation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f17_bit_ops",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount,
+       o_orderkey << 2 AS shifted_up,
+       o_orderkey >> 3 AS shifted_down
+FROM orders WHERE o_orderkey <= 2000
+""",
+    category="function",
+)
+def bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit surface: and/or/xor masks, popcount, shifts — the
+    building blocks the engine's own bloom/simhash/z-order operators are
+    made of, exposed as first-class scalar coverage."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.bit_count(k).alias("popcount"),
+        F.shiftleft(k, 2).alias("shifted_up"),
+        F.shiftright(k, 3).alias("shifted_down"),
+    )

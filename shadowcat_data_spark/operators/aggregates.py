@@ -630,3 +630,43 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A19 — argmin/argmax (min_by / max_by with a unique ordering key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a19_min_by_max_by",
+    oracle="""
+WITH keyed AS (
+  SELECT s_nationkey, s_name,
+         CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT) * 100000 + s_suppkey AS ord
+  FROM supplier
+)
+SELECT s_nationkey,
+       min_by(s_name, ord) AS poorest_supplier,
+       max_by(s_name, ord) AS richest_supplier,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM keyed GROUP BY s_nationkey
+""",
+    category="aggregate",
+)
+def min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax per group: the supplier name at the lowest/highest
+    account balance. min_by/max_by are UNDEFINED on ordering ties, so the
+    ordering key is made unique by construction — quantized cents composed
+    with the primary key — giving one deterministic answer on both engines
+    (the idiom any oracle-checked argmin needs)."""
+    s = load_table(spark, sf_dir, "supplier")
+    ord_key = (
+        F.floor(F.col("s_acctbal") * 100.0 + 0.5).cast("long") * 100000
+        + F.col("s_suppkey")
+    )
+    keyed = s.select("s_nationkey", "s_name", ord_key.alias("ord"))
+    return keyed.groupBy("s_nationkey").agg(
+        F.min_by("s_name", "ord").alias("poorest_supplier"),
+        F.max_by("s_name", "ord").alias("richest_supplier"),
+        F.count(F.lit(1)).alias("n"),
+    )

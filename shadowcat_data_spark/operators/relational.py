@@ -429,3 +429,36 @@ def global_enumerate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest / stable-export job needs."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     return global_enumerate(o, ["o_orderkey"]).select("o_orderkey", "global_id")
+
+
+# ---------------------------------------------------------------------------
+# O3b — union with schema evolution (allowMissingColumns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o3b_union_missing_columns",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM (
+  SELECT c_custkey, c_mktsegment, CAST(NULL AS DOUBLE) AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, CAST(NULL AS VARCHAR), c_acctbal
+  FROM customer WHERE c_custkey % 2 = 1
+)
+""",
+    category="relational",
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved union: two batches projected with DIFFERENT columns
+    combine via unionByName(allowMissingColumns=True) — each side is
+    null-padded for the columns it lacks. This is the append path when a
+    feed adds/drops fields between batches; column resolution is BY NAME,
+    never by position, so reordered producers can't silently corrupt."""
+    c = load_table(spark, sf_dir, "customer")
+    old_batch = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_mktsegment")
+    new_batch = c.filter(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_acctbal")
+    return old_batch.unionByName(new_batch, allowMissingColumns=True).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )

@@ -390,3 +390,43 @@ def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W11 — ratio-to-report (share of partition total)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w11_ratio_to_report",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(cents AS DOUBLE) / 100.0 AS cust_total,
+       CAST(cents AS DOUBLE) / SUM(cents) OVER () AS share,
+       CAST(RANK() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS spend_rank
+FROM per_cust
+""",
+    category="window",
+)
+def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total per customer: an empty-OVER window divides each
+    pre-aggregated row by the global sum. The quantized-cents pre-agg both
+    makes the division exact-deterministic AND shrinks the unpartitioned
+    window's input from fact rows to one row per key — the empty OVER() is
+    a single-task sort at scale, so it must only ever see key-grain data."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias("cents")
+    )
+    w_all = W.partitionBy()
+    w_rank = W.partitionBy().orderBy(F.col("cents").desc(), "o_custkey")
+    return per_cust.select(
+        "o_custkey",
+        (F.col("cents").cast("double") / 100.0).alias("cust_total"),
+        (F.col("cents").cast("double") / F.sum("cents").over(w_all)).alias("share"),
+        F.rank().over(w_rank).cast("long").alias("spend_rank"),
+    )
