@@ -121,3 +121,102 @@ def test_interval_overlap_rewrite_equals_naive_theta(spark, ls, rs, bucket_days)
         .collect()
     )
     assert got == naive
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # per-user event offsets (minutes) + purchase flag
+        st.tuples(st.integers(0, 5000), st.booleans()),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dynamic_gap_sessionize_matches_reference(spark, events):
+    """The t15 batch-twin semantics (running max of per-event window ends)
+    fuzzed against a direct Python sessionizer on random event streams."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=m), "purchase" if p else "view")
+        for m, p in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    gap_min = lambda p: 30 if p == "purchase" else 10  # noqa: E731
+
+    # reference: sort, sweep, split where ts >= running max end
+    ref_sessions = []
+    cur = None
+    for _, ts, et in sorted(rows, key=lambda r: r[1]):
+        end = ts + dt.timedelta(minutes=gap_min(et))
+        if cur is None or ts >= cur["end"]:
+            cur = {"start": ts, "end": end, "n": 1}
+            ref_sessions.append(cur)
+        else:
+            cur["end"] = max(cur["end"], end)
+            cur["n"] += 1
+
+    gap = F.when(F.col("event_type") == "purchase", F.expr("INTERVAL 30 MINUTES")).otherwise(
+        F.expr("INTERVAL 10 MINUTES")
+    )
+    w_prev = (
+        W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, -1)
+    )
+    ends = F.col("ts") + gap
+    prev_max_end = F.max(ends).over(w_prev)
+    brk = F.when(prev_max_end.isNull() | (F.col("ts") >= prev_max_end), 1).otherwise(0)
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    got = (
+        df.withColumn("sid", F.sum(brk).over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("start"),
+            F.max(ends).alias("end"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("start")
+        .collect()
+    )
+    assert len(got) == len(ref_sessions)
+    for g, r in zip(got, ref_sessions):
+        assert g.start == r["start"] and g.end == r["end"] and g.n == r["n"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # small vocab forces cross-doc span collisions
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=25),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_dedup_matches_reference(spark, docs):
+    """l21's window+reassembly fuzzed against a direct Python span-dedup
+    on random corpora with forced span collisions."""
+    from shadowcat_data_spark.pipeline.text import _SPAN, span_dedup
+
+    rows = [(i, " ".join(toks), "en", "src0", len(" ".join(toks))) for i, toks in enumerate(docs)]
+
+    # reference
+    seen: set[str] = set()
+    ref: dict[int, tuple[int, int, str | None]] = {}
+    for i, toks in enumerate(docs):
+        spans = [" ".join(toks[j : j + _SPAN]) for j in range(0, len(toks), _SPAN)]
+        kept = [s for s in spans if s not in seen]
+        seen.update(spans)
+        ref[i] = (len(spans), len(kept), " ".join(kept) if kept else None)
+
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.doc_id: r for r in span_dedup(spark, tmp).collect()}
+
+    for i, (n_spans, n_kept, kept_text) in ref.items():
+        r = out[i]
+        assert (r.n_spans, r.n_kept, r.kept_text) == (n_spans, n_kept, kept_text), i
