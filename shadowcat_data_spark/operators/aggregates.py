@@ -670,3 +670,41 @@ def min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("s_name", "ord").alias("richest_supplier"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A20 — sketch set algebra: HLL intersection via inclusion–exclusion
+# ---------------------------------------------------------------------------
+
+
+@query("a20_hll_intersection", category="aggregate")
+def hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from sketches alone: customers active in
+    BOTH order-status segments, estimated as |A| + |B| − |A∪B| over HLL
+    sketches (inclusion–exclusion — HLL has no native intersect). At 100 TB
+    the segments' sketches are KBs and the overlap of ANY segment pair is
+    answerable without re-scanning facts — the sketch-algebra payoff.
+    Estimates are engine-hash-specific → rows-only; accuracy vs the exact
+    semi-join overlap is asserted in tests/test_properties.py."""
+    o = load_table(spark, sf_dir, "orders")
+    seg = o.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        "o_orderstatus", "o_custkey"
+    )
+    sketches = seg.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
+    )
+    union_all = seg.select(F.lit("ALL").alias("o_orderstatus"), "o_custkey").groupBy(
+        "o_orderstatus"
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    ests = sketches.unionByName(union_all).select(
+        "o_orderstatus", F.hll_sketch_estimate("sk").alias("est")
+    )
+    pivoted = ests.groupBy().pivot("o_orderstatus", ["F", "O", "ALL"]).agg(
+        F.first("est")
+    )
+    return pivoted.select(
+        F.col("F").cast("long").alias("est_f"),
+        F.col("O").cast("long").alias("est_o"),
+        F.col("ALL").cast("long").alias("est_union"),
+        (F.col("F") + F.col("O") - F.col("ALL")).cast("long").alias("est_overlap"),
+    )

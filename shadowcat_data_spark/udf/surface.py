@@ -376,3 +376,43 @@ WHERE d.doc_id < 50
 ORDER BY doc_id, pos
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# U9 — GROUPED_AGG pandas UDF (Series → scalar, usable in agg AND windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u9_grouped_agg_pandas_udf",
+    oracle="""
+SELECT c_mktsegment,
+       SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) * c_custkey)
+         / (100.0 * SUM(c_custkey)) AS weighted_bal
+FROM customer GROUP BY c_mktsegment
+""",
+    category="udf",
+)
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: an Arrow-batched Series→scalar aggregate
+    that plugs into groupBy().agg() like a built-in (and into unbounded
+    windows). Unlike the u4 grouped-map UDAF, Spark handles the grouping —
+    the Python side only reduces one group's columns to one value. The
+    weighted mean accumulates as exact int64 cents·weight inside pandas
+    (same quantized-sum idiom as the JVM aggregates), so the single final
+    double division is bit-identical to the oracle's."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean_cents(cents: pd.Series, w: pd.Series) -> float:
+        num = int((cents.astype("int64") * w.astype("int64")).sum())
+        den = int(w.astype("int64").sum())
+        return num / (100.0 * den)
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+    return c.groupBy("c_mktsegment").agg(
+        weighted_mean_cents(cents, F.col("c_custkey")).alias("weighted_bal")
+    )

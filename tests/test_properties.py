@@ -470,3 +470,16 @@ def test_dynamic_session_covers_every_event(spark):
         starts = list(g.session_start)[1:]
         ends = list(g.session_end)[:-1]
         assert all(s >= e for s, e in zip(starts, ends))
+
+
+def test_hll_intersection_close_to_exact(spark):
+    """a20: inclusion-exclusion over HLL sketches must land near the exact
+    segment overlap (three ±2% sketches compose to a few percent)."""
+    from shadowcat_data_spark.operators.aggregates import hll_intersection
+
+    est = hll_intersection(spark, SF_DIR).collect()[0]
+    o = load_table(spark, SF_DIR, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    s = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    exact = f.join(s, "o_custkey", "left_semi").count()
+    assert abs(est.est_overlap - exact) / max(exact, 1) < 0.10
