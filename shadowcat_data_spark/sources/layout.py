@@ -157,3 +157,53 @@ def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_big = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
     assert n_big < n_small, (n_big, n_small)
     return spark.read.parquet(compacted)
+
+
+# ---------------------------------------------------------------------------
+# S16 — bucket pruning: equality filters read only the matching bucket
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s16_bucket_pruning",
+    oracle="""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_spend
+FROM orders WHERE o_custkey IN (7, 11)
+GROUP BY o_custkey
+""",
+    category="source",
+)
+def bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key lookup on a bucketed table: the IN filter on the bucketing
+    column scans ONLY the matching buckets (SelectedBucketsCount in the
+    plan — asserted in tests/test_plans.py) and the groupBy on the same
+    column needs NO shuffle — layout as both index and pre-partitioning,
+    zero auxiliary structures. (The aggregation is what keeps the scan
+    bucketed: Spark's planner falls back to a plain file scan when nothing
+    downstream exploits bucketing.) The complement of j11's shuffle-free
+    join — same write-time investment, two more payoffs."""
+    from ..operators.joins import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    table = f"o_bucket_prune_{tag}"
+    path = _scratch(sf_dir, "orders_bucketed_prune")
+    write_bucketed(o, table, "o_custkey", 16, path)
+    return (
+        spark.table(table)
+        .filter(F.col("o_custkey").isin(7, 11))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_spend"),
+        )
+    )

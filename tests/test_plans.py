@@ -378,3 +378,17 @@ def test_span_dedup_shuffle_count_is_bounded(spark):
     plan = _plan(span_dedup(spark, SF_DIR))
     # tree nodes only — "formatted" prints each operator again in the detail
     assert plan.count("+- Exchange") <= 2
+
+
+def test_bucket_pruning_selects_buckets(spark):
+    """s16: an IN filter on the bucket column must prune buckets at scan
+    (SelectedBucketsCount < total) — layout-as-index working."""
+    from shadowcat_data_spark.sources.layout import bucket_pruning
+
+    df = bucket_pruning(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan[:500]
