@@ -676,3 +676,35 @@ def bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shifted_up"),
         F.shiftright(k, 3).alias("shifted_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F18 — binary-to-text encodings (hex / base64 / radix conversion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f18_encodings",
+    oracle="""
+SELECT doc_id,
+       hex(doc_id) AS id_hex,
+       base64(encode(lang)) AS lang_b64,
+       CAST(length(lang) AS INTEGER) AS lang_rt_len
+FROM documents
+""",
+    category="function",
+)
+def encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hex / base64 / round-trip decode — the id-munging and payload-
+    embedding primitives (base64 is how binary multimodal payloads ride
+    inside JSON/text envelopes). unbase64∘base64 is verified by emitting
+    the decoded length against the source column."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.hex(F.col("doc_id")).alias("id_hex"),
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.length(
+            F.unbase64(F.base64(F.col("lang").cast("binary"))).cast("string")
+        ).alias("lang_rt_len"),
+    )

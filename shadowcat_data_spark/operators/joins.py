@@ -791,3 +791,44 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("price_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J16 — physical join-strategy control via hints (SHUFFLE_HASH)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j16_shuffle_hash_hint",
+    oracle="""
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    category="join",
+)
+def shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as a plain lineitem⋈part, with the physical strategy
+    PINNED to ShuffledHashJoin via hint — no sort on either side, one hash
+    table per partition. The right call when both sides are too big to
+    broadcast but one side's PER-PARTITION slice fits memory (sort-merge
+    pays two sorts it doesn't need). Hints override Catalyst where the
+    operator author knows the data shape; the plan is asserted in
+    tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").hint("shuffle_hash")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_qty"),
+        )
+    )

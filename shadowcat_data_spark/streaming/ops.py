@@ -828,3 +828,57 @@ def session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.end").alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# T16 — REAL multi-micro-batch aggregation (state merged across triggers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t16_multi_batch_agg",
+    oracle="""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS total_value
+FROM events GROUP BY 1, 2
+""",
+    category="streaming",
+)
+def multi_batch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-file fixtures arrive as ONE micro-batch, which makes most
+    streaming twins trivially batch-equal. This query forces FOUR
+    micro-batches (4-file copy of events + maxFilesPerTrigger=1) so the
+    daily aggregate's state is genuinely built up and merged across
+    triggers — the converged complete-mode table must STILL equal the
+    batch aggregate. Quantized sums make the cross-batch merge exactly
+    associative, same as the m10 incremental-maintenance argument (a
+    streaming agg IS incremental view maintenance run by the scheduler)."""
+    from ..session import load_table
+
+    src_dir = os.path.join(
+        tempfile.gettempdir(), "shadowcat_io",
+        os.path.basename(os.path.normpath(sf_dir)), "events_4files",
+    )
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        src_dir
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = stream.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long")).cast("double") / 1e6
+        ).alias("total_value"),
+    )
+    out = run_to_memory(agg, "t16_out", "complete")
+    return out.select(
+        F.col("window.start").alias("day"), "event_type", "n", "total_value"
+    )

@@ -392,3 +392,12 @@ def test_bucket_pruning_selects_buckets(spark):
 
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) < int(m.group(2)), plan[:500]
+
+
+def test_shuffle_hash_hint_pins_strategy(spark):
+    """j16: the hint must produce a ShuffledHashJoin (no sort-merge)."""
+    from shadowcat_data_spark.operators.joins import shuffle_hash_hint
+
+    plan = _plan(shuffle_hash_hint(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
