@@ -238,3 +238,48 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.countDistinct("media_id").alias("n_media"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MM — binaryFile ingest: raw media files → DataFrame with opaque payloads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_file_ingest",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS n_bytes,
+       sha256(sha256(text)) AS payload_sha
+FROM documents WHERE doc_id < 50
+""",
+    category="pipeline-multimodal",
+)
+def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real media-lake entry path: raw files on disk ingested with the
+    built-in ``binaryFile`` source (path, length, content as opaque bytes),
+    media id recovered from the file name, payload integrity proven by
+    hashing the bytes. Payloads are deterministic (hex sha256 of each doc's
+    text, 64 bytes), so the oracle recomputes the expected digest with SQL
+    alone. At 100 TB: binaryFile splits per FILE (content is one cell) —
+    keep shard files ≤ a few hundred MB and let maxPartitionBytes group
+    small ones; decode then rides mapInPandas (mm_decode_features)."""
+    import os as _os
+
+    from ..sources.io import _scratch
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    rows = d.select("doc_id", F.sha2("text", 256).alias("payload")).collect()
+    media_dir = _scratch(sf_dir, "media_files")
+    _os.makedirs(media_dir, exist_ok=True)
+    for r in rows:  # fixture synthesis, not the operator: write raw files
+        with open(_os.path.join(media_dir, f"media_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.payload.encode("ascii"))
+    files = spark.read.format("binaryFile").load(media_dir)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"media_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("payload_sha"),
+    )
