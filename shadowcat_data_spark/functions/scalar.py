@@ -708,3 +708,33 @@ def encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unbase64(F.base64(F.col("lang").cast("binary"))).cast("string")
         ).alias("lang_rt_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F19 — structured → JSON serialization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f19_to_json",
+    oracle="""
+SELECT doc_id,
+       CAST(to_json(struct_pack(lang := lang, len := n_chars)) AS VARCHAR) AS doc_json,
+       CAST(to_json([doc_id, n_chars]) AS VARCHAR) AS arr_json
+FROM documents
+""",
+    category="function",
+)
+def to_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/array → JSON text (the export half of f9's parse): both
+    engines emit identical compact JSON, so the serialization itself is
+    hash-checked. This is the envelope format for event emission and
+    API-facing exports."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("len"))
+        ).alias("doc_json"),
+        F.to_json(F.array(F.col("doc_id"), F.col("n_chars"))).alias("arr_json"),
+    )

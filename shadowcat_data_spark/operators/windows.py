@@ -430,3 +430,59 @@ def ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / F.sum("cents").over(w_all)).alias("share"),
         F.rank().over(w_rank).cast("long").alias("spend_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W12 — gaps and islands (longest consecutive-day streak)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w12_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+  FROM events
+), islands AS (
+  SELECT user_id, day,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS BIGINT)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len, MIN(day) AS streak_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       MIN(streak_start) AS first_day
+FROM streaks GROUP BY user_id
+""",
+    category="window",
+)
+def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days. The classic rewrite — day-ordinal minus row_number is constant
+    within a consecutive run — turns streak detection into a groupBy, no
+    self-join over gaps. Shuffles only (user, day) pairs (pre-distinct'd),
+    then everything stays keyed on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+            "long"
+        )
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.min("streak_start").alias("first_day"),
+    )

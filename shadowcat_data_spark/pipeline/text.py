@@ -873,3 +873,69 @@ def sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trace").rlike("vc*p").alias("converted"),
         F.size(F.regexp_extract_all("trace", F.lit("ee"), 0)).alias("n_error_bursts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L25 — bigram LM score (KenLM-style fluency proxy, corpus-trained)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l25_bigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t, ord FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS t,
+           UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS ord
+    FROM documents)
+  WHERE t <> ''
+), bg AS (
+  SELECT a.doc_id, a.t AS prev, b.t AS cur
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+), bg_counts AS (
+  SELECT prev, cur, COUNT(*) AS c_bg FROM bg GROUP BY prev, cur
+), uni_counts AS (
+  SELECT prev, SUM(c_bg) AS c_uni FROM bg_counts GROUP BY prev
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(FLOOR(ln(c_bg * 1.0 / c_uni) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS total_logprob
+FROM bg JOIN bg_counts USING (prev, cur) JOIN uni_counts USING (prev)
+GROUP BY doc_id
+""",
+    category="pipeline-text",
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram log-likelihood under the corpus's own bigram
+    model — the KenLM-style fluency proxy data pipelines use to rank text
+    quality (a doc of common transitions scores high; rare-transition word
+    salad scores low). Counts train and score in the same plan: bigram and
+    unigram-context counts aggregate once, broadcast-join back onto each
+    doc's bigrams, and each log term is quantized to integer micro-nats
+    BEFORE summing, so the per-doc total is exactly associative and
+    hash-matches the oracle despite float logs. All shuffles key on bigram
+    or doc_id — explode-count-join, nothing quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    bg_struct = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("prev"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("cur"),
+    )
+    bg = d.select("doc_id", F.explode(bg_struct).alias("b")).select(
+        "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    bg_counts = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni_counts = bg_counts.groupBy("prev").agg(F.sum("c_bg").alias("c_uni"))
+    term = F.floor(
+        F.log(F.col("c_bg") * 1.0 / F.col("c_uni")) * 1e6 + 0.5
+    ).cast("long")
+    return (
+        bg.join(bg_counts, ["prev", "cur"])
+        .join(uni_counts, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(term).cast("double") / 1e6).alias("total_logprob"),
+        )
+    )
