@@ -878,3 +878,54 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_n") / (F.col("total") / F.col("n_keys")), 6
         ).alias("skew_factor"),
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# M15 — orphan-file audit (directory listing vs commit manifest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m15_orphan_file_audit",
+    oracle="SELECT 'orphan_0001.jsonl' AS orphan_file, CAST(1 AS BIGINT) AS n_orphans",
+    category="maintenance",
+)
+def orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse vacuum precursor: list the table directory and
+    anti-join it against the commit manifest — files on disk that no
+    commit references (crashed writers, speculative task leftovers) are
+    orphans, safe to delete after a retention window. Listing rides the
+    binaryFile source (distributed, no driver os.walk at scale); the
+    manifest side is by definition small → broadcast. One deterministic
+    orphan is injected so the audit provably detects it."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.custom import _HAVE_PYDS, register_jsonl_sink
+
+    if not _HAVE_PYDS:
+        raise NotImplementedError("Python Data Source API requires PySpark 4+")
+    register_jsonl_sink(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_tempfile.gettempdir(), "shadowcat_jsonl_sink", f"{tag}_m15")
+    _shutil.rmtree(path, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation")
+    n.write.format("jsonlsink").option("path", path).mode("append").save()
+    with open(os.path.join(path, "orphan_0001.jsonl"), "w") as fh:  # crashed writer
+        fh.write('{"n_nationkey": 99}\n')
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    committed = spark.createDataFrame(
+        [(os.path.basename(m["path"]),) for m in manifest], "fname string"
+    )
+    listed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jsonl")
+        .load(path)
+        .select(F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"))
+    )
+    orphans = listed.join(F.broadcast(committed), "fname", "left_anti")
+    return orphans.select(F.col("fname").alias("orphan_file")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
