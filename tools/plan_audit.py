@@ -66,6 +66,7 @@ ALLOW = {
     # build side is a single row at any scale — constant-cost apply
     "l18_mixture_resample": {"BroadcastNestedLoopJoin"},
     "l23_length_band_filter": {"BroadcastNestedLoopJoin"},
+    "m15_orphan_file_audit": {"BroadcastNestedLoopJoin"},  # one-row count apply
     # the blocked-GEMM scale path IS the vectorized Python stage
     "l3d_blocked_gemm_topk": {"MapInPandas"},
     # polymorphic UDTF coverage — same Python table-function path as u5
