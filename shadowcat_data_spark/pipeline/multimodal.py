@@ -271,6 +271,9 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     rows = d.select("doc_id", F.sha2("text", 256).alias("payload")).collect()
     media_dir = _scratch(sf_dir, "media_files")
+    import shutil as _shutil
+
+    _shutil.rmtree(media_dir, ignore_errors=True)  # stale files would ingest
     _os.makedirs(media_dir, exist_ok=True)
     for r in rows:  # fixture synthesis, not the operator: write raw files
         with open(_os.path.join(media_dir, f"media_{r.doc_id}.bin"), "wb") as f:

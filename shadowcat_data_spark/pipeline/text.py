@@ -666,7 +666,8 @@ _SPAN = 10
     "l21_span_dedup",
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
 ), spans AS (
   SELECT doc_id, CAST(j AS INTEGER) AS span_idx,
          array_to_string(list_slice(toks, j * {_SPAN} + 1, j * {_SPAN} + {_SPAN}), ' ')
@@ -698,16 +699,21 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc reassembly; the span window partitions by span_text, so
     hot spans (boilerplate) skew-split under AQE at scale."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # empties dropped BEFORE spanning (both sides): span_text can then never
+    # be '', so the nullif below is unambiguous; zero-token docs produce no
+    # spans at all (matching the oracle's empty generate_series)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     n_spans = F.ceil(F.size(toks) / float(_SPAN)).cast("int")
+    span_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda j: F.array_join(F.slice(toks, j * _SPAN + 1, _SPAN), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     spans = d.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda j: F.array_join(F.slice(toks, j * _SPAN + 1, _SPAN), " "),
-            )
-        ).alias("span_idx", "span_text"),
+        F.posexplode(span_arr).alias("span_idx", "span_text"),
     )
     w = W.partitionBy("span_text").orderBy("doc_id", "span_idx")
     ranked = spans.withColumn("occurrence", F.row_number().over(w))
@@ -745,14 +751,16 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l22_char_entropy",
     oracle="""
 WITH chars AS (
-  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+  SELECT doc_id, ch FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  WHERE ch <> ''
 ), freq AS (
   SELECT doc_id, ch, COUNT(*) AS n,
          COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS p
   FROM chars GROUP BY doc_id, ch
 )
 SELECT doc_id,
-       round(-SUM(p * log2(p)), 6) AS entropy_bits,
+       round(-SUM(p * log2(p)), 6) + 0.0 AS entropy_bits,
        CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
 FROM freq GROUP BY doc_id
 """,
@@ -765,7 +773,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles key on doc_id so the plan stays one exchange. Rounded to 6dp:
     the p·log2 p sum order differs between engines."""
     d = load_table(spark, sf_dir, "documents")
-    chars = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+    # empty-text guard: Spark split('','') yields [''], DuckDB yields [] —
+    # dropping '' chars makes both engines skip empty documents
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
     freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
     wdoc = W.partitionBy("doc_id")
     p = F.col("n") / F.sum("n").over(wdoc)
@@ -773,7 +785,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.withColumn("p", p)
         .groupBy("doc_id")
         .agg(
-            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"),
+            # +0.0 normalizes IEEE -0.0 (single-char-class docs) to 0.0 on
+            # both engines — the comparator stringifies the sign
+            (F.round(-F.sum(F.col("p") * F.log2("p")), 6) + F.lit(0.0)).alias(
+                "entropy_bits"
+            ),
             F.count(F.lit(1)).alias("n_distinct_chars"),
         )
     )
@@ -884,7 +900,9 @@ def sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l25_bigram_logprob",
     oracle="""
 WITH tok AS (
-  SELECT doc_id, t, ord FROM (
+  SELECT doc_id, t,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) AS ord
+  FROM (
     SELECT doc_id, UNNEST(string_split(text, ' ')) AS t,
            UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS ord
     FROM documents)
@@ -917,10 +935,14 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the oracle despite float logs. All shuffles key on bigram
     or doc_id — explode-count-join, nothing quadratic."""
     d = load_table(spark, sf_dir, "documents")
+    # bigrams over the CLEANED token sequence (empties removed first) on
+    # both sides; greatest(...,0) keeps slice legal for 0/1-token docs,
+    # which then simply contribute no bigrams
     toks = F.filter(F.split("text", " "), lambda t: t != "")
+    bg_len = F.greatest(F.size(toks) - 1, F.lit(0))
     bg_struct = F.arrays_zip(
-        F.slice(toks, 1, F.size(toks) - 1).alias("prev"),
-        F.slice(toks, 2, F.size(toks) - 1).alias("cur"),
+        F.slice(toks, 1, bg_len).alias("prev"),
+        F.slice(toks, 2, bg_len).alias("cur"),
     )
     bg = d.select("doc_id", F.explode(bg_struct).alias("b")).select(
         "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")

@@ -792,9 +792,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     restatement primitive at 100 TB: overwrite cost ∝ restated partitions,
     never the table. The per-write option (not the global conf) scopes the
     behavior to this writer."""
-    import os as _os
-
-    from ..sources.io import _SCRATCH
+    from ..sources.io import _scratch
 
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
@@ -803,7 +801,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = daily.withColumn("rebuilt", F.lit(0)).withColumn(
         "day_key", F.date_format("day", "yyyy-MM-dd")
     )
-    path = _os.path.join(_SCRATCH, _os.path.basename(_os.path.normpath(sf_dir)), "m13_daily")
+    path = _scratch(sf_dir, "m13_daily")
     base.write.mode("overwrite").partitionBy("day_key").parquet(path)
     # restate ONE day: dynamic mode touches only the partitions in the frame
     restated = base.filter(F.col("day_key") == "2024-01-05").withColumn(
@@ -926,6 +924,8 @@ def orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"))
     )
     orphans = listed.join(F.broadcast(committed), "fname", "left_anti")
-    return orphans.select(F.col("fname").alias("orphan_file")).crossJoin(
-        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    # one pass: total via empty-frame window, not a second listing+anti-join
+    return orphans.select(
+        F.col("fname").alias("orphan_file"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_orphans"),
     )

@@ -69,6 +69,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_kind == "bigint":  # raw nanos → truncate to µs (integer DIV: no fp loss)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if ts_kind.startswith("timestamp_ntz"):
+        # same wall-time guard as load_table: the NTZ→TZ cast is only
+        # faithful under a UTC session TZ, and ensure_session is best-effort
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"events.ts is TIMESTAMP_NTZ but session timeZone={tz!r}; "
+                "set spark.sql.session.timeZone=UTC or stream wall-times shift"
+            )
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
@@ -856,11 +864,9 @@ def multi_batch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative, same as the m10 incremental-maintenance argument (a
     streaming agg IS incremental view maintenance run by the scheduler)."""
     from ..session import load_table
+    from ..sources.io import _scratch
 
-    src_dir = os.path.join(
-        tempfile.gettempdir(), "shadowcat_io",
-        os.path.basename(os.path.normpath(sf_dir)), "events_4files",
-    )
+    src_dir = _scratch(sf_dir, "events_4files")
     load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
         src_dir
     )

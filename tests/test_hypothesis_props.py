@@ -200,13 +200,18 @@ def test_span_dedup_matches_reference(spark, docs):
 
     rows = [(i, " ".join(toks), "en", "src0", len(" ".join(toks))) for i, toks in enumerate(docs)]
 
-    # reference
+    # reference: seen updates span-by-span, so an intra-doc repeat of the
+    # same span is ALSO a duplicate (matches the impl's global first-
+    # occurrence ordering by (doc_id, span_idx))
     seen: set[str] = set()
     ref: dict[int, tuple[int, int, str | None]] = {}
     for i, toks in enumerate(docs):
         spans = [" ".join(toks[j : j + _SPAN]) for j in range(0, len(toks), _SPAN)]
-        kept = [s for s in spans if s not in seen]
-        seen.update(spans)
+        kept = []
+        for s in spans:
+            if s not in seen:
+                kept.append(s)
+                seen.add(s)
         ref[i] = (len(spans), len(kept), " ".join(kept) if kept else None)
 
     import os, tempfile

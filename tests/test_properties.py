@@ -483,3 +483,49 @@ def test_hll_intersection_close_to_exact(spark):
     s = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
     exact = f.join(s, "o_custkey", "left_semi").count()
     assert abs(est.est_overlap - exact) / max(exact, 1) < 0.10
+
+
+def test_text_ops_survive_dirty_corpus(spark):
+    """Parity holds on the inputs the fixtures never exercise: double
+    spaces, empty text, space-only text, intra-doc duplicate spans,
+    one-token docs (no bigrams), single-char-class entropy (-0.0)."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from shadowcat_data_spark import registry
+    from shadowcat_data_spark.compare import compare_frames
+    from shadowcat_data_spark.pipeline.text import (
+        bigram_logprob,
+        char_entropy,
+        span_dedup,
+    )
+
+    specs = registry.load_all()
+    dirty = [
+        (0, "a  b", "en", "src0", 4),
+        (1, "", "en", "src0", 0),
+        (2, " ", "en", "src0", 1),
+        (3, " ".join(["aa"] * 20), "en", "src0", 59),
+        (4, "x", "en", "src0", 1),
+        (5, "hello world foo bar", "en", "src0", 19),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            dirty, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        for name, fn in [
+            ("l21_span_dedup", span_dedup),
+            ("l22_char_entropy", char_entropy),
+            ("l25_bigram_logprob", bigram_logprob),
+        ]:
+            res = compare_frames(
+                name, fn(spark, tmp).toPandas(), con.sql(specs[name].oracle).df()
+            )
+            assert res.ok, f"{name}: {res.detail}"
