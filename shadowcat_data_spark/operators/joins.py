@@ -832,3 +832,52 @@ def shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J17 — null-safe equi-join (NULL keys match NULL keys)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j17_null_safe_join",
+    oracle="""
+WITH l AS (
+  SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_custkey % 50 END AS k
+  FROM orders
+), r AS (
+  SELECT CASE WHEN g % 5 = 0 THEN NULL ELSE g END AS k,
+         'grp_' || CAST(g AS VARCHAR) AS label
+  FROM (SELECT UNNEST(generate_series(0, 49)) AS g)
+)
+SELECT l.o_orderkey, r.label
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+""",
+    category="join",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics a dimension
+    lookup with an explicit 'unknown' bucket needs. Still plans as a hash
+    join (null-safe equality is an equi-key after null boxing), not a
+    nested loop; a plain = join silently drops the NULL population, the
+    classic reconciliation bug this operator exists to avoid."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+    )
+    right = (
+        load_table(spark, sf_dir, "orders")
+        .sparkSession.range(0, 50)
+        .select(
+            F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("rk"),
+            F.concat(F.lit("grp_"), F.col("id").cast("string")).alias("label"),
+        )
+    )
+    return left.join(
+        F.broadcast(right), left["k"].eqNullSafe(right["rk"]), "inner"
+    ).select("o_orderkey", "label")

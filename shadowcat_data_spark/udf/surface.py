@@ -416,3 +416,35 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         weighted_mean_cents(cents, F.col("c_custkey")).alias("weighted_bal")
     )
+
+
+# ---------------------------------------------------------------------------
+# U10 — SCALAR_ITER pandas UDF (amortized per-worker initialization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u10_iterator_pandas_udf",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) % 97 + 29 AS BIGINT) AS scored
+FROM documents
+""",
+    category="udf",
+)
+def iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF: the expensive 'model load' runs ONCE
+    per Python worker, then every Arrow batch streams through it — the
+    shape for tokenizer/model scoring where per-batch init would dominate.
+    The stub model is integer arithmetic so the oracle is exact; swap
+    `init_model` for a real tokenizer load and nothing else moves."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model_bias = 29  # init_model(): runs once per worker, not per batch
+        for texts in batches:
+            yield texts.str.len().astype("int64") % 97 + model_bias
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", score(F.col("text")).alias("scored"))
