@@ -49,6 +49,7 @@ ALLOW = {
     # UDF-surface coverage queries exist to exercise the Python paths
     "u1_pandas_udf": {"ArrowEvalPython"},
     "u7_arrow_scalar_udf": {"ArrowEvalPython"},
+    "u10_iterator_pandas_udf": {"ArrowEvalPython"},
     "u2_apply_in_pandas": {"FlatMapGroupsInPandas"},
     "u3_map_in_pandas": {"MapInPandas"},
     "u6_map_in_arrow": {"MapInArrow"},
