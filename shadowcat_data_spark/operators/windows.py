@@ -486,3 +486,48 @@ def gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak_len").cast("long").alias("n_active_days"),
         F.min("streak_start").alias("first_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W13 — running peak and drawdown
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w13_drawdown",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(MAX(v_micro) OVER w AS DOUBLE) / 1000000.0 AS peak,
+       CAST(MAX(v_micro) OVER w - v_micro AS DOUBLE) / 1000000.0 AS drawdown
+FROM seq
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    category="window",
+)
+def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak + drawdown-from-peak per user — the monitoring/finance
+    staple (how far below its historical max is the series right now).
+    One running-max window over quantized micro-units keeps the subtraction
+    exact; ordering carries the unique event_id tiebreaker per the w4
+    rule."""
+    e = load_table(spark, sf_dir, "events")
+    v_micro = F.floor(F.col("value") * 1e6 + 0.5).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    seq = e.select("user_id", "event_id", "ts", v_micro.alias("v_micro"))
+    peak = F.max("v_micro").over(w)
+    return seq.select(
+        "user_id",
+        "event_id",
+        (peak.cast("double") / 1e6).alias("peak"),
+        ((peak - F.col("v_micro")).cast("double") / 1e6).alias("drawdown"),
+    )

@@ -961,3 +961,60 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(term).cast("double") / 1e6).alias("total_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L26 — tokenizer vocab coverage (OOV rate against the corpus top-K vocab)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 500
+
+
+@query(
+    "l26_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+), vocab AS (
+  SELECT t FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, t) <= {_VOCAB_K}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE vocab.t IS NOT NULL) AS BIGINT) AS n_in_vocab,
+       CAST(COUNT(*) FILTER (WHERE vocab.t IS NULL) AS DOUBLE) / COUNT(*) AS oov_ratio
+FROM tok LEFT JOIN vocab USING (t)
+GROUP BY doc_id
+""",
+    category="pipeline-text",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own top-K
+    token vocabulary — the coverage check run before freezing a tokenizer
+    (high OOV docs either get transliterated or the vocab grows). The
+    vocab is deterministic (count desc, token asc tie-break); it is
+    corpus-bounded-small by construction → broadcast left join, and the
+    token stats reuse the same explode→count shuffle shape as tf-idf."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("t")).filter(F.col("t") != "")
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy(F.col("c").desc(), "t")
+    vocab = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).cast("long").alias("n_in_vocab"),
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_ratio"),
+        )
+    )
