@@ -708,3 +708,34 @@ def hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ALL").cast("long").alias("est_union"),
         (F.col("F") + F.col("O") - F.col("ALL")).cast("long").alias("est_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A21 — product aggregate (composed: exp of an exact log-sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a21_log_product",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(ln(1.0 + l_discount) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS log_product,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def log_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product aggregate for engines without one: Π(1+discount) per group
+    computed as Σ ln(1+x), with each log quantized to integer micro-nats
+    BEFORE summing — the compounding-factor (returns/interest) aggregate,
+    made exactly associative (raw double log-sums drift with partial-merge
+    order). Emitted in log space; exp() is a display decision, and staying
+    in logs avoids overflow at any group size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    term = F.floor(F.log(F.lit(1.0) + F.col("l_discount")) * 1e6 + 0.5).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(term).cast("double") / 1e6).alias("log_product"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -929,3 +929,51 @@ def orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fname").alias("orphan_file"),
         F.count(F.lit(1)).over(W.partitionBy()).alias("n_orphans"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M16 — partition-size report (the small-file diagnosis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m16_partition_size_report",
+    oracle="""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1
+""",
+    category="maintenance",
+)
+def partition_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition file census over a day-partitioned table:
+    input_file_name() grouped by partition gives files-per-partition and
+    rows-per-partition in one scan — the report that catches small-file
+    explosions before they throttle a 100 TB scan (the fix being s9's
+    compaction). The fixture layout is written with one file per day, so
+    the expected census is deterministic and oracle-checkable; in
+    production the same query runs unmodified and the numbers are the
+    finding."""
+    from ..sources.io import _scratch
+
+    e = load_table(spark, sf_dir, "events")
+    path = _scratch(sf_dir, "m16_daily_events")
+    (
+        e.withColumn("day_key", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .repartition("day_key")
+        .coalesce(32)
+        .write.mode("overwrite")
+        .partitionBy("day_key")
+        .parquet(path)
+    )
+    # input_file_name() is non-deterministic to the analyzer: materialize it
+    # as a projection column first, then aggregate over the column
+    back = spark.read.parquet(path).withColumn("fname", F.input_file_name())
+    return (
+        back.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("fname").cast("long").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
