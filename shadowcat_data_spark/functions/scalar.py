@@ -738,3 +738,39 @@ def to_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_json"),
         F.to_json(F.array(F.col("doc_id"), F.col("n_chars"))).alias("arr_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F20 — field extraction: split_part / left / right
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f20_split_part",
+    oracle="""
+SELECT doc_id,
+       split_part(source || ':' || lang || ':' || CAST(doc_id AS VARCHAR), ':', 1)
+         AS part_source,
+       split_part(source || ':' || lang || ':' || CAST(doc_id AS VARCHAR), ':', 2)
+         AS part_lang,
+       left(source, 3) AS src_prefix,
+       right(lang, 1) AS lang_last
+FROM documents
+""",
+    category="function",
+)
+def split_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-field extraction without regex: split_part picks the Nth
+    field directly (the log/URI field-grab idiom) and left/right take
+    fixed-width affixes — all identical semantics across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    composite = F.concat(
+        F.col("source"), F.lit(":"), F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")
+    )
+    return d.select(
+        "doc_id",
+        F.split_part(composite, F.lit(":"), F.lit(1)).alias("part_source"),
+        F.split_part(composite, F.lit(":"), F.lit(2)).alias("part_lang"),
+        F.left(F.col("source"), F.lit(3)).alias("src_prefix"),
+        F.right(F.col("lang"), F.lit(1)).alias("lang_last"),
+    )

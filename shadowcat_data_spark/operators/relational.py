@@ -462,3 +462,40 @@ def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old_batch.unionByName(new_batch, allowMissingColumns=True).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+
+
+# ---------------------------------------------------------------------------
+# O9 — explode_outer: 1→N expansion that KEEPS empty/null parents
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o9_explode_outer",
+    oracle="""
+WITH src AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL
+              ELSE string_split(n_name, 'A') END AS pieces
+  FROM nation
+)
+SELECT n_nationkey, piece FROM (
+  SELECT n_nationkey, UNNEST(pieces) AS piece FROM src WHERE pieces IS NOT NULL
+  UNION ALL
+  SELECT n_nationkey, NULL FROM src WHERE pieces IS NULL
+)
+""",
+    category="relational",
+)
+def explode_outer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: the 1→N expansion that PRESERVES parents whose array
+    is NULL (as a single null-valued row) instead of dropping them — the
+    difference between 'docs with no chunks vanish' and 'docs with no
+    chunks are visibly empty' in downstream joins. The oracle desugars it
+    as unnest ∪ null-parents, which is exactly what inner explode forgets."""
+    n = load_table(spark, sf_dir, "nation")
+    pieces = F.when(F.col("n_nationkey") % 5 == 0, None).otherwise(
+        F.split(F.col("n_name"), "A")
+    )
+    return n.select(
+        "n_nationkey", F.explode_outer(pieces).alias("piece")
+    )
