@@ -695,9 +695,15 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first occurrence by (doc_id, span_idx) wins), and reassemble the kept
     text per doc. This is the paragraph-level dedup a CCNet-style pipeline
     runs before training — the unit is a span because the fixture corpus
-    has no sentence boundaries. One explode + one span-hash shuffle +
-    one per-doc reassembly; the span window partitions by span_text, so
-    hot spans (boilerplate) skew-split under AQE at scale."""
+    has no sentence boundaries.
+
+    Skew design: "first occurrence" is computed with a partial-aggregable
+    ``min(struct(doc_id, span_idx))`` groupBy rather than a ``row_number``
+    window over span_text — a window partition cannot be split across
+    tasks, so one boilerplate span seen millions of times would straggle
+    a single task, while map-side partial aggregation collapses a hot
+    span to one row per input partition before the shuffle. The join back
+    on span_text is an equi-join, so AQE's skew-join split applies there."""
     d = load_table(spark, sf_dir, "documents")
     # empties dropped BEFORE spanning (both sides): span_text can then never
     # be '', so the nullif below is unambiguous; zero-token docs produce no
@@ -715,11 +721,17 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(span_arr).alias("span_idx", "span_text"),
     )
-    w = W.partitionBy("span_text").orderBy("doc_id", "span_idx")
-    ranked = spans.withColumn("occurrence", F.row_number().over(w))
+    firsts = spans.groupBy("span_text").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first_occ")
+    )
+    ranked = spans.join(firsts, "span_text").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("span_idx") == F.col("first_occ.span_idx")),
+    )
     return ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.when(F.col("occurrence") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).cast("long").alias("n_kept"),
         # nullif: a doc whose every span is a dup must yield NULL like the
         # oracle's filtered string_agg (spans are non-empty, so '' ⇔ none kept)
         F.nullif(
@@ -728,7 +740,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("occurrence") == 1,
+                                F.col("is_first"),
                                 F.struct("span_idx", "span_text"),
                             )
                         )
@@ -808,7 +820,7 @@ WITH bounds AS (
          percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
   FROM documents
 )
-SELECT doc_id, lang, n_chars, p5, p95
+SELECT doc_id, lang, n_chars, ROUND(p5, 6) AS p5, ROUND(p95, 6) AS p95
 FROM documents, bounds
 WHERE n_chars >= p5 AND n_chars <= p95
 """,
@@ -820,7 +832,13 @@ def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles), not hardcoded. The one-row bounds aggregate is broadcast
     into the filter, so the corpus is scanned twice but shuffled never —
     at 100 TB swap the exact percentile for percentile_approx and the
-    second scan reuses cached/columnar input."""
+    second scan reuses cached/columnar input.
+
+    The FILTER compares against the raw interpolated percentiles, but the
+    OUTPUT p5/p95 columns are rounded to 6 dp at the boundary (repo
+    convention for cross-engine doubles): relying on Spark's Percentile
+    and DuckDB's percentile_cont agreeing to the last bit of interpolation
+    arithmetic would be fragile."""
     d = load_table(spark, sf_dir, "documents")
     bounds = d.agg(
         F.percentile(F.col("n_chars"), F.lit(0.05)).alias("p5"),
@@ -829,7 +847,13 @@ def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.crossJoin(F.broadcast(bounds))
         .filter((F.col("n_chars") >= F.col("p5")) & (F.col("n_chars") <= F.col("p95")))
-        .select("doc_id", "lang", "n_chars", "p5", "p95")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("p5", 6).alias("p5"),
+            F.round("p95", 6).alias("p95"),
+        )
     )
 
 

@@ -959,10 +959,14 @@ def partition_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     path = _scratch(sf_dir, "m16_daily_events")
+    # repartition("day_key") alone gives the one-file-per-day layout the
+    # oracle expects: each day_key hashes to exactly one shuffle partition,
+    # so each day directory is written by exactly one task (no coalesce —
+    # a fixed-width coalesce would cap write parallelism at any cluster
+    # size and tie the fixture layout to a magic number).
     (
         e.withColumn("day_key", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
         .repartition("day_key")
-        .coalesce(32)
         .write.mode("overwrite")
         .partitionBy("day_key")
         .parquet(path)
