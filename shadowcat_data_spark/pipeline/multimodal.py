@@ -245,6 +245,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ensure_media_fixture(spark: SparkSession, sf_dir: str, n_docs: int = 50) -> str:
+    """Scratch-FIXTURE synthesis (not part of the operator): materialize one
+    raw ``media_<doc_id>.bin`` file per document (payload = hex sha256 of
+    its text) for the ``binaryFile`` ingest query to read. Driver-side by
+    nature — it plays the role of the external system that produced the
+    files — and idempotent: an existing directory with the expected file
+    count is reused so repeated query runs don't re-synthesize."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.io import _scratch
+
+    media_dir = _scratch(sf_dir, "media_files")
+    try:
+        if len(_os.listdir(media_dir)) == n_docs:
+            return media_dir
+    except FileNotFoundError:
+        pass
+    _shutil.rmtree(media_dir, ignore_errors=True)  # stale files would ingest
+    _os.makedirs(media_dir, exist_ok=True)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
+    for r in d.select("doc_id", F.sha2("text", 256).alias("payload")).collect():
+        with open(_os.path.join(media_dir, f"media_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.payload.encode("ascii"))
+    return media_dir
+
+
 @query(
     "mm_binary_file_ingest",
     oracle="""
@@ -264,20 +291,7 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone. At 100 TB: binaryFile splits per FILE (content is one cell) —
     keep shard files ≤ a few hundred MB and let maxPartitionBytes group
     small ones; decode then rides mapInPandas (mm_decode_features)."""
-    import os as _os
-
-    from ..sources.io import _scratch
-
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    rows = d.select("doc_id", F.sha2("text", 256).alias("payload")).collect()
-    media_dir = _scratch(sf_dir, "media_files")
-    import shutil as _shutil
-
-    _shutil.rmtree(media_dir, ignore_errors=True)  # stale files would ingest
-    _os.makedirs(media_dir, exist_ok=True)
-    for r in rows:  # fixture synthesis, not the operator: write raw files
-        with open(_os.path.join(media_dir, f"media_{r.doc_id}.bin"), "wb") as f:
-            f.write(r.payload.encode("ascii"))
+    media_dir = _ensure_media_fixture(spark, sf_dir)
     files = spark.read.format("binaryFile").load(media_dir)
     return files.select(
         F.regexp_extract(F.col("path"), r"media_(\d+)\.bin$", 1)

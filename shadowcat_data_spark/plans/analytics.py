@@ -792,10 +792,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-integer (rank ×1e6, per-edge contribution ``(85*r) div
     (100*outdeg)``), so partial-sum merge order can't flip a single bit:
     the same query is exact on any cluster AND oracle-checkable, unlike a
-    floating-point PageRank. Per iteration: one broadcast-sized join to
-    ranks + one groupBy(dst) shuffle; edges/deg are computed once and
-    reused. On a cluster, cache edges+deg and cut lineage each iteration
-    (checkpoint) exactly as pipeline.dedup.connected_components does."""
+    floating-point PageRank. Per iteration: one join to ranks + one
+    groupBy(dst) shuffle. Lineage discipline matches
+    ``pipeline.dedup.connected_components``: the edge⋈degree relation and
+    the node list are localCheckpoint-ed ONCE (so no iteration re-derives
+    the lineitem⋈orders subtree), and ranks are localCheckpoint-ed per
+    iteration so the plan stays constant-size at any ``_PR_ITERS`` (on a
+    cluster: ``checkpoint`` to durable storage instead)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -809,22 +812,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("(85 * r) div (100 * outdeg)")).alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (F.lit(150000) + F.coalesce(F.col("contrib"), F.lit(0)))
-            .cast("long")
-            .alias("r"),
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(150000) + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
         )
     return ranks
 

@@ -401,3 +401,22 @@ def test_shuffle_hash_hint_pins_strategy(spark):
     plan = _plan(shuffle_hash_hint(spark, SF_DIR))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_plan_constant_across_iterations(spark):
+    """graph_pagerank must localCheckpoint per iteration (like
+    connected_components): the optimized plan of the returned ranks is a
+    constant-size checkpointed relation, not a tree that grows with
+    _PR_ITERS — the lineage blow-up that kills iterative DataFrame loops."""
+    import shadowcat_data_spark.plans.analytics as A
+
+    def plan_lines(iters):
+        orig = A._PR_ITERS
+        A._PR_ITERS = iters
+        try:
+            df = A.graph_pagerank(spark, SF_DIR)
+            return len(df._jdf.queryExecution().optimizedPlan().toString().splitlines())
+        finally:
+            A._PR_ITERS = orig
+
+    assert plan_lines(2) == plan_lines(6)
