@@ -81,9 +81,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, name: str, mode: str, progress_out: list | None = None
+) -> DataFrame:
     """Drive a streaming query to completion against the static input and
-    return the memory-sink table."""
+    return the memory-sink table. If ``progress_out`` is given, the query's
+    final progress dict is appended to it — consumers can read the
+    engine's own metadata (e.g. ``eventTime.watermark``) instead of
+    re-scanning the input to reconstruct it."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.outputMode(mode)
@@ -93,6 +98,8 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.append(q.lastProgress)
     finally:
         q.stop()
     return spark.table(name)
@@ -627,22 +634,22 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     ).select("click_id", "purchase_id", "click_ts")
-    out = run_to_memory(joined, "t12_out", "append")
-    from ..session import load_table as _lt
-
-    e = _lt(spark, sf_dir, "events")
-    cut = (
-        e.filter(F.col("event_type") == "click")
-        .agg(F.max("ts").alias("mc"))
-        .crossJoin(
-            e.filter(F.col("event_type") == "purchase").agg(F.max("ts").alias("mp"))
-        )
-        .select(F.least("mc", "mp").alias("m"))
-        .collect()[0]["m"]
-    )
+    progress: list = []
+    out = run_to_memory(joined, "t12_out", "append", progress_out=progress)
+    # The cutoff comes from the stream's OWN final watermark (progress
+    # metadata) — no extra batch pass over the input. The global watermark
+    # is min over inputs of (max event ts − 1 h delay), i.e. cut − 1 h for
+    # the batch formulation min(max_click, max_purchase) − 3 h ⇒ watermark
+    # − 2 h.
     import datetime
 
-    cutoff = cut - datetime.timedelta(hours=3)
+    wm_str = progress[0]["eventTime"]["watermark"]
+    wm = (
+        datetime.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
+        .astimezone(datetime.timezone.utc)
+        .replace(tzinfo=None)
+    )
+    cutoff = wm - datetime.timedelta(hours=2)
     return out.filter(F.col("click_ts") <= F.lit(cutoff)).select(
         "click_id", "purchase_id"
     )
