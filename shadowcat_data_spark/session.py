@@ -52,10 +52,16 @@ _DYNAMIC_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # JVM↔Python Arrow transfer: the 10k default pays per-batch overhead
-    # ~6× more often than needed on narrow rows; 64k keeps batch memory
-    # bounded (rows × row-width per worker) while ~20% faster on the
-    # pandas-UDF path. Wide/binary rows (multimodal) should lower this.
+    # ~6× more often than needed on narrow rows; 64k keeps the pandas-UDF
+    # path ~20% faster. The RECORD cap alone would be wrong for wide rows
+    # (65536 × a 1 MB media payload = 64 GB batches), so the BYTES cap
+    # below is the binding bound there: Spark slices every Arrow batch at
+    # min(records, bytes), which makes the per-batch row count adapt to
+    # row width automatically — multimodal binary rows arrive in ~32-row
+    # batches while narrow rows still fill 65536
+    # (tests/test_properties.py::test_arrow_batches_bytes_bounded).
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(32 * 1024 * 1024),
 }
 
 

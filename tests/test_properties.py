@@ -529,3 +529,22 @@ def test_text_ops_survive_dirty_corpus(spark):
                 name, fn(spark, tmp).toPandas(), con.sql(specs[name].oracle).df()
             )
             assert res.ok, f"{name}: {res.detail}"
+
+
+def test_arrow_batches_bytes_bounded(spark):
+    """The Arrow bytes cap (session.py _DYNAMIC_CONFS) must bound batch
+    memory on WIDE rows: 1 MB binary payloads may not arrive 65536 rows at
+    a time — the per-batch row count has to shrink to ~cap/row_width. This
+    is the memory guarantee the multimodal mapInPandas path relies on."""
+    import pandas as pd
+
+    cap = int(spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch").rstrip("b"))
+    row_bytes = 1 << 20
+    df = spark.range(128).selectExpr("id", f"repeat('x', {row_bytes}) AS payload")
+
+    def probe(it):
+        for b in it:
+            yield pd.DataFrame({"batch_rows": [len(b)]})
+
+    sizes = df.repartition(2).mapInPandas(probe, "batch_rows long").toPandas()
+    assert sizes.batch_rows.max() <= cap // row_bytes + 1, sizes.batch_rows.max()
