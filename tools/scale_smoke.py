@@ -1,0 +1,182 @@
+"""sf1 scale smoke (VERDICT r02 item 6): synthesize ~10× the sf0.1 fixtures,
+run the 12 headline bench queries, and assert the task-level scale
+invariants the sf0.1 bench cannot see — no large stage collapsing to a
+single task (packing/partitioning cliff) and bounded peak task time
+(skew cliff).
+
+Synthesis: each table is 10 disjoint replicas of its sf0.1 self, with every
+key column offset by copy_i * 10_000_000. Offsetting keeps each replica's
+join graph closed, so query result sizes scale ~linearly (duplicating keys
+verbatim would square join fan-outs instead). Timestamps are untouched —
+10× the events per time window is exactly what a bigger deployment looks
+like. Output is resharded to SHARDS files per table so scans start from a
+multi-file layout, not the single-file fixture.
+
+Run:  python tools/scale_smoke.py            # synthesizes if needed, runs smoke
+      python tools/scale_smoke.py --resynth  # force re-synthesis
+Prints one JSON line (queries, per-query max task seconds, violations) and
+exits non-zero on an invariant violation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+SRC_SF = "/root/testdata/sf0.1"
+OUT_DIR = os.path.join(tempfile.gettempdir(), "shadowcat_io", "sf1_smoke")
+EVENTLOG_DIR = os.path.join(tempfile.gettempdir(), "shadowcat_io", "sf1_eventlog")
+COPIES = 10
+OFFSET = 10_000_000
+SHARDS = 32
+
+# every int64 key-domain column per table (offset per copy so each replica's
+# join graph stays closed and disjoint from the others)
+KEY_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# task-level invariants: a stage moving this much data must parallelize,
+# and no task may run away (skew straggler)
+BIG_STAGE_BYTES = 512 * 1024 * 1024
+MIN_TASKS_FOR_BIG_STAGE = 8
+MAX_TASK_SECONDS = 120.0
+
+
+def synthesize(spark: SparkSession, force: bool = False) -> None:
+    for table, keys in KEY_COLS.items():
+        dst = os.path.join(OUT_DIR, f"{table}.parquet")
+        if not force and os.path.isdir(dst):
+            continue
+        src = spark.read.parquet(os.path.join(SRC_SF, f"{table}.parquet"))
+        copies = []
+        for i in range(COPIES):
+            c = src
+            for k in keys:
+                c = c.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast(src.schema[k].dataType))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(SHARDS).write.mode("overwrite").parquet(dst)
+        print(f"[synth] {table}: {out.count()} rows -> {dst}", file=sys.stderr)
+
+
+def parse_eventlog() -> tuple[dict[int, dict], list[str]]:
+    """Aggregate task metrics per stage from the newest event log."""
+    logs = sorted(
+        (
+            os.path.join(EVENTLOG_DIR, f)
+            for f in os.listdir(EVENTLOG_DIR)
+            if os.path.isfile(os.path.join(EVENTLOG_DIR, f))
+            and not f.endswith(".inprogress")
+        ),
+        key=os.path.getmtime,
+    )
+    stages: dict[int, dict] = {}
+    with open(logs[-1]) as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if ev.get("Event") == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                info = ev.get("Task Info", {})
+                dur = (info.get("Finish Time", 0) - info.get("Launch Time", 0)) / 1000.0
+                m = ev.get("Task Metrics") or {}
+                in_b = (m.get("Input Metrics") or {}).get("Bytes Read", 0)
+                sh_b = sum(
+                    (m.get("Shuffle Read Metrics") or {}).get(k, 0)
+                    for k in ("Remote Bytes Read", "Local Bytes Read")
+                )
+                s = stages.setdefault(sid, {"n_tasks": 0, "bytes": 0, "max_task_s": 0.0})
+                s["n_tasks"] += 1
+                s["bytes"] += in_b + sh_b
+                s["max_task_s"] = max(s["max_task_s"], dur)
+    violations = []
+    for sid, s in stages.items():
+        if s["bytes"] >= BIG_STAGE_BYTES and s["n_tasks"] < MIN_TASKS_FOR_BIG_STAGE:
+            violations.append(
+                f"stage {sid}: {s['bytes'] >> 20} MiB in {s['n_tasks']} task(s)"
+            )
+        if s["max_task_s"] > MAX_TASK_SECONDS:
+            violations.append(f"stage {sid}: task ran {s['max_task_s']:.0f}s")
+    return stages, violations
+
+
+def main() -> None:
+    force = "--resynth" in sys.argv
+    os.makedirs(EVENTLOG_DIR, exist_ok=True)
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", OUT_DIR)
+
+    from shadowcat_data_spark import registry
+    from shadowcat_data_spark.session import effective_cpus
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(effective_cpus()))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sf1-scale-smoke")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{EVENTLOG_DIR}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from shadowcat_data_spark.session import ensure_session
+
+    ensure_session(spark)
+    synthesize(spark, force=force)
+
+    import bench  # repo-root bench: reuse its query list
+
+    specs = registry.load_all()
+    times: dict[str, float] = {}
+    for name in bench.BENCH_QUERIES:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, OUT_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 2)
+        print(f"[smoke] {name}: {times[name]}s", file=sys.stderr)
+
+    spark.stop()  # flush the event log before parsing
+    stages, violations = parse_eventlog()
+    worst = sorted(stages.values(), key=lambda s: -s["max_task_s"])[:5]
+    out = {
+        "metric": "sf1_scale_smoke_total",
+        "value": round(sum(times.values()), 2),
+        "unit": "sec",
+        "queries": times,
+        "sf": 1.0,
+        "n_stages": len(stages),
+        "peak_task_s": max((s["max_task_s"] for s in stages.values()), default=0.0),
+        "worst_stages": worst,
+        "violations": violations,
+    }
+    print(json.dumps(out))
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
