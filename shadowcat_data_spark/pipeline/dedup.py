@@ -617,3 +617,91 @@ def blocked_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("name1", "name2", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2e — asymmetric containment (sub-document / quote detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    tokenizer=distinct_shingles,
+) -> DataFrame:
+    """Doc pairs where one shingle set is ≥ ``threshold`` contained in the
+    other: C(A→B) = |A∩B| / |A|.
+
+    Symmetric Jaccard (l2a/l2b) misses the case a corpus cleaner cares
+    about most — a short document that is a verbatim quote or excerpt of a
+    long one (Jaccard |A∩B|/|A∪B| is dragged down by the big doc's size,
+    containment is not). Shingles, not single tokens, are the unit: token
+    sets over a natural vocabulary make every short doc "contained" in
+    every long one, while k-token shingles only collide on genuinely
+    shared passages. Same inverted-index shape as :func:`jaccard_pairs`:
+    shuffle on shingle, count shared per pair, join per-doc sizes — never
+    all-pairs, and the same ``max_df`` stopword bound applies at scale.
+    Emits one row per DIRECTED containment (sub → super), so a pair where
+    both directions clear the bar (i.e. a true near-dup) yields two rows.
+    shared/n is an int ratio → bit-identical double across engines.
+    """
+    tok = tokenizer(df, id_col, text_col)
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.select(F.col(id_col).alias("d1"), "tok")
+    b = tok.select(F.col(id_col).alias("d2"), "tok")
+    shared = (
+        a.join(b, ["tok"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
+    both = shared.join(s1, "d1").join(s2, "d2")
+    fwd = both.select(
+        F.col("d1").alias("d_sub"),
+        F.col("d2").alias("d_super"),
+        (F.col("shared") / F.col("n1")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("d2").alias("d_sub"),
+        F.col("d1").alias("d_super"),
+        (F.col("shared") / F.col("n2")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
+@query(
+    "l2e_containment_pairs",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, sh AS t FROM (
+    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+  ) WHERE sh <> ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), both_sides AS (
+  SELECT d1, d2, shared, s1.n_tok AS n1, s2.n_tok AS n2
+  FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+), directed AS (
+  SELECT d1 AS d_sub, d2 AS d_super, shared * 1.0 / n1 AS containment FROM both_sides
+  UNION ALL
+  SELECT d2, d1, shared * 1.0 / n2 FROM both_sides
+)
+SELECT d_sub, d_super, containment FROM directed WHERE containment >= 0.8
+""",
+    category="pipeline-dedup",
+)
+def containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed sub-document detection at 3-shingle containment ≥ 0.8
+    (exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", threshold=0.8)

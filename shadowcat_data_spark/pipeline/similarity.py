@@ -464,3 +464,143 @@ def blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rnk")
         .orderBy("qid", "cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3e — product-quantization ANN (asymmetric-distance scan + exact re-rank)
+# ---------------------------------------------------------------------------
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str,
+    c_id: str,
+    vec: str,
+    k: int,
+    m: int = 8,
+    n_codes: int = 16,
+    n_rerank: int = 64,
+) -> DataFrame:
+    """Product-quantization approximate top-k (the FAISS ``PQ{m}x{bits}``
+    shape, asymmetric distance computation + exact re-rank).
+
+    Train: split each vector into ``m`` subvectors, k-means a ``n_codes``
+    codebook per subspace (the m codebooks total m*n_codes*(dim/m) floats
+    — KBs at any corpus size, so they become plan literals, the DataFrame
+    analogue of FAISS keeping codebooks in L1 cache). Encode: each corpus
+    vector compresses to m small ints — dim*4 bytes → m bytes, the memory
+    win that lets a 100 TB corpus's codes fit in cluster RAM. Search:
+    each query precomputes a lookup table of sub-dot-products against
+    every code ONCE in its own projection (m*n_codes sub-dots per query
+    row), then scoring a corpus point is just m ``element_at`` lookups +
+    adds — the ADC scan; the scan itself is a broadcast of the tiny
+    query+LUT side across corpus partitions (map-side, no shuffle of the
+    corpus). Approximate top-``n_rerank`` per query then joins back the
+    true vectors for exact-cosine re-ranking of the final top-``k``, so
+    PQ error only costs recall, never wrong ordering inside the returned
+    set. At 100 TB you compose this with the IVF router (l3c) so the ADC
+    scan touches only probed buckets — the two operators are deliberately
+    the same (qid, cid, cos) shape to chain."""
+    dim = len(corpus.select(vec).first()[0])
+    sub = dim // m
+    codebooks = []
+    for j in range(m):
+        sv = corpus.select(
+            F.slice(_to_double(F.col(vec)), j * sub + 1, sub).alias("sv")
+        )
+        codebooks.append(_kmeans_centroids(sv, "sv", n_codes))
+
+    # encode corpus: m code columns (small ints), true vector dropped
+    enc = corpus.select(F.col(c_id).alias("cid"), _to_double(F.col(vec)).alias("ce"))
+    for j, cb in enumerate(codebooks):
+        enc = (
+            _assign_nearest(
+                enc.withColumn("__sv", F.slice(F.col("ce"), j * sub + 1, sub)),
+                "__sv",
+                cb,
+            )
+            .withColumnRenamed("__cluster", f"code{j}")
+            .drop("__sv")
+        )
+    codes = enc.select("cid", *[f"code{j}" for j in range(m)])
+    # per-code squared norms, a literal lookup table per subspace
+    norm_luts = [
+        F.array(*[F.lit(float(sum(x * x for x in c))) for c in cb])
+        for cb in codebooks
+    ]
+
+    # query side: LUT_j[c] = <q_sub_j, codebook_j[c]> computed once per query
+    q = queries.select(F.col(q_id).alias("qid"), _to_double(F.col(vec)).alias("qe"))
+    for j, cb in enumerate(codebooks):
+        q = q.withColumn(
+            f"__lut{j}",
+            F.array(
+                *[
+                    _dot(
+                        F.slice(F.col("qe"), j * sub + 1, sub),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    )
+                    for c in cb
+                ]
+            ),
+        )
+    q = q.withColumn("__qn", _norm(F.col("qe"))).drop("qe")
+
+    # ADC scan: approx cos = Σ_j LUT_j[code_j] / (||q|| * sqrt(Σ_j ||cb_j[code_j]||²))
+    approx_dot = sum(
+        (F.element_at(F.col(f"__lut{j}"), F.col(f"code{j}") + 1) for j in range(m)),
+        start=F.lit(0.0),
+    )
+    approx_nsq = sum(
+        (F.element_at(norm_luts[j], F.col(f"code{j}") + 1) for j in range(m)),
+        start=F.lit(0.0),
+    )
+    scored = q.crossJoin(codes).select(
+        "qid",
+        "cid",
+        (approx_dot / (F.col("__qn") * F.sqrt(approx_nsq))).alias("approx_cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("approx_cos").desc(), F.col("cid"))
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_rerank)
+        .select("qid", "cid")
+    )
+
+    # exact re-rank on the surviving candidates only
+    qv = queries.select(F.col(q_id).alias("qid"), _to_double(F.col(vec)).alias("qe"))
+    cv = corpus.select(F.col(c_id).alias("cid"), _to_double(F.col(vec)).alias("ce"))
+    exact = (
+        cand.join(qv, "qid")
+        .join(cv, "cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                _dot(F.col("qe"), F.col("ce"))
+                / (_norm(F.col("qe")) * _norm(F.col("ce")))
+            ).alias("cos"),
+        )
+    )
+    w2 = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+@query("l3e_pq_ann", category="pipeline-similarity")
+def pq_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (8×16 codebooks, ADC scan, exact re-rank;
+    approximate → rows-only; recall asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e.filter(F.col("vec_id") < 20),
+        e.filter(F.col("vec_id") >= 20),
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=5,
+    ).orderBy("qid", "cid")

@@ -1042,3 +1042,68 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L27 — end-to-end corpus curation decision (compose the gates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l27_curation_pipeline",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         md5(lower(trim(text))) AS content_key,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), keyed AS (
+  SELECT doc_id, n_chars, toks,
+         MIN(doc_id) OVER (PARTITION BY content_key) AS first_id
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN doc_id <> first_id THEN 'duplicate'
+            WHEN n_chars < 100 THEN 'too_short'
+            WHEN n_chars > 500 THEN 'too_long'
+            WHEN len(list_distinct(toks)) * 1.0 / len(toks) < 0.40 THEN 'repetitive'
+            ELSE 'kept' END AS verdict,
+       CASE WHEN doc_id = first_id AND n_chars BETWEEN 100 AND 500
+                 AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.40
+            THEN TRUE ELSE FALSE END AS keep
+FROM keyed
+""",
+    category="pipeline-text",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation decision: every doc gets a keep/drop
+    verdict with the FIRST failing gate as the reason, composing the
+    engine's cleaning gates in the order a production pipeline applies
+    them — exact dedup (keep lowest doc_id per normalized-content hash,
+    as l1), then length band (as l23), then repetition (distinct-token
+    ratio, as l17's signal). One row per input doc, so the decision is
+    fully auditable ("why was doc X dropped?") rather than just a
+    filtered corpus.
+
+    Shape at scale: one window over the content hash (hash-partitioned,
+    no skew — keys are md5) plus per-row array expressions; single
+    shuffle, no joins, no Python. The ratio is an int/int division so the
+    0.40 threshold decides identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(), lambda t: t != "")
+    ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    first = F.min("doc_id").over(
+        W.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    )
+    verdict = (
+        F.when(F.col("doc_id") != first, "duplicate")
+        .when(F.col("n_chars") < 100, "too_short")
+        .when(F.col("n_chars") > 500, "too_long")
+        .when(ratio < 0.40, "repetitive")
+        .otherwise("kept")
+    )
+    return d.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "kept").alias("keep"),
+    )

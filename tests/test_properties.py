@@ -548,3 +548,19 @@ def test_arrow_batches_bytes_bounded(spark):
 
     sizes = df.repartition(2).mapInPandas(probe, "batch_rows long").toPandas()
     assert sizes.batch_rows.max() <= cap // row_bytes + 1, sizes.batch_rows.max()
+
+
+def test_pq_ann_recall_vs_brute_force(spark):
+    """PQ ADC scan + exact re-rank must recover most true top-5 neighbors
+    (re-rank pool of 64 over a 490-vector corpus makes this a strong bound)."""
+    from shadowcat_data_spark.pipeline.similarity import cosine_topk, pq_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    truth = cosine_topk(q, c, "vec_id", "vec_id", "embedding", "embedding", 5).toPandas()
+    approx = pq_topk(q, c, "vec_id", "vec_id", "embedding", 5).toPandas()
+    true_pairs = {(r.qid, r.cid) for r in truth.itertuples()}
+    got_pairs = {(r.qid, r.cid) for r in approx.itertuples()}
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.4, f"PQ recall collapsed: {recall}"

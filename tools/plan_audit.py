@@ -70,6 +70,13 @@ ALLOW = {
     "m15_orphan_file_audit": {"BroadcastNestedLoopJoin"},  # one-row count apply
     # the blocked-GEMM scale path IS the vectorized Python stage
     "l3d_blocked_gemm_topk": {"MapInPandas"},
+    # PQ ADC scan: the tiny query+LUT side (m*n_codes floats per query row)
+    # broadcasts across corpus partitions — BNLJ with a KB-sized build side
+    # is the intended map-side scan, same justification as l3_cosine_topk
+    "l3e_pq_ann": {"BroadcastNestedLoopJoin"},
+    # three ONE-row aggregates (node/edge/triangle counts) combined into a
+    # single summary row — constant-cost scalar crossJoin at any scale
+    "graph_triangle_count": {"BroadcastNestedLoopJoin", "CartesianProduct"},
     # polymorphic UDTF coverage — same Python table-function path as u5
     "u8_udtf_analyze_ngrams": {"BatchEvalPython"},
 }
