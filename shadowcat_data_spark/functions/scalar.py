@@ -10,6 +10,9 @@ Cross-engine exactness (measured, this image):
 - NEVER in oracle output: xxhash64 (seed differs), monotonically_increasing_id
   (non-deterministic; use row_number for surrogate keys), array_distinct
   (element order unspecified), double→int CAST (Spark truncates, DuckDB rounds).
+- NEVER two "equal" interval adds in one DuckDB SELECT: its CSE compares
+  interval constants under 30-day-month normalization, so INTERVAL 90 DAY and
+  INTERVAL 3 MONTH unify and one add silently becomes the other (f21 lesson).
 """
 
 from __future__ import annotations
@@ -773,4 +776,55 @@ def split_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(composite, F.lit(":"), F.lit(2)).alias("part_lang"),
         F.left(F.col("source"), F.lit(3)).alias("src_prefix"),
         F.right(F.col("lang"), F.lit(1)).alias("lang_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F21 — interval arithmetic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f21_interval_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       -- day shift spelled as DATE+int, NOT INTERVAL 90 DAY: DuckDB 1.0 CSE
+       -- unifies interval constants that compare equal under its 30-day-month
+       -- normalization (INTERVAL 90 DAY = INTERVAL 3 MONTH is TRUE), silently
+       -- rewriting one add into the other when both appear over the same column
+       CAST(CAST(o_orderdate AS DATE) + 90 AS TIMESTAMP) AS due_ts,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS quarter_ts,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT)
+         AS days_to_cutoff,
+       round(CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                  AS DOUBLE)
+             + (CASE WHEN day(CAST(o_orderdate AS DATE)) = 1 THEN 0.0
+                     ELSE (1 - day(CAST(o_orderdate AS DATE))) / 31.0 END),
+             8) AS months_to_cutoff
+FROM orders WHERE o_orderkey <= 200
+""",
+    category="function",
+)
+def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar INTERVAL arithmetic: shift a timestamp by day/month
+    intervals (month shifts clamp to month-end, unlike fixed-second
+    arithmetic) and measure day/fractional-month distances. Spark's
+    ``months_between`` is mirrored in the oracle by its documented
+    definition — calendar-month delta (DuckDB ``date_diff('month')``
+    counts exactly those boundaries) plus remainder-days/31 when the
+    days-of-month differ (the cutoff literal is day 1, so the both-ends
+    last-day special cases collapse to ``day(start)=1``) — exercising
+    interval semantics end-to-end rather than only the happy path."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("quarter_ts"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_cutoff"),
+        F.round(
+            F.months_between(F.lit("1998-12-01").cast("timestamp"), F.col("o_orderdate")),
+            8,
+        ).alias("months_to_cutoff"),
     )

@@ -739,3 +739,43 @@ def log_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(term).cast("double") / 1e6).alias("log_product"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A22 — grouping_id: which grain produced each rollup row
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a22_grouping_id",
+    oracle="""
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    category="aggregate",
+)
+def grouping_id_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rows tagged with grouping_id so a consumer can tell a real
+    NULL key from a rolled-up subtotal — the disambiguator every
+    multi-grain materialization needs (a5 produces the grains; this is
+    how downstream filters select one). gid is the bitmask of rolled-up
+    columns (MSB = first key), identical in Spark and ANSI GROUPING()
+    arithmetic. Same single Expand+agg shuffle as a5_cube."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+        )
+    )

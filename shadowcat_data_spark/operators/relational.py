@@ -499,3 +499,35 @@ def explode_outer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "n_nationkey", F.explode_outer(pieces).alias("piece")
     )
+
+
+# ---------------------------------------------------------------------------
+# O10 — keyset + offset pagination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o10_pagination",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20 OFFSET 40
+""",
+    category="relational",
+)
+def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of a ranked listing: ORDER BY + OFFSET + LIMIT (the API
+    pagination idiom). Spark's offset() + limit() compile to a single
+    TakeOrdered-style global top-(offset+limit) — no full sort is
+    materialized, so a deep-but-bounded page stays cheap at any table
+    size (the known anti-pattern is UNBOUNDED offset depth, not this).
+    Tie-broken by the unique key so every page is deterministic on both
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .offset(40)
+        .limit(20)
+    )
