@@ -705,3 +705,86 @@ def containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact)."""
     d = load_table(spark, sf_dir, "documents")
     return containment_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# L2f — incremental dedup: a new ingest batch vs the existing corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_pred,
+    threshold: float = 0.6,
+    tokenizer=distinct_shingles,
+) -> DataFrame:
+    """Near-dups of NEWLY-ingested docs against the whole corpus (new↔old
+    and new↔new), never re-comparing old↔old pairs.
+
+    The daily-ingest shape: a steady-state corpus only ever needs the new
+    batch checked, so candidate generation must scale with |new| — this
+    inverted-index join probes only new docs' shingles into the corpus
+    index (shuffle ∝ |new batch| + matched postings, not |corpus|²).
+    Emits (d_new, d_other, jaccard); a new↔new pair appears once
+    (d_new < d_other), a new↔old pair is oriented new→old.
+    """
+    tok = tokenizer(df, id_col, text_col)
+    is_new = new_pred(F.col(id_col))
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    new_tok = tok.filter(is_new).select(F.col(id_col).alias("d_new"), "tok")
+    all_tok = tok.select(F.col(id_col).alias("d_other"), "tok")
+    shared = (
+        new_tok.join(all_tok, "tok")
+        .filter(
+            (~new_pred(F.col("d_other")))
+            | (F.col("d_new") < F.col("d_other"))
+        )
+        .groupBy("d_new", "d_other")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d_new"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d_other"), F.col("n_tok").alias("n2"))
+    return (
+        shared.join(s1, "d_new")
+        .join(s2, "d_other")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d_new", "d_other", "jaccard")
+    )
+
+
+@query(
+    "l2f_incremental_dedup",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, sh AS t FROM (
+    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+  ) WHERE sh <> ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS d_new, b.doc_id AS d_other, COUNT(*) AS shared
+  FROM tok a JOIN tok b ON a.t = b.t
+  WHERE a.doc_id >= 400 AND (b.doc_id < 400 OR a.doc_id < b.doc_id)
+  GROUP BY 1, 2
+)
+SELECT d_new, d_other, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
+FROM shared JOIN sizes s1 ON d_new = s1.doc_id JOIN sizes s2 ON d_other = s2.doc_id
+WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.6
+""",
+    category="pipeline-dedup",
+)
+def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs with doc_id ≥ 400 play the freshly-ingested batch; exact
+    3-shingle Jaccard ≥ 0.6 against the whole corpus, old↔old skipped."""
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_near_dups(
+        d, "doc_id", "text", lambda c: c >= 400, threshold=0.6
+    )

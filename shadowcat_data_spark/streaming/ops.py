@@ -895,3 +895,90 @@ def multi_batch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("day"), "event_type", "n", "total_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# T17 — checkpoint resume: exactly-once across a stop/restart
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t17_checkpoint_resume",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS value_micro
+FROM events WHERE event_type = 'click'
+""",
+    category="streaming",
+)
+def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a restart: the same logical query runs TWICE
+    against one checkpointLocation — first over half the input files,
+    stopped, then restarted after the rest of the files appear — and the
+    parquet sink must equal the one-shot batch result with no duplicated
+    and no missing rows. This is the semantics every production pipeline
+    leans on (deploys and crashes are restarts): the checkpoint's offset
+    log is what makes a file-source + parquet-sink pipeline exactly-once,
+    and nothing else in the t* suite exercises a second ``start()``.
+    A third restart with no new input must write nothing (idempotence).
+
+    Every run rebuilds its scratch dirs from scratch, so the query stays
+    deterministic for repeated driver invocations."""
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    ensure_session(spark)
+    src = _scratch(sf_dir, "t17_src")
+    sink = _scratch(sf_dir, "t17_sink")
+    ckpt = _scratch(sf_dir, "t17_ckpt")
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events")
+    # two disjoint halves, written as separate file batches
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    stage = _scratch(sf_dir, "t17_stage")
+    for half, part in ((first, "a"), (second, "b")):
+        half_dir = os.path.join(stage, part)
+        half.coalesce(2).write.mode("overwrite").parquet(half_dir)
+        if part == "a":
+            for f in os.listdir(half_dir):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(half_dir, f), os.path.join(src, "a_" + f))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def start_run() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream.filter(F.col("event_type") == "click").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("value_micro"),
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    start_run()  # run 1: only the first half exists
+    for f in os.listdir(os.path.join(stage, "b")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stage, "b", f), os.path.join(src, "b_" + f))
+    start_run()  # run 2: resume from checkpoint, pick up ONLY the new files
+    start_run()  # run 3: nothing new — must be a no-op for the sink
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, value_micro long"
+    ).parquet(sink)
