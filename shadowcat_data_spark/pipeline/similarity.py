@@ -471,6 +471,75 @@ def blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _pq_train(
+    corpus, vec: str, m: int, sub: int, n_codes: int, iters: int = 3
+) -> list[list[list[float]]]:
+    """Train all m subspace codebooks JOINTLY: one shuffle per Lloyd
+    iteration, not one k-means run per subspace.
+
+    Two scale rules baked in: (1) quantizers train on a BOUNDED sample
+    materialized once (``localCheckpoint``), so training cost is
+    independent of corpus size — FAISS trains on a sample for the same
+    reason; (2) each iteration assigns every row's m codes in one
+    projection, posexplodes to (subspace, cluster, dim, value) and takes
+    ONE grouped mean — m*(iters+1) sequential jobs collapse to iters+2,
+    and only the m×n_codes×sub centroid matrix (KBs) ever reaches the
+    driver."""
+    train = (
+        corpus.select(_to_double(F.col(vec)).alias("__tv"))
+        .limit(4096)
+        .localCheckpoint(eager=True)
+    )
+    seed_rows = train.orderBy(F.col("__tv").getItem(0)).limit(n_codes).collect()
+    codebooks = [
+        [[float(x) for x in r["__tv"][j * sub : (j + 1) * sub]] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        assign_cols = []
+        for j, cb in enumerate(codebooks):
+            dists = F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("__tv"), j * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in cb
+                ]
+            )
+            assign_cols.append(
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias(f"__c{j}")
+            )
+        assigned = train.select("__tv", *assign_cols)
+        ex = assigned.select(
+            F.posexplode("__tv").alias("pos", "v"),
+            F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("cs"),
+        )
+        stats = (
+            ex.select(
+                F.expr(f"pos div {sub}").cast("int").alias("sp"),
+                (F.col("pos") % sub).cast("int").alias("d"),
+                F.element_at("cs", F.expr(f"pos div {sub}").cast("int") + 1).alias("cl"),
+                "v",
+            )
+            .groupBy("sp", "cl", "d")
+            .agg(F.avg("v").alias("c"))
+            .collect()
+        )
+        new = [[list(c) for c in cb] for cb in codebooks]
+        for r in stats:
+            new[r["sp"]][r["cl"]][r["d"]] = r["c"]
+        codebooks = new
+    return codebooks
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -504,12 +573,7 @@ def pq_topk(
     the same (qid, cid, cos) shape to chain."""
     dim = len(corpus.select(vec).first()[0])
     sub = dim // m
-    codebooks = []
-    for j in range(m):
-        sv = corpus.select(
-            F.slice(_to_double(F.col(vec)), j * sub + 1, sub).alias("sv")
-        )
-        codebooks.append(_kmeans_centroids(sv, "sv", n_codes))
+    codebooks = _pq_train(corpus, vec, m, sub, n_codes)
 
     # encode corpus: m code columns (small ints), true vector dropped
     enc = corpus.select(F.col(c_id).alias("cid"), _to_double(F.col(vec)).alias("ce"))

@@ -151,9 +151,18 @@ def main() -> None:
 
     import bench  # repo-root bench: reuse its query list
 
+    # round-3 additions with nontrivial scale behavior worth smoking: the
+    # degree-oriented wedge join (graph), the PQ ADC scan, and the
+    # window+array curation pass. The exact-edge inverted-index ops
+    # (l2a/l2e/l2f) are deliberately NOT here: their output is quadratic
+    # in dup-cluster size and this synthetic corpus makes every doc a
+    # 10-way near-dup — the LSH tier (l2b, in the bench list) is their
+    # scale path (SCALE.md "exact-edge density bound").
+    extra = ["graph_triangle_count", "l3e_pq_ann", "l27_curation_pipeline"]
+
     specs = registry.load_all()
     times: dict[str, float] = {}
-    for name in bench.BENCH_QUERIES:
+    for name in bench.BENCH_QUERIES + extra:
         fn = specs[name].fn
         t0 = time.perf_counter()
         fn(spark, OUT_DIR).write.format("noop").mode("overwrite").save()
