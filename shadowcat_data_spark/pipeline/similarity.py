@@ -668,3 +668,91 @@ def pq_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=5,
     ).orderBy("qid", "cid")
+
+
+# ---------------------------------------------------------------------------
+# L3f — int8-quantized similarity scan (the oracle-checkable ANN tier)
+# ---------------------------------------------------------------------------
+
+
+def _q8(vec: Column) -> Column:
+    """Symmetric int8 quantization (l13 scheme): floor(x·127/max|x| + 0.5),
+    promoted to double before multiplying — bit-identical across engines."""
+    v = _to_double(vec)
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    return F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint"))
+
+
+@query(
+    "l3f_int8_topk",
+    oracle="""
+WITH q8 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(
+           CAST(x AS DOUBLE) * (127.0 / GREATEST(
+             list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-12))
+           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, qv AS qe FROM q8 WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS cid, qv AS ce FROM q8 WHERE vec_id >= 20
+), scored AS (
+  SELECT qid, cid,
+         CAST(CAST(list_sum(list_transform(list_zip(qe, ce), p -> p[1] * p[2]))
+              AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS DOUBLE))
+            * sqrt(CAST(CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS DOUBLE)))
+           AS cos_q8
+  FROM c, q
+)
+SELECT qid, cid, cos_q8 FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_q8 DESC, cid) <= 5
+""",
+    category="pipeline-similarity",
+)
+def int8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 by cosine over int8-quantized vectors — the memory-bandwidth
+    ANN tier between full precision (l3) and PQ codes (l3e): 4× smaller
+    vectors, integer multiply-accumulate scoring, ~no recall loss at int8.
+    Unlike the sketch-based tiers this one is fully ORACLE-CHECKED: the
+    quantization rounding (l13 scheme) and the int64 dot products are
+    exact on both engines, and the only floats are sqrt/division of
+    exact integers, evaluated in the same order. Same broadcast-query
+    map-side scan shape as l3; at 100 TB compose with the IVF router
+    (l3c) exactly like l3e."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = e.select("vec_id", _q8(F.col("embedding")).alias("qv"))
+    q = F.broadcast(
+        q8.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("qv").alias("qe")
+        )
+    )
+    c = q8.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("ce")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda col: F.sqrt(
+        F.aggregate(
+            col, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    scored = c.crossJoin(q).select(
+        "qid",
+        "cid",
+        (idot.cast("double") / (inorm(F.col("qe")) * inorm(F.col("ce")))).alias(
+            "cos_q8"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_q8").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .drop("rnk")
+    )

@@ -564,3 +564,44 @@ def test_pq_ann_recall_vs_brute_force(spark):
     got_pairs = {(r.qid, r.cid) for r in approx.itertuples()}
     recall = len(true_pairs & got_pairs) / len(true_pairs)
     assert recall >= 0.4, f"PQ recall collapsed: {recall}"
+
+
+def test_int8_topk_recall_vs_brute_force(spark):
+    """int8 quantization should lose almost nothing: top-5 sets vs exact
+    cosine must overlap strongly (the quantized tier's whole value prop)."""
+    from shadowcat_data_spark import registry
+    from shadowcat_data_spark.pipeline.similarity import cosine_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    c = e.filter(F.col("vec_id") >= 20)
+    truth = cosine_topk(q, c, "vec_id", "vec_id", "embedding", "embedding", 5).toPandas()
+    approx = registry.load_all()["l3f_int8_topk"].fn(spark, SF_DIR).toPandas()
+    true_pairs = {(r.qid, r.cid) for r in truth.itertuples()}
+    got_pairs = {(r.qid, r.cid) for r in approx.itertuples()}
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.8, f"int8 recall collapsed: {recall}"
+
+
+def test_containment_dominates_jaccard(spark):
+    """For any doc pair, directed containment ≥ symmetric Jaccard
+    (|A∩B|/|A| ≥ |A∩B|/|A∪B|) — the reason l2e exists at all."""
+    from shadowcat_data_spark.pipeline.dedup import (
+        containment_pairs,
+        distinct_shingles,
+        jaccard_pairs,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").limit(120)
+    jac = jaccard_pairs(d, "doc_id", "text", tokenizer=distinct_shingles).toPandas()
+    cont = containment_pairs(
+        d, "doc_id", "text", threshold=0.0, tokenizer=distinct_shingles
+    ).toPandas()
+    jmap = {(r.d1, r.d2): r.jaccard for r in jac.itertuples()}
+    checked = 0
+    for r in cont.itertuples():
+        key = (min(r.d_sub, r.d_super), max(r.d_sub, r.d_super))
+        if key in jmap:
+            assert r.containment >= jmap[key] - 1e-12, (key, r.containment, jmap[key])
+            checked += 1
+    assert checked > 0

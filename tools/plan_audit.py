@@ -74,6 +74,9 @@ ALLOW = {
     # broadcasts across corpus partitions — BNLJ with a KB-sized build side
     # is the intended map-side scan, same justification as l3_cosine_topk
     "l3e_pq_ann": {"BroadcastNestedLoopJoin"},
+    # int8 scan: broadcast quantized query side over the corpus — same
+    # intended map-side scan as l3_cosine_topk, with 4x narrower rows
+    "l3f_int8_topk": {"BroadcastNestedLoopJoin"},
     # three ONE-row aggregates (node/edge/triangle counts) combined into a
     # single summary row — constant-cost scalar crossJoin at any scale
     "graph_triangle_count": {"BroadcastNestedLoopJoin", "CartesianProduct"},
