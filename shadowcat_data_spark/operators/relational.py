@@ -531,3 +531,57 @@ def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# O11 — observed metrics: audit counters collected during the query itself
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o11_observed_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+""",
+    category="relational",
+)
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline audit counters via ``df.observe``: row count, predicate
+    count and a quantized-exact sum accumulated DURING the main query's
+    own execution — no second scan. This is how a production job gets
+    its data-quality counters for free (the alternative — a separate
+    aggregate over the same input — doubles the read at 100 TB); the
+    metrics are merged per-task by the AccumulatorV2 machinery, so the
+    quantized integer sum is exact under any partitioning. The observed
+    map is re-emitted as a one-row DataFrame so the driver can
+    hash-check it against a plain aggregate oracle."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["n_discounted"]),
+                float(got["price_cents"]) / 100.0,
+            )
+        ],
+        "n_rows long, n_discounted long, total_price double",
+    )

@@ -959,6 +959,42 @@ def crosstab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def triangle_count_from_edges(e: DataFrame) -> DataFrame:
+    """Degree-oriented exact triangle count over an undirected edge list
+    ``(u, v)`` with u < v, each edge once. See :func:`graph_triangle_count`
+    for the scale rationale; this kernel is graph-agnostic and
+    property-tested on constructed graphs (K_n, stars, cycles) in
+    ``tests/test_properties.py``. Returns one row:
+    (n_nodes, n_edges, n_triangles)."""
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # rank = (degree, id) as one sortable long; ids are < 2^20 in every graph
+    # this engine builds and degrees < 2^40 at any conceivable scale, so the
+    # packing is collision-free
+    rank = deg.select("n", (F.col("deg") * F.lit(1 << 20) + F.col("n")).alias("rk"))
+    ed = (
+        e.join(rank.withColumnRenamed("n", "u").withColumnRenamed("rk", "rku"), "u")
+        .join(rank.withColumnRenamed("n", "v").withColumnRenamed("rk", "rkv"), "v")
+        .select(
+            F.when(F.col("rku") < F.col("rkv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("rku", "rkv").alias("rk_dst"),
+        )
+    )
+    e1 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w1"), F.col("rk_dst").alias("r1"))
+    e2 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w2"), F.col("rk_dst").alias("r2"))
+    wedges = e1.join(e2, "s").filter(F.col("r1") < F.col("r2"))
+    closing = ed.select(F.col("src").alias("w1"), F.col("dst").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -1027,29 +1063,4 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 5)
         .select("u", "v")
     )
-    deg = (
-        e.select(F.col("u").alias("n"))
-        .unionAll(e.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    # rank = (degree, id) as one sortable long; ids are suppkeys < 2^20 and
-    # degrees < 2^40 at any conceivable scale, so the packing is collision-free
-    rank = deg.select("n", (F.col("deg") * F.lit(1 << 20) + F.col("n")).alias("rk"))
-    ed = (
-        e.join(rank.withColumnRenamed("n", "u").withColumnRenamed("rk", "rku"), "u")
-        .join(rank.withColumnRenamed("n", "v").withColumnRenamed("rk", "rkv"), "v")
-        .select(
-            F.when(F.col("rku") < F.col("rkv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.greatest("rku", "rkv").alias("rk_dst"),
-        )
-    )
-    e1 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w1"), F.col("rk_dst").alias("r1"))
-    e2 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w2"), F.col("rk_dst").alias("r2"))
-    wedges = e1.join(e2, "s").filter(F.col("r1") < F.col("r2"))
-    closing = ed.select(F.col("src").alias("w1"), F.col("dst").alias("w2"))
-    tri = wedges.join(closing, ["w1", "w2"]).agg(F.count(F.lit(1)).alias("n_triangles"))
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return n_nodes.crossJoin(n_edges).crossJoin(tri)
+    return triangle_count_from_edges(e)

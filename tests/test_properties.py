@@ -605,3 +605,27 @@ def test_containment_dominates_jaccard(spark):
             assert r.containment >= jmap[key] - 1e-12, (key, r.containment, jmap[key])
             checked += 1
     assert checked > 0
+
+
+def test_triangle_count_on_constructed_graphs(spark):
+    """The degree-oriented wedge kernel on graphs with known answers:
+    K5 has C(5,3)=10 triangles, a 6-star and a 5-cycle have none, and a
+    K4 with a pendant vertex has exactly 4."""
+    from itertools import combinations
+
+    from shadowcat_data_spark.plans.analytics import triangle_count_from_edges
+
+    def run(edges):
+        df = spark.createDataFrame(sorted(edges), "u long, v long")
+        return triangle_count_from_edges(df).collect()[0]
+
+    k5 = run(combinations(range(5), 2))
+    assert (k5.n_nodes, k5.n_edges, k5.n_triangles) == (5, 10, 10)
+    star = run((0, i) for i in range(1, 7))
+    assert (star.n_nodes, star.n_edges, star.n_triangles) == (7, 6, 0)
+    cycle = run((i, i + 1) for i in range(4)) if False else run(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 4)]
+    )
+    assert (cycle.n_nodes, cycle.n_edges, cycle.n_triangles) == (5, 5, 0)
+    k4_pendant = run(list(combinations(range(4), 2)) + [(3, 4)])
+    assert (k4_pendant.n_nodes, k4_pendant.n_edges, k4_pendant.n_triangles) == (5, 7, 4)
