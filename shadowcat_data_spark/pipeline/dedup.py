@@ -346,8 +346,12 @@ def minhash_near_dups(
     """LSH candidates verified with exact (shingle-hash) Jaccard ≥ threshold.
 
     Signatures and per-doc token sets come from ONE combined groupBy over
-    the tokenized corpus, so the (identical) partial-agg subtree below the
-    shuffle is eligible for exchange reuse across consumers. The default
+    the tokenized corpus, materialized once (``localCheckpoint``; persist
+    to MEMORY_AND_DISK / durable checkpoint on a cluster). Measured: the
+    three consumers (banding, verify-s1, verify-s2) prune different
+    columns, which makes their agg subtrees non-identical, so Catalyst's
+    ReusedExchange does NOT fire and an unmaterialized plan re-tokenizes
+    the full corpus three times — the dominant cost at any real scale. The default
     tokenizer is :func:`hashed_shingles` (int64 shingle ids — no shingle
     strings built, narrow shuffles, long-typed ``array_intersect``); the
     candidate ``.distinct()`` stays BEFORE the verify join because a pair
@@ -358,7 +362,7 @@ def minhash_near_dups(
     combined = tok.groupBy(id_col).agg(
         F.collect_set("tok").alias("toks"),
         *_km_minhash_cols(pre_hashed=tokenizer is hashed_shingles),
-    )
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(combined, id_col)
     s1 = combined.select(F.col(id_col).alias("d1"), F.col("toks").alias("t1"))
     s2 = combined.select(F.col(id_col).alias("d2"), F.col("toks").alias("t2"))
