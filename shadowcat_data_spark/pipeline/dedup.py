@@ -107,6 +107,25 @@ def distinct_shingles(
     return shingle_rows(df, id_col, text_col, k).distinct()
 
 
+def _pair_shared_counts(tok: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
+    """The inverted-index core every exact pair metric shares: per-doc set
+    sizes and, for each (d1 < d2) pair with ≥1 common token, the shared
+    count. One self-join shuffled on the token — never all-pairs; bound
+    hot tokens with a ``max_df`` filter on ``tok`` before calling (the
+    stopword cut a search engine makes) when the corpus scale demands it.
+    Returns (sizes[id, n_tok], shared[d1, d2, shared])."""
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.select(F.col(id_col).alias("d1"), "tok")
+    b = tok.select(F.col(id_col).alias("d2"), "tok")
+    shared = (
+        a.join(b, ["tok"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return sizes, shared
+
+
 # ---------------------------------------------------------------------------
 # L2a — exact n-gram/token Jaccard via inverted-index join (oracle-checkable)
 # ---------------------------------------------------------------------------
@@ -122,15 +141,7 @@ def jaccard_pairs(
     double result is bit-identical across engines.
     """
     tok = tokenizer(df, id_col, text_col)
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    a = tok.select(F.col(id_col).alias("d1"), "tok")
-    b = tok.select(F.col(id_col).alias("d2"), "tok")
-    shared = (
-        a.join(b, ["tok"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    sizes, shared = _pair_shared_counts(tok, id_col)
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
     return (
@@ -652,15 +663,7 @@ def containment_pairs(
     shared/n is an int ratio → bit-identical double across engines.
     """
     tok = tokenizer(df, id_col, text_col)
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    a = tok.select(F.col(id_col).alias("d1"), "tok")
-    b = tok.select(F.col(id_col).alias("d2"), "tok")
-    shared = (
-        a.join(b, ["tok"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    sizes, shared = _pair_shared_counts(tok, id_col)
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
     both = shared.join(s1, "d1").join(s2, "d2")
@@ -734,6 +737,9 @@ def incremental_near_dups(
     Emits (d_new, d_other, jaccard); a new↔new pair appears once
     (d_new < d_other), a new↔old pair is oriented new→old.
     """
+    # NOT _pair_shared_counts: the probe side is filtered to the new batch
+    # BEFORE the join (the whole point), and the pair predicate is
+    # orientation-aware rather than d1 < d2
     tok = tokenizer(df, id_col, text_col)
     is_new = new_pred(F.col(id_col))
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))

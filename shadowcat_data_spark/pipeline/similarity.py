@@ -572,6 +572,12 @@ def pq_topk(
     scan touches only probed buckets — the two operators are deliberately
     the same (qid, cid, cos) shape to chain."""
     dim = len(corpus.select(vec).first()[0])
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires the vector dimension to be divisible by m "
+            f"(dim={dim}, m={m}) — pad the vectors or pick m from the "
+            f"divisors of dim (FAISS imposes the same contract)"
+        )
     sub = dim // m
     codebooks = _pq_train(corpus, vec, m, sub, n_codes)
 

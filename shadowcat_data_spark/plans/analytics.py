@@ -963,19 +963,20 @@ def triangle_count_from_edges(e: DataFrame) -> DataFrame:
     """Degree-oriented exact triangle count over an undirected edge list
     ``(u, v)`` with u < v, each edge once. See :func:`graph_triangle_count`
     for the scale rationale; this kernel is graph-agnostic and
-    property-tested on constructed graphs (K_n, stars, cycles) in
-    ``tests/test_properties.py``. Returns one row:
-    (n_nodes, n_edges, n_triangles)."""
+    property-tested on constructed graphs (K_n, stars, cycles — including
+    node ids far beyond any packing bound) in ``tests/test_properties.py``.
+    Returns one row: (n_nodes, n_edges, n_triangles)."""
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # rank = (degree, id) as one sortable long; ids are < 2^20 in every graph
-    # this engine builds and degrees < 2^40 at any conceivable scale, so the
-    # packing is collision-free
-    rank = deg.select("n", (F.col("deg") * F.lit(1 << 20) + F.col("n")).alias("rk"))
+    # rank = (degree, id) as a STRUCT — Catalyst orders structs
+    # lexicographically, so the comparison is collision-free for any id or
+    # degree magnitude (a packed deg*K+id long collides once ids reach K
+    # and silently drops wedges; the sf1 smoke's offset ids exceed 2^20)
+    rank = deg.select("n", F.struct(F.col("deg"), F.col("n").alias("id")).alias("rk"))
     ed = (
         e.join(rank.withColumnRenamed("n", "u").withColumnRenamed("rk", "rku"), "u")
         .join(rank.withColumnRenamed("n", "v").withColumnRenamed("rk", "rkv"), "v")

@@ -623,9 +623,12 @@ def test_triangle_count_on_constructed_graphs(spark):
     assert (k5.n_nodes, k5.n_edges, k5.n_triangles) == (5, 10, 10)
     star = run((0, i) for i in range(1, 7))
     assert (star.n_nodes, star.n_edges, star.n_triangles) == (7, 6, 0)
-    cycle = run((i, i + 1) for i in range(4)) if False else run(
-        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 4)]
-    )
+    cycle = run([(0, 1), (1, 2), (2, 3), (3, 4), (0, 4)])
     assert (cycle.n_nodes, cycle.n_edges, cycle.n_triangles) == (5, 5, 0)
     k4_pendant = run(list(combinations(range(4), 2)) + [(3, 4)])
     assert (k4_pendant.n_nodes, k4_pendant.n_edges, k4_pendant.n_triangles) == (5, 7, 4)
+    # huge ids (≫ 2^20, like the sf1 smoke's offset keys): the struct-based
+    # (degree, id) rank must not collide the way a packed long would
+    big = 10**12
+    k5_big = run((big + a, big + b) for a, b in combinations(range(5), 2))
+    assert (k5_big.n_nodes, k5_big.n_edges, k5_big.n_triangles) == (5, 10, 10)

@@ -31,11 +31,14 @@ from shadowcat_data_spark.session import get_spark
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     json_out = None
-    if "--json-out" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json-out") + 1]
+    rest = sys.argv[1:]
+    if "--json-out" in rest:
+        i = rest.index("--json-out")
+        json_out = rest[i + 1]
+        rest = rest[:i] + rest[i + 2 :]
+    args = [a for a in rest if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     spark = get_spark("shadowcat-sweep")
     con = duckdb.connect()
