@@ -225,3 +225,37 @@ def test_span_dedup_matches_reference(spark, docs):
     for i, (n_spans, n_kept, kept_text) in ref.items():
         r = out[i]
         assert (r.n_spans, r.n_kept, r.kept_text) == (n_spans, n_kept, kept_text), i
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=24).map(str.strip).filter(bool),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_matches_python_reference(spark, texts):
+    """containment_pairs (token mode) equals a literal Python set
+    computation on arbitrary tiny corpora — every pair, both directions,
+    exact ratio."""
+    from shadowcat_data_spark.pipeline.dedup import containment_pairs, distinct_tokens
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d_sub, r.d_super): r.containment
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold=0.0, tokenizer=distinct_tokens
+        ).collect()
+    }
+    sets = {i: {w for w in t.split(" ") if w} for i, t in rows}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i == j or not sets[i]:
+                continue
+            inter = len(sets[i] & sets[j])
+            if inter:
+                want[(i, j)] = inter / len(sets[i])
+    assert got == want, (got, want)
