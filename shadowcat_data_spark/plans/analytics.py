@@ -959,23 +959,25 @@ def crosstab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def triangle_count_from_edges(e: DataFrame) -> DataFrame:
-    """Degree-oriented exact triangle count over an undirected edge list
-    ``(u, v)`` with u < v, each edge once. See :func:`graph_triangle_count`
-    for the scale rationale; this kernel is graph-agnostic and
-    property-tested on constructed graphs (K_n, stars, cycles — including
-    node ids far beyond any packing bound) in ``tests/test_properties.py``.
-    Returns one row: (n_nodes, n_edges, n_triangles)."""
-    deg = (
+def _node_degrees(e: DataFrame) -> DataFrame:
+    """(n, deg) for an undirected (u, v) edge list with each edge once."""
+    return (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # rank = (degree, id) as a STRUCT — Catalyst orders structs
-    # lexicographically, so the comparison is collision-free for any id or
-    # degree magnitude (a packed deg*K+id long collides once ids reach K
-    # and silently drops wedges; the sf1 smoke's offset ids exceed 2^20)
+
+
+def oriented_triangles(e: DataFrame) -> DataFrame:
+    """Every triangle of the undirected edge list, once, as (s, w1, w2):
+    degree-oriented wedge join (see :func:`graph_triangle_count` for the
+    scale rationale). The rank is a (degree, id) STRUCT — Catalyst orders
+    structs lexicographically, so the comparison is collision-free for any
+    id or degree magnitude (a packed deg*K+id long collides once ids reach
+    K and silently drops wedges; the sf1 smoke's offset ids exceed 2^20).
+    """
+    deg = _node_degrees(e)
     rank = deg.select("n", F.struct(F.col("deg"), F.col("n").alias("id")).alias("rk"))
     ed = (
         e.join(rank.withColumnRenamed("n", "u").withColumnRenamed("rk", "rku"), "u")
@@ -990,7 +992,18 @@ def triangle_count_from_edges(e: DataFrame) -> DataFrame:
     e2 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w2"), F.col("rk_dst").alias("r2"))
     wedges = e1.join(e2, "s").filter(F.col("r1") < F.col("r2"))
     closing = ed.select(F.col("src").alias("w1"), F.col("dst").alias("w2"))
-    tri = wedges.join(closing, ["w1", "w2"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return wedges.join(closing, ["w1", "w2"]).select("s", "w1", "w2")
+
+
+def triangle_count_from_edges(e: DataFrame) -> DataFrame:
+    """Degree-oriented exact triangle count over an undirected edge list
+    ``(u, v)`` with u < v, each edge once. This kernel is graph-agnostic
+    and property-tested on constructed graphs (K_n, stars, cycles —
+    including node ids far beyond any packing bound) in
+    ``tests/test_properties.py``. Returns one row:
+    (n_nodes, n_edges, n_triangles)."""
+    deg = _node_degrees(e)
+    tri = oriented_triangles(e).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
@@ -1049,6 +1062,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge generation is a per-order self-join on the distinct (order,
     supplier) list — quadratic only in lines-per-order, which the schema
     bounds (TPC-H ≤ 7 lines/order)."""
+    return triangle_count_from_edges(_cosupply_edges(spark, sf_dir))
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-supply edges (u < v, once) at min-support 5 — see
+    :func:`graph_triangle_count` for why the support threshold is part of
+    the graph definition."""
     ps = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -1056,7 +1076,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ps.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = ps.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
-    e = (
+    return (
         a.join(b, "k")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
@@ -1064,4 +1084,70 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 5)
         .select("u", "v")
     )
-    return triangle_count_from_edges(e)
+
+
+_TRI_EDGES_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), e AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM ps a JOIN ps b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)"""
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=_TRI_EDGES_SQL
+    + """,
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), per_node AS (
+  SELECT n, COUNT(*) AS t FROM (
+    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY n
+), deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY n
+)
+SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(per_node.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2.0 * COALESCE(per_node.t, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
+         AS clustering_coeff
+FROM deg LEFT JOIN per_node ON deg.n = per_node.n
+WHERE deg.d >= 2
+""",
+    category="plan",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2·triangles(n)/(deg·(deg−1)),
+    the community-density signal (how close each supplier's trading
+    neighborhood is to a clique). Reuses the degree-oriented triangle
+    kernel; the per-node rollup explodes each found triangle to its three
+    corners and aggregates — one extra narrow shuffle over the triangle
+    list, which the orientation already bounded. The coefficient is an
+    int/int ratio → bit-identical to the id-ordered oracle."""
+    e = _cosupply_edges(spark, sf_dir)
+    tris = oriented_triangles(e)
+    per_node = (
+        tris.select(F.explode(F.array("s", "w1", "w2")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = _node_degrees(e)
+    return (
+        deg.join(per_node, "n", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            (
+                (F.lit(2.0) * F.coalesce(F.col("t"), F.lit(0)))
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("clustering_coeff"),
+        )
+    )
