@@ -300,3 +300,63 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.lower(F.sha2(F.col("content"), 256)).alias("payload_sha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_resize — resize stub: real Arrow plumbing, fake pixel math
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("dst_width", T.IntegerType()),
+        T.StructField("dst_height", T.IntegerType()),
+        T.StructField("scale_x", T.DoubleType()),
+        T.StructField("scale_y", T.DoubleType()),
+        T.StructField("resized_digest", T.StringType()),
+    ]
+)
+
+_DST_W, _DST_H = 64, 64
+
+
+def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize kernel (mapInPandas). A real deployment swaps the body
+    for PIL ``Image.resize`` / ``cv2.resize``; what the engine guarantees
+    — and what this fake preserves — is the contract: Arrow batches in,
+    one output row per input row, fixed schema out, per-row-deterministic
+    payload transform (here: linspace byte decimation + sha256, a stand-in
+    for nearest-neighbor downsampling), so results are identical under any
+    partitioning."""
+    for pdf in batches:
+        out = {k: [] for k in ("media_id", "src_width", "src_height", "scale_x",
+                               "scale_y", "resized_digest")}
+        for media_id, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+            w = max(int(meta["width"]), 1)
+            h = max(int(meta["height"]), 1)
+            arr = np.frombuffer(bytes(content), dtype=np.uint8)
+            n = max(len(arr), 1)
+            idx = np.linspace(0, n - 1, num=min(n, _DST_W)).astype(np.int64)
+            out["media_id"].append(media_id)
+            out["src_width"].append(w)
+            out["src_height"].append(h)
+            out["scale_x"].append(_DST_W / w)
+            out["scale_y"].append(_DST_H / h)
+            out["resized_digest"].append(hashlib.sha256(arr[idx].tobytes()).hexdigest())
+        out["dst_width"] = [_DST_W] * len(out["media_id"])
+        out["dst_height"] = [_DST_H] * len(out["media_id"])
+        yield pd.DataFrame(out)[[f.name for f in RESIZED_SCHEMA.fields]]
+
+
+@query("mm_resize", category="pipeline-multimodal")
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch resize of the media corpus to 64×64 via the Arrow iterator
+    contract — map-side only, no shuffle; the per-row scale factors and
+    the decimated-payload digest stand in for the pixel work (no image
+    libs in this image — SURVEY §2.8 L8 mandates the stub be explicit).
+    Partitioning-invariance is pytest-asserted; rows-only for the driver
+    (bytes math isn't SQL-expressible)."""
+    media = media_table(spark, sf_dir)
+    return media.mapInPandas(resize_media_batch, RESIZED_SCHEMA)

@@ -632,3 +632,23 @@ def test_triangle_count_on_constructed_graphs(spark):
     big = 10**12
     k5_big = run((big + a, big + b) for a, b in combinations(range(5), 2))
     assert (k5_big.n_nodes, k5_big.n_edges, k5_big.n_triangles) == (5, 10, 10)
+
+
+def test_mm_resize_partitioning_invariant(spark):
+    """The resize kernel is per-row deterministic: 1-partition and
+    7-partition runs must produce identical rows."""
+    from shadowcat_data_spark.pipeline.multimodal import (
+        RESIZED_SCHEMA,
+        media_table,
+        resize_media_batch,
+    )
+
+    media = media_table(spark, SF_DIR).limit(60)
+    one = sorted(
+        media.coalesce(1).mapInPandas(resize_media_batch, RESIZED_SCHEMA).collect()
+    )
+    many = sorted(
+        media.repartition(7).mapInPandas(resize_media_batch, RESIZED_SCHEMA).collect()
+    )
+    assert one == many
+    assert all(r.dst_width == 64 and len(r.resized_digest) == 64 for r in one)

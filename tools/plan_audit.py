@@ -62,6 +62,7 @@ ALLOW = {
     "u5_udtf_chunking": {"BatchEvalPython"},
     "mm_decode_features": {"MapInPandas"},
     "mm_frame_sample": {"MapInPandas"},
+    "mm_resize": {"MapInPandas"},  # stubbed pixel kernel, same contract
     "t6_stateful_per_key": {"FlatMapGroupsInPandas", "ArrowEvalPython"},
     # one-row scalar-aggregate broadcast (quota / percentile bounds): the
     # build side is a single row at any scale — constant-cost apply
