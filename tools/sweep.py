@@ -8,6 +8,14 @@ one line per query plus a JSON summary suitable for recording in
 BASELINE.md each round.
 
 Run: python tools/sweep.py [sf_dir] [--json-out PATH]
+       [--oracle-skip name1,name2] [--start-after NAME]
+
+``--oracle-skip`` demotes the named queries to the rows-only check — used
+for the sf0.1 deep sweep, where the recursive-CTE closure ORACLES of
+l2d/l14 are quadratic in dup-component size and outlive any patience
+while the engine side finishes in seconds (that asymmetry is the point
+of the iterative-propagation design). ``--start-after`` resumes an
+interrupted sweep alphabetically.
 Exit: non-zero iff any oracle-checked query mismatches or any query errors.
 """
 
@@ -32,11 +40,20 @@ from shadowcat_data_spark.session import get_spark
 
 def main() -> int:
     json_out = None
+    oracle_skip: set[str] = set()
+    start_after = None
     rest = sys.argv[1:]
-    if "--json-out" in rest:
-        i = rest.index("--json-out")
-        json_out = rest[i + 1]
-        rest = rest[:i] + rest[i + 2 :]
+    for flag in ("--json-out", "--oracle-skip", "--start-after"):
+        if flag in rest:
+            i = rest.index(flag)
+            val = rest[i + 1]
+            rest = rest[:i] + rest[i + 2 :]
+            if flag == "--json-out":
+                json_out = val
+            elif flag == "--oracle-skip":
+                oracle_skip = set(val.split(","))
+            else:
+                start_after = val
     args = [a for a in rest if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
@@ -49,10 +66,12 @@ def main() -> int:
     n_pass = n_rows_only = n_fail = 0
     t_start = time.perf_counter()
     for name in sorted(specs):
+        if start_after is not None and name <= start_after:
+            continue
         spec = specs[name]
         t0 = time.perf_counter()
         try:
-            if spec.oracle is None:
+            if spec.oracle is None or name in oracle_skip:
                 df = spec.fn(spark, sf_dir)
                 bad = complex_output_columns(df)
                 if bad:
