@@ -107,14 +107,28 @@ def distinct_shingles(
     return shingle_rows(df, id_col, text_col, k).distinct()
 
 
-def _pair_shared_counts(tok: DataFrame, id_col: str) -> tuple[DataFrame, DataFrame]:
+def _pair_shared_counts(
+    tok: DataFrame, id_col: str, max_df: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """The inverted-index core every exact pair metric shares: per-doc set
     sizes and, for each (d1 < d2) pair with ≥1 common token, the shared
-    count. One self-join shuffled on the token — never all-pairs; bound
-    hot tokens with a ``max_df`` filter on ``tok`` before calling (the
-    stopword cut a search engine makes) when the corpus scale demands it.
+    count. One self-join shuffled on the token — never all-pairs.
+
+    ``max_df`` is the scale lever: a token appearing in d docs fans out
+    d·(d-1)/2 pair rows, so one boilerplate token in a million docs is a
+    5·10¹¹-row join all by itself. Dropping tokens with document
+    frequency > max_df (the stopword cut a search engine makes) bounds
+    every posting list BEFORE the join; sizes are computed on the full
+    token sets, so the metric denominators are unaffected — only pairs
+    whose ONLY shared tokens are ultra-common are (deliberately) missed.
     Returns (sizes[id, n_tok], shared[d1, d2, shared])."""
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    if max_df is not None:
+        df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        tok = (
+            tok.join(df_counts.filter(F.col("__df") <= max_df), "tok")
+            .drop("__df")
+        )
     a = tok.select(F.col(id_col).alias("d1"), "tok")
     b = tok.select(F.col(id_col).alias("d2"), "tok")
     shared = (
@@ -132,7 +146,11 @@ def _pair_shared_counts(tok: DataFrame, id_col: str) -> tuple[DataFrame, DataFra
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, tokenizer=distinct_tokens
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokenizer=distinct_tokens,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard for every doc pair sharing ≥1 token.
 
@@ -141,7 +159,7 @@ def jaccard_pairs(
     double result is bit-identical across engines.
     """
     tok = tokenizer(df, id_col, text_col)
-    sizes, shared = _pair_shared_counts(tok, id_col)
+    sizes, shared = _pair_shared_counts(tok, id_col, max_df=max_df)
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
     return (
@@ -645,6 +663,7 @@ def containment_pairs(
     text_col: str,
     threshold: float = 0.9,
     tokenizer=distinct_shingles,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Doc pairs where one shingle set is ≥ ``threshold`` contained in the
     other: C(A→B) = |A∩B| / |A|.
@@ -663,7 +682,7 @@ def containment_pairs(
     shared/n is an int ratio → bit-identical double across engines.
     """
     tok = tokenizer(df, id_col, text_col)
-    sizes, shared = _pair_shared_counts(tok, id_col)
+    sizes, shared = _pair_shared_counts(tok, id_col, max_df=max_df)
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
     both = shared.join(s1, "d1").join(s2, "d2")

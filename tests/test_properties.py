@@ -652,3 +652,31 @@ def test_mm_resize_partitioning_invariant(spark):
     )
     assert one == many
     assert all(r.dst_width == 64 and len(r.resized_digest) == 64 for r in one)
+
+
+def test_max_df_bounds_postings_without_touching_sizes(spark):
+    """max_df=None reproduces the exact metric; a small max_df can only
+    REMOVE pairs or LOWER shared counts (denominators stay full-set), and
+    dropping nothing-common-but-stopwords pairs is the designed effect."""
+    from shadowcat_data_spark.pipeline.dedup import distinct_tokens, jaccard_pairs
+
+    d = load_table(spark, SF_DIR, "documents").limit(80)
+    exact = {
+        (r.d1, r.d2): (r.shared, r.n1, r.n2)
+        for r in jaccard_pairs(d, "doc_id", "text", tokenizer=distinct_tokens)
+        .select("d1", "d2", "shared", "n1", "n2")
+        .collect()
+    }
+    capped = {
+        (r.d1, r.d2): (r.shared, r.n1, r.n2)
+        for r in jaccard_pairs(
+            d, "doc_id", "text", tokenizer=distinct_tokens, max_df=10
+        )
+        .select("d1", "d2", "shared", "n1", "n2")
+        .collect()
+    }
+    assert set(capped) <= set(exact)
+    assert len(capped) < len(exact)  # the fixture vocab is tiny → cut bites
+    for k, (sh, n1, n2) in capped.items():
+        esh, en1, en2 = exact[k]
+        assert sh <= esh and n1 == en1 and n2 == en2
