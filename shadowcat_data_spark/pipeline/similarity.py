@@ -762,3 +762,100 @@ def int8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .drop("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# L28 — semantic dedup (cluster-then-prune, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.2  # cosine threshold: same-cluster pairs at/above it are dups
+_SEM_PLANES = None  # lazily built: one SRP table, 6 bits → 64 clusters
+
+
+def _sem_planes() -> list[list[float]]:
+    global _SEM_PLANES
+    if _SEM_PLANES is None:
+        _SEM_PLANES = _hyperplanes(64)[0]
+    return _SEM_PLANES
+
+
+def _sem_bucket_sql(e_col: str) -> str:
+    """DuckDB expression computing the SAME 6-bit SRP bucket as
+    ``_srp_bucket`` — the plane constants are inlined from the one shared
+    Python source of truth, so Spark and the oracle hash identical planes."""
+    bits = []
+    for i, plane in enumerate(_sem_planes()):
+        consts = ", ".join(repr(float(x)) for x in plane)
+        dot = (
+            f"list_sum(list_transform(list_zip({e_col}, [{consts}]),"
+            " p -> p[1] * p[2]))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str, tau: float) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings, then drop any
+    vector whose cosine to a LOWER-id vector in the same cluster is ≥ tau
+    (keep-first within each ε-ball). The cluster stage here is a
+    deterministic signed-random-projection bucketing — the fixed-seed,
+    oracle-reproducible stand-in for the k-means coarse quantizer the
+    published recipe uses (see ``_kmeans_centroids`` for that path).
+
+    Scale shape: bucketing is one narrow projection (no shuffle); the
+    pairwise stage is a self-equi-join on the cluster id, so cost is
+    Σ bucket², never corpus² — at 100 TB you grow the bit count with
+    log₂(corpus) to hold bucket sizes constant (6 bits fits the test
+    fixture's 500-2k vectors), and AQE skew-join splits any hot bucket.
+    The keep-rule needs only lower-id neighbors, not the transitive dup
+    closure, so one join round suffices — no iteration."""
+    planes = _sem_planes()
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _to_double(F.col(vec_col)).alias("e"),
+        _srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = v.select("bucket", F.col("vec_id").alias("v1"), F.col("e").alias("e1"))
+    b = v.select("bucket", F.col("vec_id").alias("v2"), F.col("e").alias("e2"))
+    drops = (
+        a.join(b, "bucket")
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(
+            _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
+            >= F.lit(tau)
+        )
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return v.join(drops, "vec_id", "left").select(
+        "vec_id", "bucket", F.col("dropped").isNull().alias("kept")
+    )
+
+
+def _sem_dedup_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), b AS (
+  SELECT vec_id, e, CAST({_sem_bucket_sql("e")} AS BIGINT) AS bucket FROM v
+), drops AS (
+  SELECT DISTINCT b2.vec_id
+  FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+  WHERE list_sum(list_transform(list_zip(b1.e, b2.e), p -> p[1] * p[2]))
+        / (sqrt(list_sum(list_transform(b1.e, x -> x * x)))
+           * sqrt(list_sum(list_transform(b2.e, x -> x * x)))) >= {_SEM_TAU}
+)
+SELECT b.vec_id, b.bucket, d.vec_id IS NULL AS kept
+FROM b LEFT JOIN drops d ON b.vec_id = d.vec_id
+"""
+
+
+@query("l28_semantic_dedup", oracle=_sem_dedup_oracle(), category="pipeline-similarity")
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embeddings table: SRP-cluster then
+    keep-lowest-id within each cosine-ε ball (exact oracle — the SRP planes
+    are inlined into the SQL from the same constants Spark uses)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "vec_id", "embedding", _SEM_TAU)

@@ -680,3 +680,24 @@ def test_max_df_bounds_postings_without_touching_sizes(spark):
     for k, (sh, n1, n2) in capped.items():
         esh, en1, en2 = exact[k]
         assert sh <= esh and n1 == en1 and n2 == en2
+
+
+def test_semantic_dedup_drops_injected_duplicates(spark):
+    """An exact copy of a vector lands in the same SRP bucket with cosine 1,
+    so the higher-id copy must be dropped; every original with no injected
+    twin and no natural ≥τ same-bucket neighbor below it must be kept; and
+    at least the 10 injected twins are gone (kept ≤ n_orig)."""
+    from shadowcat_data_spark.pipeline.similarity import _SEM_TAU, semantic_dedup
+
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    twins = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = semantic_dedup(e.unionByName(twins), "vec_id", "embedding", _SEM_TAU).toPandas()
+    injected = out[out.vec_id >= 100000]
+    assert len(injected) == 10 and not injected.kept.any(), "exact twin survived"
+    originals = out[out.vec_id < 100000]
+    assert len(originals) == 200
+    # keep-first rule: the lowest id in every bucket is always kept
+    firsts = originals.sort_values("vec_id").groupby("bucket").first()
+    assert firsts.kept.all(), "bucket-lowest id was dropped"
