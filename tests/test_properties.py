@@ -701,3 +701,43 @@ def test_semantic_dedup_drops_injected_duplicates(spark):
     # keep-first rule: the lowest id in every bucket is always kept
     firsts = originals.sort_values("vec_id").groupby("bucket").first()
     assert firsts.kept.all(), "bucket-lowest id was dropped"
+
+
+def test_label_propagation_is_deterministic_and_conserves_nodes(spark):
+    """graph_label_propagation: the census must cover every node exactly once
+    (Σ size = |nodes|), every community label must be a real node id, and a
+    re-run must be bit-identical — the smallest-label tie-break is the whole
+    determinism argument, so any partition-order dependence would show here."""
+    from shadowcat_data_spark.plans.analytics import graph_label_propagation
+
+    out = graph_label_propagation(spark, SF_DIR).toPandas()
+    again = graph_label_propagation(spark, SF_DIR).toPandas()
+    a = out.sort_values("community").reset_index(drop=True)
+    b = again.sort_values("community").reset_index(drop=True)
+    assert (a.community == b.community).all() and (a["size"] == b["size"]).all()
+    # node conservation: each node carries exactly one label into the census
+    n_nodes = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(
+            load_table(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("n")
+        )
+        .unionAll(
+            load_table(spark, SF_DIR, "lineitem")
+            .join(
+                load_table(spark, SF_DIR, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("n")
+            )
+        )
+        .distinct()
+        .count()
+    )
+    assert out["size"].sum() == n_nodes
+    # labels are node ids: 'S<k>' or 'C<k>'
+    assert out.community.str.match(r"^[SC]\d+$").all()
