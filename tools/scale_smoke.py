@@ -158,7 +158,17 @@ def main() -> None:
     # in dup-cluster size and this synthetic corpus makes every doc a
     # 10-way near-dup — the LSH tier (l2b, in the bench list) is their
     # scale path (SCALE.md "exact-edge density bound").
-    extra = ["graph_triangle_count", "l3e_pq_ann", "l27_curation_pipeline"]
+    extra = [
+        "graph_triangle_count",
+        "l3e_pq_ann",
+        "l27_curation_pipeline",
+        # continued-session additions: the iterative LPA loop (per-round
+        # shuffle discipline) and the SRP-bucketed semantic dedup (the
+        # 10-way-replica corpus makes every vector a 10-dup family, so the
+        # bucket self-join is exercised at real density)
+        "graph_label_propagation",
+        "l28_semantic_dedup",
+    ]
 
     specs = registry.load_all()
     times: dict[str, float] = {}
