@@ -261,11 +261,16 @@ def hashed_shingles(
     """
     tok_df = df.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
     n = F.size(F.col("__toks"))
-    seq = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.transform(
-        seq,
+    full = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.xxhash64(*[F.element_at(F.col("__toks"), i + j) for j in range(k)]),
     )
+    # Docs shorter than k tokens get ONE shingle hashing their whole token
+    # sequence (the k-gram branch would index past the array, an ANSI error).
+    # CASE short-circuits per row, so the k-gram lambda never evaluates for
+    # short docs; identical short docs still collide with Jaccard 1.
+    short = F.array(F.xxhash64(F.concat_ws(" ", F.col("__toks"))))
+    sh = F.when(n >= k, full).otherwise(short)
     return tok_df.select(id_col, F.explode(sh).alias("tok"))
 
 

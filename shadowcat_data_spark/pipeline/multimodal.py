@@ -250,25 +250,42 @@ def _ensure_media_fixture(spark: SparkSession, sf_dir: str, n_docs: int = 50) ->
     raw ``media_<doc_id>.bin`` file per document (payload = hex sha256 of
     its text) for the ``binaryFile`` ingest query to read. Driver-side by
     nature — it plays the role of the external system that produced the
-    files — and idempotent: an existing directory with the expected file
-    count is reused so repeated query runs don't re-synthesize."""
+    files — and idempotent by CONTENT, not by file count: the expected
+    payloads are recomputed from the current documents fixture (50 small
+    rows) and compared byte-for-byte, so a regenerated fixture with the
+    same row count can never silently reuse stale media files."""
     import os as _os
     import shutil as _shutil
 
     from ..sources.io import _scratch
 
     media_dir = _scratch(sf_dir, "media_files")
-    try:
-        if len(_os.listdir(media_dir)) == n_docs:
-            return media_dir
-    except FileNotFoundError:
-        pass
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
+    expected = {
+        f"media_{r.doc_id}.bin": r.payload.encode("ascii")
+        for r in d.select("doc_id", F.sha2("text", 256).alias("payload")).collect()
+    }
+
+    def _current_matches() -> bool:
+        try:
+            names = _os.listdir(media_dir)
+        except FileNotFoundError:
+            return False
+        if set(names) != set(expected):
+            return False
+        for name, payload in expected.items():
+            with open(_os.path.join(media_dir, name), "rb") as f:
+                if f.read() != payload:
+                    return False
+        return True
+
+    if _current_matches():
+        return media_dir
     _shutil.rmtree(media_dir, ignore_errors=True)  # stale files would ingest
     _os.makedirs(media_dir, exist_ok=True)
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
-    for r in d.select("doc_id", F.sha2("text", 256).alias("payload")).collect():
-        with open(_os.path.join(media_dir, f"media_{r.doc_id}.bin"), "wb") as f:
-            f.write(r.payload.encode("ascii"))
+    for name, payload in expected.items():
+        with open(_os.path.join(media_dir, name), "wb") as f:
+            f.write(payload)
     return media_dir
 
 
@@ -337,14 +354,19 @@ def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             w = max(int(meta["width"]), 1)
             h = max(int(meta["height"]), 1)
             arr = np.frombuffer(bytes(content), dtype=np.uint8)
-            n = max(len(arr), 1)
-            idx = np.linspace(0, n - 1, num=min(n, _DST_W)).astype(np.int64)
+            if arr.size:
+                idx = np.linspace(0, arr.size - 1, num=min(arr.size, _DST_W)).astype(
+                    np.int64
+                )
+                sampled = arr[idx]
+            else:  # empty/corrupt payload: keep the row, digest of zero bytes
+                sampled = arr
             out["media_id"].append(media_id)
             out["src_width"].append(w)
             out["src_height"].append(h)
             out["scale_x"].append(_DST_W / w)
             out["scale_y"].append(_DST_H / h)
-            out["resized_digest"].append(hashlib.sha256(arr[idx].tobytes()).hexdigest())
+            out["resized_digest"].append(hashlib.sha256(sampled.tobytes()).hexdigest())
         out["dst_width"] = [_DST_W] * len(out["media_id"])
         out["dst_height"] = [_DST_H] * len(out["media_id"])
         yield pd.DataFrame(out)[[f.name for f in RESIZED_SCHEMA.fields]]

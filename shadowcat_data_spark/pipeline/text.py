@@ -1058,7 +1058,9 @@ WITH t AS (
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
 ), keyed AS (
-  SELECT doc_id, n_chars, toks,
+  SELECT doc_id, n_chars,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_distinct(toks)) * 1.0 / len(toks) END AS ratio,
          MIN(doc_id) OVER (PARTITION BY content_key) AS first_id
   FROM t
 )
@@ -1066,10 +1068,10 @@ SELECT doc_id,
        CASE WHEN doc_id <> first_id THEN 'duplicate'
             WHEN n_chars < 100 THEN 'too_short'
             WHEN n_chars > 500 THEN 'too_long'
-            WHEN len(list_distinct(toks)) * 1.0 / len(toks) < 0.40 THEN 'repetitive'
+            WHEN ratio < 0.40 THEN 'repetitive'
             ELSE 'kept' END AS verdict,
        CASE WHEN doc_id = first_id AND n_chars BETWEEN 100 AND 500
-                 AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.40
+                 AND ratio >= 0.40
             THEN TRUE ELSE FALSE END AS keep
 FROM keyed
 """,
@@ -1091,7 +1093,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.40 threshold decides identically on both engines."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(tokens(), lambda t: t != "")
-    ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    # token-free docs (whitespace-only text inside the length band) count as
+    # maximally repetitive — ratio 0 — instead of dividing by zero (ANSI)
+    ratio = F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(0.0))
     first = F.min("doc_id").over(
         W.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
     )

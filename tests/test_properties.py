@@ -510,6 +510,7 @@ def test_text_ops_survive_dirty_corpus(spark):
         (3, " ".join(["aa"] * 20), "en", "src0", 59),
         (4, "x", "en", "src0", 1),
         (5, "hello world foo bar", "en", "src0", 19),
+        (6, " " * 120, "en", "src0", 120),  # token-free INSIDE the length band
     ]
     with tempfile.TemporaryDirectory() as tmp:
         spark.createDataFrame(
@@ -520,10 +521,13 @@ def test_text_ops_survive_dirty_corpus(spark):
             "CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{tmp}/documents.parquet/*.parquet')"
         )
+        from shadowcat_data_spark.pipeline.text import curation_pipeline
+
         for name, fn in [
             ("l21_span_dedup", span_dedup),
             ("l22_char_entropy", char_entropy),
             ("l25_bigram_logprob", bigram_logprob),
+            ("l27_curation_pipeline", curation_pipeline),
         ]:
             res = compare_frames(
                 name, fn(spark, tmp).toPandas(), con.sql(specs[name].oracle).df()
@@ -741,3 +745,49 @@ def test_label_propagation_is_deterministic_and_conserves_nodes(spark):
     assert out["size"].sum() == n_nodes
     # labels are node ids: 'S<k>' or 'C<k>'
     assert out.community.str.match(r"^[SC]\d+$").all()
+
+
+def test_minhash_survives_short_docs(spark):
+    """Docs with fewer than k=3 tokens must flow through the hashed-shingle
+    MinHash path (single whole-sequence shingle) instead of crashing the
+    k-gram indexing under ANSI mode — and identical short docs must still
+    come out as an exact-Jaccard-1 near-dup pair."""
+    from shadowcat_data_spark.pipeline.dedup import minhash_near_dups
+
+    rows = [
+        (1, ""),
+        (2, " "),
+        (3, "x"),
+        (4, "tiny doc"),
+        (5, "tiny doc"),
+        (6, "a full length document with plenty of tokens to shingle"),
+        (7, "a full length document with plenty of tokens to shingle"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_near_dups(df, "doc_id", "text", threshold=0.5).toPandas()
+    pairs = {(r.d1, r.d2) for r in out.itertuples()}
+    assert (4, 5) in pairs, "identical 2-token docs missed"
+    assert (6, 7) in pairs, "identical long docs missed"
+    assert (out.jaccard[(out.d1 == 4) & (out.d2 == 5)] == 1.0).all()
+
+
+def test_resize_keeps_empty_payload_rows():
+    """The Arrow resize kernel's one-row-per-input contract must hold for
+    zero-length payloads (the normal failure mode of a real media ingest):
+    the row survives with the digest of zero bytes."""
+    import hashlib
+
+    import pandas as pd
+
+    from shadowcat_data_spark.pipeline.multimodal import resize_media_batch
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "content": [b"", b"abcdef"],
+            "meta": [{"width": 0, "height": 0}, {"width": 4, "height": 4}],
+        }
+    )
+    (out,) = list(resize_media_batch(iter([pdf])))
+    assert len(out) == 2
+    assert out.resized_digest[0] == hashlib.sha256(b"").hexdigest()
