@@ -293,6 +293,7 @@ FROM (
          round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::INTEGER + 1)
                    / 16777217.0) / n_chars, 9) AS k
   FROM documents
+  WHERE n_chars > 0
 )
 ORDER BY k, doc_id
 LIMIT 50
@@ -307,8 +308,10 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of doc_id — reproducible across engines, re-runs, and
     cluster sizes. ln is rounded to 9 dp before ranking (last-ulp), ties
     break on doc_id. At scale this is a TakeOrdered top-k, no sort of the
-    full corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    full corpus. Zero-weight docs (n_chars = 0) are ineligible by the
+    A-ES definition (key = -ln(u)/w → ∞) and are filtered rather than
+    divided by — an empty doc must never crash the draw (ANSI mode)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
             "long"

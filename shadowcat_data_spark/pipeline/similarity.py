@@ -36,6 +36,18 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with the zero-norm convention cos(x, 0) := 0.
+
+    A real corpus contains zero vectors (failed encoder, padding); a bare
+    dot/(‖a‖·‖b‖) crashes the whole query on the first one under Spark's
+    default ANSI mode. Defining the similarity as 0 keeps thresholds and
+    top-k ranks well-defined, and every oracle spells the same CASE so
+    both engines agree bit-for-bit."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > F.lit(0.0), _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -54,9 +66,7 @@ def cosine_topk(
     scored = c.crossJoin(q).select(
         "qid",
         "cid",
-        (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias(
-            "cos"
-        ),
+        _cosine(F.col("qe"), F.col("ce")).alias("cos"),
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop(
@@ -75,9 +85,12 @@ WITH q AS (
   FROM embeddings WHERE vec_id >= 5
 ), scored AS (
   SELECT qid, cid,
-         list_sum(list_transform(list_zip(qe, ce), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(qe, x -> x * x)))
-            * sqrt(list_sum(list_transform(ce, x -> x * x)))) AS cos
+         CASE WHEN (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                    * sqrt(list_sum(list_transform(ce, x -> x * x)))) > 0
+              THEN list_sum(list_transform(list_zip(qe, ce), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                      * sqrt(list_sum(list_transform(ce, x -> x * x))))
+              ELSE 0.0 END AS cos
   FROM c, q
 )
 """
@@ -166,9 +179,7 @@ def ann_lsh_topk(
     scored = cands.select(
         "qid",
         "cid",
-        (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias(
-            "cos"
-        ),
+        _cosine(F.col("qe"), F.col("ce")).alias("cos"),
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop(
@@ -286,9 +297,7 @@ def ivf_topk(
     scored = q.join(c, "__cluster").select(
         "qid",
         "cid",
-        (_dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias(
-            "cos"
-        ),
+        _cosine(F.col("qe"), F.col("ce")).alias("cos"),
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop(
@@ -368,9 +377,12 @@ WITH v AS (
   FROM embeddings
 ), pairs AS (
   SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
-         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos
+         CASE WHEN (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x)))) > 0
+              THEN list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.e, x -> x * x))))
+              ELSE 0.0 END AS cos
   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -392,8 +404,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             (
-                _dot(F.col("e1"), F.col("e2"))
-                / (_norm(F.col("e1")) * _norm(F.col("e2")))
+                _cosine(F.col("e1"), F.col("e2"))
             ).alias("cos"),
         )
     )
@@ -438,7 +449,10 @@ def blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             cmat = np.array(list(pdf.embedding), dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-            cos = (cmat @ qmat.T) / np.outer(cnorm, qnorm)  # (batch, nq)
+            denom = np.outer(cnorm, qnorm)  # (batch, nq)
+            cos = np.divide(  # zero-norm convention: cos(x, 0) := 0
+                cmat @ qmat.T, denom, out=np.zeros_like(denom), where=denom > 0
+            )
             n_c, n_q = cos.shape
             out = pd.DataFrame(
                 {
@@ -626,10 +640,13 @@ def pq_topk(
         (F.element_at(norm_luts[j], F.col(f"code{j}") + 1) for j in range(m)),
         start=F.lit(0.0),
     )
+    adc_denom = F.col("__qn") * F.sqrt(approx_nsq)
     scored = q.crossJoin(codes).select(
         "qid",
         "cid",
-        (approx_dot / (F.col("__qn") * F.sqrt(approx_nsq))).alias("approx_cos"),
+        F.when(adc_denom > F.lit(0.0), approx_dot / adc_denom)
+        .otherwise(F.lit(0.0))
+        .alias("approx_cos"),
     )
     w = W.partitionBy("qid").orderBy(F.col("approx_cos").desc(), F.col("cid"))
     cand = (
@@ -647,10 +664,7 @@ def pq_topk(
         .select(
             "qid",
             "cid",
-            (
-                _dot(F.col("qe"), F.col("ce"))
-                / (_norm(F.col("qe")) * _norm(F.col("ce")))
-            ).alias("cos"),
+            _cosine(F.col("qe"), F.col("ce")).alias("cos"),
         )
     )
     w2 = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
@@ -707,11 +721,13 @@ WITH q8 AS (
   SELECT vec_id AS cid, qv AS ce FROM q8 WHERE vec_id >= 20
 ), scored AS (
   SELECT qid, cid,
-         CAST(CAST(list_sum(list_transform(list_zip(qe, ce), p -> p[1] * p[2]))
-              AS BIGINT) AS DOUBLE)
-         / (sqrt(CAST(CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS DOUBLE))
-            * sqrt(CAST(CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS DOUBLE)))
-           AS cos_q8
+         CASE WHEN (sqrt(CAST(CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS DOUBLE))
+                    * sqrt(CAST(CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS DOUBLE))) > 0
+              THEN CAST(CAST(list_sum(list_transform(list_zip(qe, ce), p -> p[1] * p[2]))
+                   AS BIGINT) AS DOUBLE)
+                   / (sqrt(CAST(CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS DOUBLE))
+                      * sqrt(CAST(CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS DOUBLE)))
+              ELSE 0.0 END AS cos_q8
   FROM c, q
 )
 SELECT qid, cid, cos_q8 FROM scored
@@ -749,12 +765,13 @@ def int8_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             col, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
         ).cast("double")
     )
+    int8_denom = inorm(F.col("qe")) * inorm(F.col("ce"))
     scored = c.crossJoin(q).select(
         "qid",
         "cid",
-        (idot.cast("double") / (inorm(F.col("qe")) * inorm(F.col("ce")))).alias(
-            "cos_q8"
-        ),
+        F.when(int8_denom > F.lit(0.0), idot.cast("double") / int8_denom)
+        .otherwise(F.lit(0.0))
+        .alias("cos_q8"),
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_q8").desc(), F.col("cid"))
     return (
@@ -820,10 +837,7 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str, tau: float) -> 
     drops = (
         a.join(b, "bucket")
         .filter(F.col("v1") < F.col("v2"))
-        .filter(
-            _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
-            >= F.lit(tau)
-        )
+        .filter(_cosine(F.col("e1"), F.col("e2")) >= F.lit(tau))
         .select(F.col("v2").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(True))
@@ -843,7 +857,9 @@ WITH v AS (
 ), drops AS (
   SELECT DISTINCT b2.vec_id
   FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
-  WHERE list_sum(list_transform(list_zip(b1.e, b2.e), p -> p[1] * p[2]))
+  WHERE (sqrt(list_sum(list_transform(b1.e, x -> x * x)))
+         * sqrt(list_sum(list_transform(b2.e, x -> x * x)))) > 0
+    AND list_sum(list_transform(list_zip(b1.e, b2.e), p -> p[1] * p[2]))
         / (sqrt(list_sum(list_transform(b1.e, x -> x * x)))
            * sqrt(list_sum(list_transform(b2.e, x -> x * x)))) >= {_SEM_TAU}
 )

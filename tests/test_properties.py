@@ -791,3 +791,36 @@ def test_resize_keeps_empty_payload_rows():
     (out,) = list(resize_media_batch(iter([pdf])))
     assert len(out) == 2
     assert out.resized_digest[0] == hashlib.sha256(b"").hexdigest()
+
+
+def test_cosine_family_survives_zero_vectors(spark):
+    """cos(x, 0) := 0 convention: a zero embedding (failed encoder output)
+    must not crash any cosine-family operator under ANSI mode, must never
+    rank above a genuinely similar vector, and an exact duplicate pair in
+    the same SRP bucket must still be caught by semantic dedup."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.similarity import (
+        _SEM_TAU,
+        cosine_topk,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64).astype(np.float32)], i % 3)
+        for i in range(20)
+    ]
+    rows.append((20, [0.0] * 64, 0))       # zero vector in the corpus
+    rows.append((21, rows[5][1], 1))        # exact duplicate of vec 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    top = cosine_topk(
+        df.filter(F.col("vec_id") < 5), df.filter(F.col("vec_id") >= 5),
+        "vec_id", "vec_id", "embedding", "embedding", k=21,
+    ).toPandas()
+    zero_scores = top[top.cid == 20].cos
+    assert (zero_scores == 0.0).all(), "zero vector must score 0, not NaN/crash"
+    sem = semantic_dedup(df, "vec_id", "embedding", _SEM_TAU).toPandas()
+    assert len(sem) == 22
+    assert not sem[sem.vec_id == 21].kept.any(), "exact dup of vec 5 must drop"
+    assert sem[sem.vec_id == 20].kept.all(), "zero vector is contentless, kept"

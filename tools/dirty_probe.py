@@ -1,0 +1,112 @@
+"""Degenerate-input robustness gate: run every documents-only and
+embeddings-only registry query against adversarial fixtures the driver's
+TPC-H-ish generator never emits — empty/whitespace-only/one-token docs,
+token-free docs inside the length band, exact-duplicate short docs, zero
+embedding vectors, duplicate vectors under different labels.
+
+Found in round 3 (all since fixed): ANSI DIVIDE_BY_ZERO in l20's A-ES key
+(n_chars=0), in l27's repetition ratio (token-free text), and across the
+whole cosine family (zero-norm vectors, 7 queries); an out-of-range
+element_at in the k-gram shingler (docs shorter than k). The driver's
+fixtures contain none of these rows, so only this probe catches them.
+
+Run: python tools/dirty_probe.py        Exit: non-zero on any error/mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+
+from shadowcat_data_spark import registry
+from shadowcat_data_spark.compare import compare_frames
+from shadowcat_data_spark.session import get_spark
+
+DIRTY_DOCS = [
+    (0, "a  b", "en", "src0", 4),
+    (1, "", "en", "src0", 0),
+    (2, " ", "en", "src0", 1),
+    (3, " ".join(["aa"] * 20), "en", "src0", 59),
+    (4, "x", "fr", "src1", 1),
+    (5, "hello world foo bar", "en", "src0", 19),
+    (6, " " * 120, "en", "src0", 120),  # token-free INSIDE the length band
+    (7, "tiny doc", "de", "src1", 8),
+    (8, "tiny doc", "de", "src1", 8),
+]
+
+_OTHER_TABLES = re.compile(
+    r"\b(lineitem|orders|customer|supplier|part|nation|region|events)\b"
+)
+
+
+def dirty_embeddings() -> list:
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64).astype(np.float32)], i % 3)
+        for i in range(40)
+    ]
+    rows.append((40, [0.0] * 64, 0))  # zero vector
+    rows.append((41, [0.0] * 64, 1))  # second zero vector, same bucket
+    rows.append((42, rows[0][1], 2))  # exact duplicate under another label
+    return rows
+
+
+def main() -> int:
+    spark = get_spark("dirty-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.load_all()
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        DIRTY_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    spark.createDataFrame(
+        dirty_embeddings(), "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp}/{t}.parquet/*.parquet')"
+        )
+    failures = 0
+    n_run = 0
+    for name in sorted(specs):
+        s = specs[name]
+        if s.oracle is not None:
+            lower = s.oracle
+            uses = ("documents" in lower or "embeddings" in lower) and not _OTHER_TABLES.search(lower)
+            if not uses:
+                continue
+            n_run += 1
+            try:
+                res = compare_frames(
+                    name, s.fn(spark, tmp).toPandas(), con.sql(s.oracle).df()
+                )
+                status = "ok" if res.ok else f"MISMATCH {res.detail[:160]}"
+                failures += 0 if res.ok else 1
+            except Exception as ex:  # noqa: BLE001 — gate reports, never hides
+                status = f"ERROR {type(ex).__name__}: {str(ex)[:160]}"
+                failures += 1
+        elif name.startswith(("l2", "l3", "l7d")):
+            n_run += 1
+            try:
+                status = f"rows-only ok ({s.fn(spark, tmp).count()})"
+            except Exception as ex:  # noqa: BLE001
+                status = f"ROWS-ONLY ERROR {type(ex).__name__}: {str(ex)[:160]}"
+                failures += 1
+        else:
+            continue
+        print(f"[dirty] {name}: {status}", flush=True)
+    print(f"[dirty] {n_run} queries probed, {failures} failures", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
