@@ -308,9 +308,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f9_json",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
-       CAST(json_extract(props, '$.k') AS INTEGER) * 10 AS k_scaled
+       CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS k_str,
+       CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k_int,
+       CASE WHEN json_valid(props) THEN CAST(json_extract(props, '$.k') AS INTEGER) * 10 END AS k_scaled
 FROM events
 """,
     category="function",
@@ -364,11 +364,15 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f9b_variant",
     oracle="""
-SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 7 AS k_mod,
+WITH k AS (
+  SELECT CASE WHEN json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k
+  FROM events
+)
+SELECT k % 7 AS k_mod,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
-FROM events
-GROUP BY k_mod
+       CAST(SUM(k) AS BIGINT) AS k_sum
+FROM k GROUP BY k_mod
 """,
     category="function",
 )
@@ -381,7 +385,9 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parquet readers that support it). DuckDB has no variant; its JSON
     functions are the semantic oracle."""
     e = load_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json, not parse_json: a malformed payload (truncated write,
+    # non-JSON producer) must become a NULL variant, not kill the query
+    v = F.try_parse_json(F.col("props"))
     k = F.variant_get(v, "$.k", "int")
     return (
         e.select(k.alias("k"))

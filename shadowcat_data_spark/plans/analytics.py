@@ -195,10 +195,20 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sessionize(df: DataFrame, key: str, ts: str, gap_minutes: int) -> DataFrame:
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_minutes: int, tiebreak: str | None = None
+) -> DataFrame:
     """Batch sessionization: lag + cumulative-sum of gap breaks. One window
-    over (key, ts) — the canonical scalable formulation."""
-    w = W.partitionBy(key).orderBy(ts)
+    over (key, ts) — the canonical scalable formulation.
+
+    ``tiebreak`` must be a unique column whenever (key, ts) can repeat:
+    the lag pass and the cumsum pass are separate window evaluations, and
+    an engine is free to order equal-ts rows differently in each — if the
+    row carrying the break lands mid-tie in the second pass, a spurious
+    session splits off (observed on DuckDB with duplicate timestamps; the
+    repo-wide rule is that every window orders by a unique tuple)."""
+    order = [ts] if tiebreak is None else [ts, tiebreak]
+    w = W.partitionBy(key).orderBy(*order)
     # µs integer arithmetic: cast-to-long truncates to seconds, which shifts
     # session boundaries for sub-second gaps
     gap = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w)
@@ -212,16 +222,17 @@ def sessionize(df: DataFrame, key: str, ts: str, gap_minutes: int) -> DataFrame:
 @query(
     "batch_sessionize",
     oracle="""
-WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
 g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS brk
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
   FROM g
 )
 SELECT user_id, CAST(sid AS BIGINT) AS session_id,
@@ -234,8 +245,8 @@ FROM s GROUP BY user_id, sid
 )
 def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session stats per (user, session) — batch twin of t3_session_window."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    s = sessionize(e, "user_id", "ts", 30)
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(e, "user_id", "ts", 30, tiebreak="event_id")
     return s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),

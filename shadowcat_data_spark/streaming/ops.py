@@ -175,7 +175,7 @@ WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
 g AS (
   SELECT user_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s AS (
@@ -191,7 +191,10 @@ FROM s GROUP BY user_id, sid
 )
 def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessions per user via session_window; the oracle is the
-    classic batch lag+cumsum sessionization — identical session boundaries."""
+    classic batch lag+cumsum sessionization with the SAME boundary rule as
+    session_window: a gap of EXACTLY the threshold still merges (Spark
+    treats the session end as inclusive for the next event), so the twin
+    breaks only on gap > 30 min — verified on a constructed exact-gap pair."""
     agg = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
@@ -643,7 +646,13 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # − 2 h.
     import datetime
 
-    wm_str = progress[0]["eventTime"]["watermark"]
+    prog = progress[0] if progress else None
+    wm_str = ((prog or {}).get("eventTime") or {}).get("watermark")
+    if wm_str is None:
+        # stream saw no data (or no progress was recorded): the watermark
+        # never advanced, so nothing is emittable-and-final — empty result,
+        # same schema, instead of a crash on the missing metadata
+        return out.filter(F.lit(False)).select("click_id", "purchase_id")
     wm = (
         datetime.datetime.fromisoformat(wm_str.replace("Z", "+00:00"))
         .astimezone(datetime.timezone.utc)

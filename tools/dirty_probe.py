@@ -44,6 +44,24 @@ DIRTY_DOCS = [
 _OTHER_TABLES = re.compile(
     r"\b(lineitem|orders|customer|supplier|part|nation|region|events)\b"
 )
+_NON_EVENTS = re.compile(
+    r"\b(lineitem|orders|customer|supplier|part|nation|region|documents|embeddings)\b"
+)
+
+# ts stays NON-NULL by contract (event-time semantics need it); everything
+# else is adversarial: null value/event_type/props, value=0 and negative,
+# a single-event user, and a burst of identical timestamps for one user
+# (tie-order stress for every window that claims a unique ordering tuple).
+DIRTY_EVENTS = [
+    (0, "2024-01-01 00:00:00", 1, "click", 0.0, None),
+    (1, "2024-01-01 00:00:00", 1, "click", -5.5, '{"k": 1}'),
+    (2, "2024-01-01 00:00:00", 1, "purchase", None, '{"k": 2}'),
+    (3, "2024-01-01 00:00:01", 1, None, 2.25, '{"k": 3}'),
+    (4, "2024-01-01 02:00:00", 2, "signup", 7.0, None),
+    (5, "2024-01-01 02:30:00", 2, "purchase", 0.0, '{"k": 5}'),
+    (6, "2024-01-03 00:00:00", 3, "error", 1.0, "not json"),
+    (7, "2024-01-03 00:00:00", 3, "error", 1.0, ""),
+]
 
 
 def dirty_embeddings() -> list:
@@ -69,19 +87,36 @@ def main() -> int:
     spark.createDataFrame(
         dirty_embeddings(), "vec_id long, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    # events.parquet must be a single FILE (the driver's fixture layout —
+    # the streaming source's pathGlobFilter matches leaf file names)
+    con_tmp = duckdb.connect()
+    con_tmp.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con_tmp.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)", DIRTY_EVENTS)
+    con_tmp.execute(
+        f"COPY ev TO '{os.path.join(tmp, 'events.parquet')}' (FORMAT PARQUET)"
+    )
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings"):  # Spark-written directories
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{tmp}/{t}.parquet/*.parquet')"
         )
+    con.execute(  # single file — the driver's events fixture layout
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
+    )
     failures = 0
     n_run = 0
     for name in sorted(specs):
         s = specs[name]
         if s.oracle is not None:
             lower = s.oracle
-            uses = ("documents" in lower or "embeddings" in lower) and not _OTHER_TABLES.search(lower)
+            uses = (
+                ("documents" in lower or "embeddings" in lower)
+                and not _OTHER_TABLES.search(lower)
+            ) or ("events" in lower and not _NON_EVENTS.search(lower))
             if not uses:
                 continue
             n_run += 1
