@@ -575,12 +575,13 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     got = obs.get
+    cents = got["price_cents"]  # SUM over zero rows is NULL, like the oracle
     return spark.createDataFrame(
         [
             (
                 int(got["n_rows"]),
                 int(got["n_discounted"]),
-                float(got["price_cents"]) / 100.0,
+                float(cents) / 100.0 if cents is not None else None,
             )
         ],
         "n_rows long, n_discounted long, total_price double",

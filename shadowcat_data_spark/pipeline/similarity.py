@@ -213,6 +213,8 @@ def _kmeans_centroids(
     """
     seeds = corpus.orderBy(F.col(vec).getItem(0)).limit(k).select(vec).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    if not centroids:  # empty corpus: no quantizer to train
+        return []
     for _ in range(iters):
         assigned = _assign_nearest(corpus, vec, centroids).select(
             F.col("__cluster"), F.posexplode(_to_double(F.col(vec))).alias("dim", "v")
@@ -264,6 +266,13 @@ def ivf_topk(
     probe each query against its n_probe nearest clusters only, exact-cosine
     re-rank inside. Candidate cost ∝ n_probe/n_clusters of the corpus."""
     centroids = _kmeans_centroids(corpus, vec, n_clusters)
+    if not centroids:  # empty corpus: no quantizer, no neighbors
+        return (
+            queries.select(F.col(q_id).alias("qid"))
+            .withColumn("cid", F.lit(None).cast("long"))
+            .withColumn("cos", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+        )
     c = _assign_nearest(corpus, vec, centroids).select(
         F.col(c_id).alias("cid"), _to_double(F.col(vec)).alias("ce"), "__cluster"
     )
@@ -442,11 +451,18 @@ def blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     )  # 5 query vectors — a bounded, deliberate driver-side broadcast
     qids = np.array([r.vec_id for r in q_rows])
-    qmat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qmat = (
+        np.array([r.embedding for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 1))  # no queries: batches short-circuit below
+    )
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
 
     def score_batches(batches):
         for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:  # empty batch or no queries
+                yield pd.DataFrame({"qid": [], "cid": [], "cos": []})
+                continue
             cmat = np.array(list(pdf.embedding), dtype=np.float64)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             denom = np.outer(cnorm, qnorm)  # (batch, nq)
@@ -585,7 +601,15 @@ def pq_topk(
     set. At 100 TB you compose this with the IVF router (l3c) so the ADC
     scan touches only probed buckets — the two operators are deliberately
     the same (qid, cid, cos) shape to chain."""
-    dim = len(corpus.select(vec).first()[0])
+    first = corpus.select(vec).first()
+    if first is None:  # empty corpus: nothing to train on or search
+        return (
+            queries.select(F.col(q_id).alias("qid"))
+            .withColumn("cid", F.lit(None).cast("long"))
+            .withColumn("cos", F.lit(None).cast("double"))
+            .filter(F.lit(False))
+        )
+    dim = len(first[0])
     if dim % m != 0:
         raise ValueError(
             f"PQ requires the vector dimension to be divisible by m "

@@ -813,7 +813,9 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("day_key")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    # explicit schema: an empty source writes zero files under partitionBy
+    # and inference on the bare directory throws (empty in → empty out)
+    back = spark.read.schema(base.schema).parquet(path)
     return back.select("day", "event_type", F.col("n").cast("long").alias("n"), "rebuilt")
 
 
@@ -958,6 +960,7 @@ def partition_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import _scratch
 
     e = load_table(spark, sf_dir, "events")
+    keyed_schema = e.withColumn("day_key", F.lit("x")).schema  # for empty read-back
     path = _scratch(sf_dir, "m16_daily_events")
     # repartition("day_key") alone gives the one-file-per-day layout the
     # oracle expects: each day_key hashes to exactly one shuffle partition,
@@ -973,7 +976,9 @@ def partition_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # input_file_name() is non-deterministic to the analyzer: materialize it
     # as a projection column first, then aggregate over the column
-    back = spark.read.parquet(path).withColumn("fname", F.input_file_name())
+    back = spark.read.schema(keyed_schema).parquet(path).withColumn(
+        "fname", F.input_file_name()
+    )
     return (
         back.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(

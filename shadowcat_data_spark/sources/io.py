@@ -138,7 +138,10 @@ def partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _scratch(sf_dir, "pricing_by_flag")
     agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    back = spark.read.parquet(path)
+    # explicit schema: a partitionBy write of an EMPTY frame produces no
+    # files at all, and schema inference on that directory throws — the
+    # declared schema keeps the round-trip total (empty in → empty out)
+    back = spark.read.schema(agg.schema).parquet(path)
     return back.select("l_returnflag", "l_linestatus", "n", "sum_qty")
 
 
@@ -240,6 +243,7 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s11_corrupt_record_quarantine",
     oracle="""
 SELECT 'good' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM region
+HAVING COUNT(*) > 0
 UNION ALL
 SELECT 'bad', 2
 """,

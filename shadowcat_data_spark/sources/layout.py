@@ -155,7 +155,9 @@ def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(small).coalesce(4).write.mode("overwrite").parquet(compacted)
     n_small = len([f for f in os.listdir(small) if f.endswith(".parquet")])
     n_big = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
-    assert n_big < n_small, (n_big, n_small)
+    # an (near-)empty source writes one file on both sides — nothing to
+    # compact, which is success, not an invariant violation
+    assert n_big < n_small or n_small <= 4, (n_big, n_small)
     return spark.read.parquet(compacted)
 
 

@@ -1,0 +1,90 @@
+"""Empty-input robustness gate: every registry query against a fixture
+where ALL ten tables exist with correct schemas and ZERO rows.
+
+This is the other end of tools/dirty_probe.py: instead of adversarial
+values, no values at all — which flushes out driver-side collects that
+assume a first row (PQ/IVF/GEMM trainers), metrics readers that float()
+a NULL aggregate, and partitionBy writes whose read-back infers a schema
+from files that were never written. All of those were found (and fixed)
+in round 3 by this probe.
+
+Four queries diverge from their oracle on empty input BY ENGINE DESIGN,
+not by bug, and are expected-listed below:
+- a5_cube / a5_rollup / a5c_grouping_sets / a22_grouping_id: standard SQL
+  (and DuckDB) emit the grand-total grouping-set row even over zero input
+  rows; Spark's CUBE/ROLLUP emit nothing. A fixed-up Spark side would
+  have to fabricate the row driver-side — worse than documenting the
+  engine difference, which only manifests on a fully EMPTY fact table.
+- stat_crosstab: a dynamic pivot has data-dependent columns; on empty
+  input Spark produces no value columns while the oracle hardcodes the
+  fixture's five — schema mismatch is inherent to dynamic pivots.
+
+Run: python tools/empty_probe.py        Exit: non-zero on unexpected fail.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from shadowcat_data_spark import registry
+from shadowcat_data_spark.compare import compare_frames
+from shadowcat_data_spark.session import TABLES, get_spark
+
+SRC = "/root/testdata/sf0.001"
+
+EXPECTED_DIVERGENT = {
+    "a5_cube",
+    "a5_rollup",
+    "a5c_grouping_sets",
+    "a22_grouping_id",
+    "stat_crosstab",
+}
+
+
+def main() -> int:
+    spark = get_spark("empty-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.load_all()
+    tmp = tempfile.mkdtemp()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') LIMIT 0) "
+            f"TO '{tmp}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
+        )
+    fails = 0
+    for name in sorted(specs):
+        s = specs[name]
+        try:
+            if s.oracle is not None:
+                res = compare_frames(
+                    name, s.fn(spark, tmp).toPandas(), con.sql(s.oracle).df()
+                )
+                ok = res.ok or name in EXPECTED_DIVERGENT
+                st = (
+                    "ok"
+                    if res.ok
+                    else ("expected-divergent" if ok else f"MISMATCH {res.detail[:150]}")
+                )
+                fails += 0 if ok else 1
+            else:
+                st = f"rows-only ok ({s.fn(spark, tmp).count()})"
+        except Exception as ex:  # noqa: BLE001 — gate reports, never hides
+            st = f"ERROR {type(ex).__name__}: {str(ex)[:150]}"
+            fails += 1
+        print(f"[empty] {name}: {st}", flush=True)
+    print(f"[empty] unexpected failures: {fails}", flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
