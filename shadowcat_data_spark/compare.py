@@ -32,16 +32,23 @@ def register_views(con, sf_dir: str) -> None:
 
 
 def _canon_cell(v) -> str:
-    """Canonical, engine-agnostic string for one cell value."""
+    """Canonical, engine-agnostic string for one cell value.
+
+    NaN canonicalizes to "<null>", same as None: pandas float64 columns
+    cannot represent SQL NULL as anything but NaN, so the distinction is
+    already erased for every double column after toPandas()/df() — keeping
+    it for OBJECT columns (nullable booleans, strings) would only turn the
+    engines' different missing-value representations (Spark → None,
+    DuckDB → NaN) into false mismatches."""
     if v is None:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
-            return "<nan>"
+            return "<null>"
         return repr(v)  # shortest round-trip repr — exact for float64
     if isinstance(v, (np.floating,)):
         f = float(v)
-        return "<nan>" if math.isnan(f) else repr(f)
+        return "<null>" if math.isnan(f) else repr(f)
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))
     if isinstance(v, (int, np.integer)):

@@ -194,8 +194,8 @@ SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.04) AS disc_dev,
        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
        CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-       sqrt(l_extendedprice) AS price_sqrt,
-       round(ln(l_extendedprice), 9) AS price_ln,
+       CASE WHEN l_extendedprice >= 0 THEN sqrt(l_extendedprice) END AS price_sqrt,
+       CASE WHEN l_extendedprice > 0 THEN round(ln(l_extendedprice), 9) END AS price_ln,
        CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate
@@ -214,8 +214,14 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.04).alias("disc_dev"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
-        F.sqrt("l_extendedprice").alias("price_sqrt"),
-        F.round(F.ln("l_extendedprice"), 9).alias("price_ln"),
+        # domain guards spelled in BOTH engines: sqrt/ln of a negative price
+        # is NULL, not a NaN (Spark) or an exception (DuckDB errors on both)
+        F.when(F.col("l_extendedprice") >= 0, F.sqrt("l_extendedprice")).alias(
+            "price_sqrt"
+        ),
+        F.when(
+            F.col("l_extendedprice") > 0, F.round(F.ln("l_extendedprice"), 9)
+        ).alias("price_ln"),
         (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),

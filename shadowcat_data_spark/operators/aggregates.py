@@ -467,7 +467,12 @@ def approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed key domain."""
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.agg(F.expr("approx_top_k(o_orderpriority, 5, 10000)").alias("tk"))
+        # k=10 ≥ any realistic priority vocabulary, so the sketch returns
+        # every item exactly — including a NULL item, which approx_top_k
+        # tracks like any other value — matching the oracle's plain GROUP
+        # BY; the high-cardinality truncating regime is property-tested
+        # separately
+        o.agg(F.expr("approx_top_k(o_orderpriority, 10, 10000)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("count"))
     )
@@ -622,13 +627,22 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     names the columns {value}_{agg alias}, which the oracle mirrors as
     FILTER-ed aggregates (the universal pivot desugaring)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    pv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(
             quantized_sum(F.col("l_quantity"), "sum_qty", 100.0),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+    # pivot leaves an absent (flag, status) cell NULL even for COUNT;
+    # SQL's COUNT(*) FILTER is 0 there — align the count cells
+    return pv.select(
+        "l_returnflag",
+        "F_sum_qty",
+        F.coalesce(F.col("F_n"), F.lit(0).cast("long")).alias("F_n"),
+        "O_sum_qty",
+        F.coalesce(F.col("O_n"), F.lit(0).cast("long")).alias("O_n"),
     )
 
 

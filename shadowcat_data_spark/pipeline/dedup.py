@@ -648,7 +648,10 @@ def blocked_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = (
         p.select(F.col("p_name").alias("name"))
         .distinct()
-        .withColumn("block", F.split(F.col("name"), " ").getItem(1))
+        # F.get, not getItem: a one-word name has no index 1, which is an
+        # ANSI INVALID_ARRAY_INDEX under getItem but NULL under get — the
+        # same out-of-bounds-is-NULL rule as the oracle's list indexing
+        .withColumn("block", F.get(F.split(F.col("name"), " "), 1))
     )
     a = names.select(F.col("name").alias("name1"), "block")
     b = names.select(F.col("name").alias("name2"), "block")

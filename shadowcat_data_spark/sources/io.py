@@ -119,10 +119,10 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s4_partitioned_sink",
     oracle="""
-SELECT l_returnflag, l_linestatus,
+SELECT NULLIF(l_returnflag, '') AS l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
-FROM lineitem GROUP BY l_returnflag, l_linestatus
+FROM lineitem GROUP BY 1, l_linestatus
 """,
     category="sink",
 )
@@ -130,7 +130,13 @@ def partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate → write partitionBy(l_returnflag) → re-read → return.
     Re-reading proves the sink round-trips values AND that partition columns
     re-attach with correct types (they come back as scan partition keys that
-    downstream filters prune on)."""
+    downstream filters prune on).
+
+    Hive-layout caveat, spelled in the oracle as NULLIF(l_returnflag, ''):
+    both NULL and '' partition values are written to the
+    __HIVE_DEFAULT_PARTITION__ directory and read back as NULL — an
+    empty-string partition key does NOT round-trip through partitionBy on
+    any Hive-layout engine. Pick partition columns accordingly."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),

@@ -66,13 +66,18 @@ _U2_SCHEMA = "l_returnflag string, n bigint, total_dollars double, max_line doub
 
 
 def _flag_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    cents = np.floor(pdf["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    # SQL aggregate semantics by hand: SUM/MAX skip NULLs (NaN here — Arrow
+    # hands floats over as float64) and are NULL over an all-NULL group;
+    # a bare astype(int64) of NaN would instead poison the sum with INT64_MIN
+    vals = pdf["l_extendedprice"].to_numpy()
+    ok = ~np.isnan(vals)
+    cents = np.floor(vals[ok] * 100 + 0.5).astype(np.int64)
     return pd.DataFrame(
         {
             "l_returnflag": [pdf["l_returnflag"].iloc[0]],
             "n": [len(pdf)],
-            "total_dollars": [cents.sum() / 100.0],
-            "max_line": [pdf["l_extendedprice"].max()],
+            "total_dollars": [cents.sum() / 100.0 if ok.any() else None],
+            "max_line": [vals[ok].max() if ok.any() else None],
         }
     )
 
@@ -103,14 +108,26 @@ _U3_SCHEMA = "l_orderkey long, is_high boolean, net_cents long"
 
 def _classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
+        q = pdf["l_quantity"].to_numpy()
         net = pdf["l_extendedprice"].to_numpy() * (1.0 - pdf["l_discount"].to_numpy())
+        # SQL three-valued logic by hand: NULL quantity → NULL is_high (its
+        # own group), NULL price/discount → NULL cents — pandas NULLABLE
+        # dtypes carry the NULLs through Arrow; a bare numpy comparison
+        # would silently fold NaN into False
+        is_high = pd.array(q >= 25, dtype="boolean")
+        is_high[np.isnan(q)] = pd.NA
+        cents_f = np.floor(net * 100 + 0.5)
+        net_cents = pd.array(
+            np.where(np.isnan(cents_f), 0, cents_f).astype(np.int64), dtype="Int64"
+        )
+        net_cents[np.isnan(cents_f)] = pd.NA
         yield pd.DataFrame(
             {
                 "l_orderkey": pdf["l_orderkey"],
-                "is_high": pdf["l_quantity"].to_numpy() >= 25,
+                "is_high": is_high,
                 # half-up via floor(x+0.5): np.rint is banker's and DuckDB
                 # round() is decimal-string-aware — only floor is IEEE-portable
-                "net_cents": np.floor(net * 100 + 0.5).astype(np.int64),
+                "net_cents": net_cents,
             }
         )
 
@@ -145,12 +162,16 @@ _U4_SCHEMA = "c_mktsegment string, n bigint, avg_balance double"
 
 
 def _segment_avg(pdf: pd.DataFrame) -> pd.DataFrame:
-    cents = np.floor(pdf["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+    # mirrors the oracle exactly: SUM skips NULL balances (NULL if all are),
+    # the divisor is COUNT(*) over ALL rows
+    vals = pdf["c_acctbal"].to_numpy()
+    ok = ~np.isnan(vals)
+    cents = np.floor(vals[ok] * 100 + 0.5).astype(np.int64)
     return pd.DataFrame(
         {
             "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
             "n": [len(pdf)],
-            "avg_balance": [(cents.sum() / 100.0) / len(pdf)],
+            "avg_balance": [(cents.sum() / 100.0) / len(pdf) if ok.any() else None],
         }
     )
 
@@ -278,17 +299,22 @@ def map_in_arrow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _priority_rank(p: str) -> int:
+def _priority_rank(p: str) -> int | None:
     """Plain-Python business rule (the kind that arrives as a code snippet,
     not a vectorizable expression): parse the leading digit of an order
-    priority label."""
-    return int(p.split("-", 1)[0])
+    priority label. NULL/unparseable labels → NULL — row-signature UDFs
+    receive None verbatim (Spark does not skip NULL inputs for them), and
+    the oracle's TRY_CAST nulls the same rows."""
+    try:
+        return int(p.split("-", 1)[0])
+    except (AttributeError, ValueError):
+        return None
 
 
 @query(
     "u7_arrow_scalar_udf",
     oracle="""
-SELECT CAST(o_orderpriority[1] AS INTEGER) AS prank,
+SELECT TRY_CAST(o_orderpriority[1] AS INTEGER) AS prank,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders GROUP BY 1
 """,
@@ -407,9 +433,14 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def weighted_mean_cents(cents: pd.Series, w: pd.Series) -> float:
-        num = int((cents.astype("int64") * w.astype("int64")).sum())
+        # the oracle's exact shape: SUM(cents*w) skips NULL products but the
+        # SUM(w) denominator covers every row of the group
+        ok = cents.notna()
+        if not ok.any():  # SUM over an all-NULL numerator is NULL, not 0
+            return None
+        num = int((cents[ok].astype("int64") * w[ok].astype("int64")).sum())
         den = int(w.astype("int64").sum())
-        return num / (100.0 * den)
+        return num / (100.0 * den) if den else None
 
     c = load_table(spark, sf_dir, "customer")
     cents = F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
