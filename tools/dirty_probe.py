@@ -39,6 +39,11 @@ DIRTY_DOCS = [
     (6, " " * 120, "en", "src0", 120),  # token-free INSIDE the length band
     (7, "tiny doc", "de", "src1", 8),
     (8, "tiny doc", "de", "src1", 8),
+    # unicode: emoji (astral plane), CJK (no spaces — one giant token),
+    # combining accents (e + U+0301), RTL, multi-byte in every position
+    (9, "caf\u00e9 \u2615 caf\u00e9\u0301 \U0001f600\U0001f680", "fr", "src2", 14),
+    (10, "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059", "ja", "src2", 10),
+    (11, "\u05e9\u05dc\u05d5\u05dd abc \u05e2\u05d5\u05dc\u05dd", "he", "src2", 12),
 ]
 
 _OTHER_TABLES = re.compile(
