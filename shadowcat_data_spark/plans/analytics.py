@@ -1234,11 +1234,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
+    labels = label_propagation(edges, _LPA_ITERS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node")
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
+    """The LPA kernel: (src, dst) directed-edge relation (pass each
+    undirected edge BOTH ways) → (node, label) after ``iters`` synchronous
+    rounds of most-frequent-neighbor-label with smallest-label tie-break.
+    Graph-agnostic and property-tested on constructed graphs (two cliques
+    joined by a bridge must converge to two communities)."""
     edges = edges.localCheckpoint(eager=True)  # reused every round
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(_LPA_ITERS):
+    for _ in range(iters):
         counted = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
@@ -1251,6 +1263,4 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .localCheckpoint(eager=True)
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node")
-    )
+    return labels

@@ -824,3 +824,29 @@ def test_cosine_family_survives_zero_vectors(spark):
     assert len(sem) == 22
     assert not sem[sem.vec_id == 21].kept.any(), "exact dup of vec 5 must drop"
     assert sem[sem.vec_id == 20].kept.all(), "zero vector is contentless, kept"
+
+
+def test_label_propagation_on_constructed_graphs(spark):
+    """LPA kernel on a known topology: two 4-cliques joined by one bridge
+    edge must converge to exactly two communities, each labeled by its
+    clique's smallest node; a star graph must collapse onto the hub's
+    neighborhood minimum."""
+    from shadowcat_data_spark.plans.analytics import label_propagation
+
+    def undirected(pairs):
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    # two 4-cliques {a0..a3}, {b0..b3} + bridge a0-b0
+    clique = lambda p: [(f"{p}{i}", f"{p}{j}") for i in range(4) for j in range(i + 1, 4)]
+    e = undirected(clique("a") + clique("b") + [("a0", "b0")])
+    out = label_propagation(e, 4).toPandas().set_index("node")["label"]
+    assert {out[f"a{i}"] for i in range(4)} == {"a0"}, "a-clique not converged"
+    assert {out[f"b{i}"] for i in range(4)} == {"b0"}, "b-clique not converged"
+    # star: synchronous LPA on a bipartite shape oscillates deterministically
+    # — after 2 rounds the hub has its own label back and every leaf holds
+    # the minimum leaf label (l1), pinning the exact fixed tie-break path
+    star = undirected([("h", f"l{i}") for i in range(1, 6)])
+    sout = label_propagation(star, 2).toPandas().set_index("node")["label"]
+    assert sout["h"] == "h"
+    assert {sout[f"l{i}"] for i in range(1, 6)} == {"l1"}
