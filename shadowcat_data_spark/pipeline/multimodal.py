@@ -250,42 +250,51 @@ def _ensure_media_fixture(spark: SparkSession, sf_dir: str, n_docs: int = 50) ->
     raw ``media_<doc_id>.bin`` file per document (payload = hex sha256 of
     its text) for the ``binaryFile`` ingest query to read. Driver-side by
     nature — it plays the role of the external system that produced the
-    files — and idempotent by CONTENT, not by file count: the expected
-    payloads are recomputed from the current documents fixture (50 small
-    rows) and compared byte-for-byte, so a regenerated fixture with the
-    same row count can never silently reuse stale media files."""
+    files — and idempotent by CONTENT, not by file count: a manifest file
+    records the sha256 of the SOURCE documents parquet, so a regenerated
+    fixture with the same row count can never silently reuse stale media
+    files, while an unchanged fixture short-circuits on one small file
+    hash (no Spark job, no per-file reads)."""
+    import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
 
     from ..sources.io import _scratch
 
     media_dir = _scratch(sf_dir, "media_files")
+    # sibling of the media dir — the binaryFile read would ingest anything
+    # placed INSIDE it
+    manifest = media_dir.rstrip("/") + ".manifest"
+    src = _os.path.join(sf_dir, "documents.parquet")
+    h = _hashlib.sha256()
+    if _os.path.isdir(src):  # spark-written directory fixture
+        for name in sorted(_os.listdir(src)):
+            fp = _os.path.join(src, name)
+            if _os.path.isfile(fp):
+                with open(fp, "rb") as f:
+                    h.update(f.read())
+    else:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    src_sha = f"{h.hexdigest()}:{n_docs}"
+    try:
+        with open(manifest) as f:
+            if f.read() == src_sha:
+                return media_dir
+    except FileNotFoundError:
+        pass
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
     expected = {
         f"media_{r.doc_id}.bin": r.payload.encode("ascii")
         for r in d.select("doc_id", F.sha2("text", 256).alias("payload")).collect()
     }
-
-    def _current_matches() -> bool:
-        try:
-            names = _os.listdir(media_dir)
-        except FileNotFoundError:
-            return False
-        if set(names) != set(expected):
-            return False
-        for name, payload in expected.items():
-            with open(_os.path.join(media_dir, name), "rb") as f:
-                if f.read() != payload:
-                    return False
-        return True
-
-    if _current_matches():
-        return media_dir
     _shutil.rmtree(media_dir, ignore_errors=True)  # stale files would ingest
     _os.makedirs(media_dir, exist_ok=True)
     for name, payload in expected.items():
         with open(_os.path.join(media_dir, name), "wb") as f:
             f.write(payload)
+    with open(manifest, "w") as f:  # written LAST: a crash mid-synth re-runs
+        f.write(src_sha)
     return media_dir
 
 

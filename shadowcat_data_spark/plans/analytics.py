@@ -244,7 +244,11 @@ FROM s GROUP BY user_id, sid
     category="plan",
 )
 def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session stats per (user, session) — batch twin of t3_session_window."""
+    """Session stats per (user, session) — same data as t3_session_window
+    but an independent definition with an OPEN boundary: a gap of exactly
+    30 min STARTS a new session here, while Spark's session_window (t3)
+    merges the exact-gap event. Each query is oracle-consistent with its
+    own rule; don't treat the two as interchangeable on boundary events."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     s = sessionize(e, "user_id", "ts", 30, tiebreak="event_id")
     return s.groupBy("user_id", "session_id").agg(

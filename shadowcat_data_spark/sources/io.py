@@ -132,12 +132,17 @@ def partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-attach with correct types (they come back as scan partition keys that
     downstream filters prune on).
 
-    Hive-layout caveat, spelled in the oracle as NULLIF(l_returnflag, ''):
-    both NULL and '' partition values are written to the
+    Hive-layout caveat, spelled identically on BOTH sides as
+    NULLIF(l_returnflag, ''): both NULL and '' partition values land in the
     __HIVE_DEFAULT_PARTITION__ directory and read back as NULL — an
     empty-string partition key does NOT round-trip through partitionBy on
-    any Hive-layout engine. Pick partition columns accordingly."""
-    li = load_table(spark, sf_dir, "lineitem")
+    any Hive-layout engine. Canonicalizing '' → NULL BEFORE the aggregate
+    (not just in the oracle) keeps the two groups merged on both sides;
+    grouping them separately would produce two post-read-back NULL rows
+    where the oracle has one merged row."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_returnflag", F.nullif(F.col("l_returnflag"), F.lit(""))
+    )
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(22,6)")).cast("double").alias("sum_qty"),

@@ -25,8 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import numpy as np
 
+from gate_common import run_gate
+
 from shadowcat_data_spark import registry
-from shadowcat_data_spark.compare import compare_frames
 from shadowcat_data_spark.session import get_spark
 
 DIRTY_DOCS = [
@@ -112,39 +113,18 @@ def main() -> int:
     con.execute(  # single file — the driver's events fixture layout
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
     )
-    failures = 0
-    n_run = 0
-    for name in sorted(specs):
-        s = specs[name]
-        if s.oracle is not None:
-            lower = s.oracle
-            uses = (
-                ("documents" in lower or "embeddings" in lower)
-                and not _OTHER_TABLES.search(lower)
-            ) or ("events" in lower and not _NON_EVENTS.search(lower))
-            if not uses:
-                continue
-            n_run += 1
-            try:
-                res = compare_frames(
-                    name, s.fn(spark, tmp).toPandas(), con.sql(s.oracle).df()
-                )
-                status = "ok" if res.ok else f"MISMATCH {res.detail[:160]}"
-                failures += 0 if res.ok else 1
-            except Exception as ex:  # noqa: BLE001 — gate reports, never hides
-                status = f"ERROR {type(ex).__name__}: {str(ex)[:160]}"
-                failures += 1
-        elif name.startswith(("l2", "l3", "l7d")):
-            n_run += 1
-            try:
-                status = f"rows-only ok ({s.fn(spark, tmp).count()})"
-            except Exception as ex:  # noqa: BLE001
-                status = f"ROWS-ONLY ERROR {type(ex).__name__}: {str(ex)[:160]}"
-                failures += 1
-        else:
-            continue
-        print(f"[dirty] {name}: {status}", flush=True)
-    print(f"[dirty] {n_run} queries probed, {failures} failures", flush=True)
+    def include(name, spec):  # doc/emb/events-only oracles (case-blind)
+        sql = spec.oracle.lower()
+        return (
+            ("documents" in sql or "embeddings" in sql)
+            and not _OTHER_TABLES.search(sql)
+        ) or ("events" in sql and not _NON_EVENTS.search(sql))
+
+    failures = run_gate(
+        spark, con, specs, tmp, "dirty",
+        include=include,
+        rows_only_include=lambda n: n.startswith(("l2", "l3", "l7d")),
+    )
     return 1 if failures else 0
 
 

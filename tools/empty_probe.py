@@ -32,8 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from gate_common import run_gate
+
 from shadowcat_data_spark import registry
-from shadowcat_data_spark.compare import compare_frames
 from shadowcat_data_spark.session import TABLES, get_spark
 
 SRC = "/root/testdata/sf0.001"
@@ -61,28 +62,9 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
         )
-    fails = 0
-    for name in sorted(specs):
-        s = specs[name]
-        try:
-            if s.oracle is not None:
-                res = compare_frames(
-                    name, s.fn(spark, tmp).toPandas(), con.sql(s.oracle).df()
-                )
-                ok = res.ok or name in EXPECTED_DIVERGENT
-                st = (
-                    "ok"
-                    if res.ok
-                    else ("expected-divergent" if ok else f"MISMATCH {res.detail[:150]}")
-                )
-                fails += 0 if ok else 1
-            else:
-                st = f"rows-only ok ({s.fn(spark, tmp).count()})"
-        except Exception as ex:  # noqa: BLE001 — gate reports, never hides
-            st = f"ERROR {type(ex).__name__}: {str(ex)[:150]}"
-            fails += 1
-        print(f"[empty] {name}: {st}", flush=True)
-    print(f"[empty] unexpected failures: {fails}", flush=True)
+    fails = run_gate(
+        spark, con, specs, tmp, "empty", expected_divergent=EXPECTED_DIVERGENT
+    )
     return 1 if fails else 0
 
 

@@ -31,8 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from gate_common import run_gate
+
 from shadowcat_data_spark import registry
-from shadowcat_data_spark.compare import compare_frames
 from shadowcat_data_spark.session import TABLES, get_spark
 
 SRC = "/root/testdata/sf0.001"
@@ -44,6 +45,11 @@ INJECT = {
         "(90000001, NULL, NULL, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
         "(90000002, 1, 1, 1, 0.0, -10.5, 1.5, 0.0, '', '', TIMESTAMP '1992-01-01')",
         "(90000003, 99999999, 99999999, 7, 1.0, 0.0, 0.0, NULL, 'Z', 'Z', TIMESTAMP '2099-12-31')",
+        # '' and NULL return flags sharing one linestatus: both collapse to
+        # __HIVE_DEFAULT_PARTITION__ through partitionBy, so s4 must merge
+        # them BEFORE aggregating (caught a real divergence in round 3)
+        "(90000004, 2, 2, 1, 3.0, 4.0, 0.0, 0.0, '', 'F', TIMESTAMP '1995-06-01')",
+        "(90000005, 2, 2, 2, 4.0, 6.0, 0.0, 0.0, NULL, 'F', TIMESTAMP '1995-06-01')",
     ],
     "orders": [
         "(91000001, NULL, NULL, NULL, NULL, NULL)",
@@ -81,27 +87,9 @@ def main() -> int:
             con.execute(f"INSERT INTO {t}_d VALUES {row}")
         con.execute(f"COPY {t}_d TO '{tmp}/{t}.parquet' (FORMAT PARQUET)")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')")
-    fails = 0
-    expected_divergent = {"stat_crosstab"}
-    for name in sorted(specs):
-        s = specs[name]
-        try:
-            if s.oracle is not None:
-                res = compare_frames(name, s.fn(spark, tmp).toPandas(), con.sql(s.oracle).df())
-                ok = res.ok or name in expected_divergent
-                st = (
-                    "ok"
-                    if res.ok
-                    else ("expected-divergent" if ok else f"MISMATCH {res.detail[:160]}")
-                )
-                fails += 0 if ok else 1
-            else:
-                st = f"rows-only ok ({s.fn(spark, tmp).count()})"
-        except Exception as ex:  # noqa: BLE001 — gate reports, never hides
-            st = f"ERROR {type(ex).__name__}: {str(ex)[:160]}"
-            fails += 1
-        print(f"[nulls] {name}: {st}", flush=True)
-    print(f"[nulls] failures: {fails}", flush=True)
+    fails = run_gate(
+        spark, con, specs, tmp, "nulls", expected_divergent={"stat_crosstab"}
+    )
     return 1 if fails else 0
 
 
