@@ -1,0 +1,244 @@
+"""A minimal copy-on-write snapshot-log table format, in pure PySpark.
+
+The image ships no lakehouse library (Delta/Iceberg), but a mutable lake
+is the most-asked-for capability over a warehouse of immutable parquet
+(VERDICT r02 "what's missing" #1). This module implements the essential
+contract those formats provide — atomic snapshot commits, MERGE
+(upsert/delete) semantics, and time-travel reads — with nothing but
+parquet data files and a JSON snapshot log:
+
+    table_dir/
+      data/<version>-<part>.parquet     immutable data files
+      _log/v00000001.json               manifest: the files of snapshot 1
+      _log/v00000002.json               manifest: the files of snapshot 2
+
+A reader lists `_log/`, picks the highest committed version (or a
+requested historical one), and reads exactly the files in that manifest —
+never the directory listing of `data/`, so half-written data files are
+invisible. A writer prepares new data files, then commits by writing the
+manifest to a temp name and `os.rename`-ing it into place — atomic on
+POSIX, so a crash at any point leaves the previous snapshot intact
+(readers either see the old manifest or the complete new one). This is
+exactly Iceberg's core idea (the file list lives in metadata, commits are
+a metadata swap) minus compaction and schema evolution; concurrent
+commits resolve optimistically — the link() commit fails with
+FileExistsError for the losing writer, who must re-read and retry
+(Iceberg's conflict rule, minus the automatic retry).
+
+Scale notes: MERGE here is copy-on-write over the WHOLE table (every
+snapshot rewrites all surviving rows) — correct at any size but O(table)
+per commit; a production COW partitions the data files by key range and
+rewrites only the files the change-set touches, which drops the cost to
+O(changed partitions). The read path already scales: a manifest is a few
+KB per thousand files, and Spark reads the listed files as an ordinary
+multi-file parquet scan with full pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..session import load_table
+from ..sources.io import _scratch
+
+
+def _log_dir(table: str) -> str:
+    return os.path.join(table, "_log")
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(_log_dir(table), f"v{version:08d}.json")
+
+
+def current_version(table: str) -> int:
+    """Highest committed snapshot version (0 = empty table)."""
+    try:
+        names = os.listdir(_log_dir(table))
+    except FileNotFoundError:
+        return 0
+    versions = [
+        int(n[1:9]) for n in names if n.startswith("v") and n.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def commit_snapshot(df: DataFrame, table: str, schema_ddl: str) -> int:
+    """Write ``df`` as the next snapshot of ``table`` and atomically commit.
+
+    Data files first (invisible to readers — they only follow manifests),
+    then the manifest via write-temp + rename. Returns the new version."""
+    version = current_version(table) + 1
+    stage = os.path.join(table, "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(stage)
+    files = sorted(
+        os.path.join(stage, n) for n in os.listdir(stage) if n.endswith(".parquet")
+    )
+    os.makedirs(_log_dir(table), exist_ok=True)
+    manifest = {"version": version, "schema": schema_ddl, "files": files}
+    tmp = _manifest_path(table, version) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    # the atomic commit point: link() FAILS with FileExistsError if another
+    # writer committed this version first (rename would silently replace),
+    # so the optimistic-concurrency loser aborts instead of clobbering
+    try:
+        os.link(tmp, _manifest_path(table, version))
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def read_snapshot(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest committed)."""
+    if version is None:
+        version = current_version(table)
+    with open(_manifest_path(table, version)) as fh:
+        manifest = json.load(fh)
+    if not manifest["files"]:  # empty snapshot: schema from the manifest
+        return spark.createDataFrame([], manifest["schema"])
+    return spark.read.schema(manifest["schema"]).parquet(*manifest["files"])
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    key: str,
+    schema_ddl: str,
+) -> int:
+    """MERGE: apply a last-writer-wins change-set (columns: key, op in
+    I/U/D, seq, payload...) to the latest snapshot, commit as a new one.
+
+    Same LWW-window semantics as the m5 CDC operator; the difference is
+    the result is COMMITTED as an immutable snapshot instead of returned,
+    so readers get atomic visibility and history survives."""
+    from .maintenance import apply_changelog
+
+    base = read_snapshot(spark, table)
+    merged = apply_changelog(base, changes, key)
+    return commit_snapshot(merged, table, schema_ddl)
+
+
+_ORDERS_DDL = "o_orderkey long, o_totalprice double"
+
+
+def _orders_changes(o: DataFrame) -> DataFrame:
+    """The m5 deterministic change-set, reused verbatim (same oracle CTE)."""
+    upd1 = o.filter(F.col("o_orderkey") % 5 == 1).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    upd2 = o.filter((F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 3 == 0)).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 5 == 2).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"), F.lit("I").alias("op"),
+        F.lit(1).alias("seq"), F.col("o_totalprice"),
+    )
+    return upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+
+
+def _build_orders_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Scratch fixture: snapshot v1 = orders, snapshot v2 = merged CDC."""
+    table = _scratch(sf_dir, name)
+    shutil.rmtree(table, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    commit_snapshot(o, table, _ORDERS_DDL)
+    merge_snapshot(spark, table, _orders_changes(o), "o_orderkey", _ORDERS_DDL)
+    return table
+
+
+_M5_CHANGES_CTE = """
+WITH changes AS (
+  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 1
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_totalprice + 20.0
+  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 1, NULL FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', 1, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 2
+),
+latest AS (
+  SELECT k, op, o_totalprice
+  FROM changes QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+),
+merged AS (
+  SELECT k AS o_orderkey, o_totalprice FROM (
+    SELECT s.o_orderkey AS k,
+           CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+           c.op
+    FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op = 'U'
+    UNION ALL
+    SELECT k, o_totalprice, op FROM latest WHERE op = 'I'
+  )
+)
+"""
+
+
+@query(
+    "m17_acid_merge",
+    oracle=_M5_CHANGES_CTE + """
+SELECT o_orderkey, o_totalprice FROM merged
+""",
+    category="maintenance",
+)
+def acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE into the snapshot-log table format: commit orders as snapshot
+    v1, MERGE the m5 change-set into snapshot v2, return the table read
+    through the LOG (not the directory) — proving the committed state is
+    exactly the CDC merge the oracle recomputes, and that the read path
+    sees only manifest-listed files."""
+    table = _build_orders_table(spark, sf_dir, "m17_orders_table")
+    return read_snapshot(spark, table)
+
+
+@query(
+    "m18_time_travel",
+    oracle=_M5_CHANGES_CTE + """
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
+FROM orders
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+FROM merged
+""",
+    category="maintenance",
+)
+def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: summarize BOTH snapshots of the merged table — v1 must
+    still read as the original orders even though v2 has rewritten the
+    data (history lives in the log, not in mutable files). The summary is
+    the quantized-exact (count, total) per version."""
+    table = _build_orders_table(spark, sf_dir, "m18_orders_table")
+
+    def summarize(version: int) -> DataFrame:
+        snap = read_snapshot(spark, table, version)
+        return snap.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total"),
+        ).select("version", "n_rows", "total")
+
+    return summarize(1).unionByName(summarize(2))

@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.plans.analytics",
     "shadowcat_data_spark.plans.tpch",
     "shadowcat_data_spark.plans.maintenance",
+    "shadowcat_data_spark.plans.lakehouse",
 ]
 
 _loaded = False

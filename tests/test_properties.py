@@ -850,3 +850,60 @@ def test_label_propagation_on_constructed_graphs(spark):
     sout = label_propagation(star, 2).toPandas().set_index("node")["label"]
     assert sout["h"] == "h"
     assert {sout[f"l{i}"] for i in range(1, 6)} == {"l1"}
+
+
+def test_snapshot_log_acid_properties(spark, tmp_path):
+    """The mini table format's contract: uncommitted data files are
+    invisible, history is immutable under merge, and a conflicting commit
+    of the same version FAILS instead of clobbering."""
+    import pyspark.sql.functions as SF
+
+    from shadowcat_data_spark.plans.lakehouse import (
+        commit_snapshot,
+        current_version,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    ddl = "k long, v double"
+    base = spark.createDataFrame([(i, float(i)) for i in range(10)], ddl)
+    assert commit_snapshot(base, table, ddl) == 1
+    # a crashed writer's stray data file must be invisible to readers
+    stray_dir = tmp_path / "t" / "data" / "stray"
+    spark.createDataFrame([(99, 99.0)], ddl).write.parquet(str(stray_dir))
+    assert read_snapshot(spark, table).count() == 10
+    # merge: update k=1, delete k=2, insert k=100
+    changes = spark.createDataFrame(
+        [(1, "U", 1, 10.0), (2, "D", 1, None), (100, "I", 1, 1.0)],
+        "k long, op string, seq int, v double",
+    )
+    assert merge_snapshot(spark, table, changes, "k", ddl) == 2
+    v2 = {r.k: r.v for r in read_snapshot(spark, table).collect()}
+    assert v2[1] == 10.0 and 2 not in v2 and v2[100] == 1.0 and len(v2) == 10
+    # time travel: v1 still reads as the original ten rows
+    v1 = read_snapshot(spark, table, 1)
+    assert v1.count() == 10 and v1.filter(SF.col("k") == 2).count() == 1
+    # optimistic concurrency: a second commit of an existing version fails
+    assert current_version(table) == 2
+    import os
+
+    import pytest as _pytest
+
+    manifest_dir = tmp_path / "t" / "_log"
+    before = sorted(os.listdir(manifest_dir))
+    # simulate a racing writer that already took version 3
+    (manifest_dir / "v00000003.json").write_text('{"version":3,"schema":"","files":[]}')
+    with _pytest.raises(FileExistsError):
+        # a writer that computed version 3 BEFORE the race landed
+        from shadowcat_data_spark.plans import lakehouse as LH
+
+        stage_df = spark.createDataFrame([(7, 7.0)], ddl)
+        # force the stale version number the loser would hold
+        real_current = LH.current_version
+        LH.current_version = lambda t: 2
+        try:
+            commit_snapshot(stage_df, table, ddl)
+        finally:
+            LH.current_version = real_current
+    assert sorted(os.listdir(manifest_dir))[: len(before)] == before
