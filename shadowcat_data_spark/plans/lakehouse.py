@@ -16,7 +16,7 @@ A reader lists `_log/`, picks the highest committed version (or a
 requested historical one), and reads exactly the files in that manifest —
 never the directory listing of `data/`, so half-written data files are
 invisible. A writer prepares new data files, then commits by writing the
-manifest to a temp name and `os.rename`-ing it into place — atomic on
+manifest to a temp name and hard-linking it into place — atomic on
 POSIX, so a crash at any point leaves the previous snapshot intact
 (readers either see the old manifest or the complete new one). This is
 exactly Iceberg's core idea (the file list lives in metadata, commits are
@@ -242,3 +242,61 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "total")
 
     return summarize(1).unionByName(summarize(2))
+
+
+def expire_snapshots(table: str, keep_latest: int = 1) -> tuple[int, int, int]:
+    """Retention: drop all but the newest ``keep_latest`` manifests and
+    delete every data file no surviving manifest references. Returns
+    (versions_before, versions_after, files_deleted).
+
+    Mirrors Iceberg's expire_snapshots/Delta VACUUM: time travel is traded
+    for storage, and the deletion set is computed from the METADATA diff
+    (referenced-before minus referenced-after), never from directory
+    listing age — a file a live manifest lists is untouchable no matter
+    how old. Driver-side file ops are O(#files), fine for maintenance; at
+    real scale the deletion list itself would be a DataFrame job
+    (m15_orphan_file_audit is that shape)."""
+    latest = current_version(table)
+    versions = [
+        v for v in range(1, latest + 1) if os.path.exists(_manifest_path(table, v))
+    ]
+    keep = set(versions[-keep_latest:]) if keep_latest else set()
+
+    def files_of(vs) -> set[str]:
+        out: set[str] = set()
+        for v in vs:
+            with open(_manifest_path(table, v)) as fh:
+                out.update(json.load(fh)["files"])
+        return out
+
+    doomed_files = files_of([v for v in versions if v not in keep]) - files_of(keep)
+    for f in doomed_files:
+        os.unlink(f)
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(table, v))
+    return len(versions), len(keep), len(doomed_files)
+
+
+@query(
+    "m19_snapshot_expire",
+    oracle=_M5_CHANGES_CTE + """
+SELECT 2 AS versions_before, 1 AS versions_after,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_latest
+FROM merged
+""",
+    category="maintenance",
+)
+def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention on the snapshot-log table: build the 2-snapshot merged
+    table, expire to the latest only, and prove the surviving snapshot
+    still reads completely (row count = the CDC merge) while history is
+    gone. The deletion set is metadata-derived — the oracle pins the
+    version census and the post-vacuum readability."""
+    table = _build_orders_table(spark, sf_dir, "m19_orders_table")
+    before, after, _ = expire_snapshots(table, keep_latest=1)
+    n = read_snapshot(spark, table).count()
+    return spark.createDataFrame(
+        [(before, after, n)],
+        "versions_before int, versions_after int, n_rows_latest long",
+    )
