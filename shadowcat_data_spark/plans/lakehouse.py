@@ -68,11 +68,15 @@ def current_version(table: str) -> int:
     return max(versions, default=0)
 
 
-def commit_snapshot(df: DataFrame, table: str, schema_ddl: str) -> int:
+def commit_snapshot(
+    df: DataFrame, table: str, schema_ddl: str, extra: dict | None = None
+) -> int:
     """Write ``df`` as the next snapshot of ``table`` and atomically commit.
 
     Data files first (invisible to readers — they only follow manifests),
-    then the manifest via write-temp + rename. Returns the new version."""
+    then the manifest via write-temp + link. ``extra`` merges additional
+    metadata into the manifest (e.g. the source batch id a streaming
+    writer uses for its idempotence guard). Returns the new version."""
     version = current_version(table) + 1
     stage = os.path.join(table, "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(stage)
@@ -81,6 +85,8 @@ def commit_snapshot(df: DataFrame, table: str, schema_ddl: str) -> int:
     )
     os.makedirs(_log_dir(table), exist_ok=True)
     manifest = {"version": version, "schema": schema_ddl, "files": files}
+    if extra:
+        manifest.update(extra)
     tmp = _manifest_path(table, version) + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -94,12 +100,17 @@ def commit_snapshot(df: DataFrame, table: str, schema_ddl: str) -> int:
     return version
 
 
-def read_snapshot(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
-    """Read the table at ``version`` (default: latest committed)."""
+def read_manifest(table: str, version: int | None = None) -> dict:
+    """The manifest dict of ``version`` (default: latest committed)."""
     if version is None:
         version = current_version(table)
     with open(_manifest_path(table, version)) as fh:
-        manifest = json.load(fh)
+        return json.load(fh)
+
+
+def read_snapshot(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: latest committed)."""
+    manifest = read_manifest(table, version)
     if not manifest["files"]:  # empty snapshot: schema from the manifest
         return spark.createDataFrame([], manifest["schema"])
     return spark.read.schema(manifest["schema"]).parquet(*manifest["files"])

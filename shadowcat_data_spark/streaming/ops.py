@@ -991,3 +991,90 @@ def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id long, user_id long, event_type string, value_micro long"
     ).parquet(sink)
+
+
+# ---------------------------------------------------------------------------
+# T18 — streaming MERGE into the snapshot-log table (exactly-once upsert)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t18_stream_lakehouse_merge",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS total_value
+FROM events GROUP BY user_id
+""",
+    category="streaming",
+)
+def stream_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into the snapshot-log table format: four real
+    micro-batches (4-file input, maxFilesPerTrigger=1), each committed via
+    ``foreachBatch`` as an ATOMIC snapshot that merges the batch's
+    per-user partials into the running totals. This is the streaming half
+    of m17's batch MERGE — and the exactly-once contract is explicit: the
+    committed manifest records the source ``batch_id``, and a replayed
+    batch (foreachBatch is at-least-once under retries) is SKIPPED when
+    its id is already committed, making the sink idempotent. The converged
+    table must equal the one-shot batch aggregate (quantized micro-sums →
+    the cross-batch merge is exactly associative, the m10/t16 argument)."""
+    from ..plans.lakehouse import (
+        commit_snapshot,
+        current_version,
+        read_manifest,
+        read_snapshot,
+    )
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    src_dir = _scratch(sf_dir, "t18_events_4files")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        src_dir
+    )
+    table = _scratch(sf_dir, "t18_user_totals")
+    import shutil as _shutil
+
+    _shutil.rmtree(table, ignore_errors=True)
+    ddl = "user_id long, n long, total_micros long"
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if current_version(table) and read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already committed — idempotence guard
+        partial = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("long")).alias(
+                "total_micros"
+            ),
+        )
+        if current_version(table):
+            partial = (
+                read_snapshot(sp, table)
+                .unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n").alias("n"), F.sum("total_micros").alias("total_micros")
+                )
+            )
+        commit_snapshot(partial, table, ddl, extra={"batch_id": batch_id})
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(upsert_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = read_snapshot(spark, table)
+    return final.select(
+        "user_id",
+        "n",
+        (F.col("total_micros").cast("double") / 1e6).alias("total_value"),
+    )

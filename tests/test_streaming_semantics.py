@@ -217,3 +217,20 @@ def test_rocksdb_state_store_backend(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_lakehouse_merge_commits_one_snapshot_per_batch(spark):
+    """t18: four micro-batches must leave exactly four committed snapshots
+    with monotonically increasing recorded batch ids — the manifest trail
+    that makes the idempotence guard (skip replayed ids) auditable."""
+    from shadowcat_data_spark import registry
+    from shadowcat_data_spark.plans.lakehouse import current_version, read_manifest
+    from shadowcat_data_spark.sources.io import _scratch
+
+    from .conftest import SF_DIR
+
+    registry.load_all()["t18_stream_lakehouse_merge"].fn(spark, SF_DIR)
+    table = _scratch(SF_DIR, "t18_user_totals")
+    assert current_version(table) == 4
+    ids = [read_manifest(table, v)["batch_id"] for v in range(1, 5)]
+    assert ids == sorted(ids) == [0, 1, 2, 3]
