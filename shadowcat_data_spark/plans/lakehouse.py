@@ -78,10 +78,13 @@ def commit_snapshot(
     metadata into the manifest (e.g. the source batch id a streaming
     writer uses for its idempotence guard). Returns the new version."""
     version = current_version(table) + 1
-    stage = os.path.join(table, "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
+    stage_rel = os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
+    stage = os.path.join(table, stage_rel)
     df.write.mode("overwrite").parquet(stage)
+    # TABLE-RELATIVE paths (Iceberg/Delta do the same): a table moved or
+    # remounted as a unit keeps working, since readers re-anchor at read time
     files = sorted(
-        os.path.join(stage, n) for n in os.listdir(stage) if n.endswith(".parquet")
+        os.path.join(stage_rel, n) for n in os.listdir(stage) if n.endswith(".parquet")
     )
     os.makedirs(_log_dir(table), exist_ok=True)
     manifest = {"version": version, "schema": schema_ddl, "files": files}
@@ -104,6 +107,10 @@ def read_manifest(table: str, version: int | None = None) -> dict:
     """The manifest dict of ``version`` (default: latest committed)."""
     if version is None:
         version = current_version(table)
+    if version == 0:
+        raise ValueError(
+            f"table {table!r} has no committed snapshot (version 0 = empty)"
+        )
     with open(_manifest_path(table, version)) as fh:
         return json.load(fh)
 
@@ -113,7 +120,9 @@ def read_snapshot(spark: SparkSession, table: str, version: int | None = None) -
     manifest = read_manifest(table, version)
     if not manifest["files"]:  # empty snapshot: schema from the manifest
         return spark.createDataFrame([], manifest["schema"])
-    return spark.read.schema(manifest["schema"]).parquet(*manifest["files"])
+    return spark.read.schema(manifest["schema"]).parquet(
+        *[os.path.join(table, f) for f in manifest["files"]]
+    )
 
 
 def merge_snapshot(
@@ -138,26 +147,10 @@ def merge_snapshot(
 
 _ORDERS_DDL = "o_orderkey long, o_totalprice double"
 
-
-def _orders_changes(o: DataFrame) -> DataFrame:
-    """The m5 deterministic change-set, reused verbatim (same oracle CTE)."""
-    upd1 = o.filter(F.col("o_orderkey") % 5 == 1).select(
-        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
-        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
-    )
-    upd2 = o.filter((F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 3 == 0)).select(
-        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
-        (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
-    )
-    dels = o.filter(F.col("o_orderkey") % 5 == 0).select(
-        "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-    )
-    ins = o.filter(F.col("o_orderkey") % 5 == 2).select(
-        (F.col("o_orderkey") + 10000000).alias("o_orderkey"), F.lit("I").alias("op"),
-        F.lit(1).alias("seq"), F.col("o_totalprice"),
-    )
-    return upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+# change-set + oracle CTE shared with m5_cdc_apply — ONE definition, so an
+# edit to the canonical change-set updates every consumer and its oracle
+from .maintenance import ORDERS_CDC_CTE as _M5_CHANGES_CTE  # noqa: E402
+from .maintenance import orders_cdc_changes as _orders_changes  # noqa: E402
 
 
 def _build_orders_table(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -168,37 +161,6 @@ def _build_orders_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     commit_snapshot(o, table, _ORDERS_DDL)
     merge_snapshot(spark, table, _orders_changes(o), "o_orderkey", _ORDERS_DDL)
     return table
-
-
-_M5_CHANGES_CTE = """
-WITH changes AS (
-  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_totalprice + 10.0 AS o_totalprice
-  FROM orders WHERE o_orderkey % 5 = 1
-  UNION ALL
-  SELECT o_orderkey, 'U', 2, o_totalprice + 20.0
-  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0
-  UNION ALL
-  SELECT o_orderkey, 'D', 1, NULL FROM orders WHERE o_orderkey % 5 = 0
-  UNION ALL
-  SELECT o_orderkey + 10000000, 'I', 1, o_totalprice
-  FROM orders WHERE o_orderkey % 5 = 2
-),
-latest AS (
-  SELECT k, op, o_totalprice
-  FROM changes QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
-),
-merged AS (
-  SELECT k AS o_orderkey, o_totalprice FROM (
-    SELECT s.o_orderkey AS k,
-           CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
-           c.op
-    FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.k
-    WHERE c.op IS NULL OR c.op = 'U'
-    UNION ALL
-    SELECT k, o_totalprice, op FROM latest WHERE op = 'I'
-  )
-)
-"""
 
 
 @query(
@@ -264,9 +226,14 @@ def expire_snapshots(table: str, keep_latest: int = 1) -> tuple[int, int, int]:
     for storage, and the deletion set is computed from the METADATA diff
     (referenced-before minus referenced-after), never from directory
     listing age — a file a live manifest lists is untouchable no matter
-    how old. Driver-side file ops are O(#files), fine for maintenance; at
-    real scale the deletion list itself would be a DataFrame job
-    (m15_orphan_file_audit is that shape)."""
+    how old. Crash-safe and idempotent BY ORDERING: the expired manifests
+    are unlinked FIRST, so from any interruption point onward no live
+    manifest references a deleted file (the invariant survives), and the
+    file pass tolerates already-deleted paths, so a re-run converges.
+    Fully-doomed stage directories are removed whole (parquet part files
+    plus _SUCCESS/.crc markers). Driver-side file ops are O(#files), fine
+    for maintenance; at real scale the deletion list itself would be a
+    DataFrame job (m15_orphan_file_audit is that shape)."""
     latest = current_version(table)
     versions = [
         v for v in range(1, latest + 1) if os.path.exists(_manifest_path(table, v))
@@ -281,11 +248,18 @@ def expire_snapshots(table: str, keep_latest: int = 1) -> tuple[int, int, int]:
         return out
 
     doomed_files = files_of([v for v in versions if v not in keep]) - files_of(keep)
-    for f in doomed_files:
-        os.unlink(f)
-    for v in versions:
+    live_dirs = {os.path.dirname(f) for f in files_of(keep)}
+    for v in versions:  # manifests FIRST: see docstring ordering argument
         if v not in keep:
             os.unlink(_manifest_path(table, v))
+    for d in {os.path.dirname(f) for f in doomed_files} - live_dirs:
+        shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+    for f in doomed_files:  # residue in shared dirs (none today, cheap guard)
+        if os.path.dirname(f) in live_dirs:
+            try:
+                os.unlink(os.path.join(table, f))
+            except FileNotFoundError:
+                pass  # a previous interrupted run already removed it
     return len(versions), len(keep), len(doomed_files)
 
 

@@ -302,9 +302,34 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFr
     return kept.unionByName(inserts)
 
 
-@query(
-    "m5_cdc_apply",
-    oracle="""
+def orders_cdc_changes(o: DataFrame) -> DataFrame:
+    """The canonical deterministic orders change-set shared by m5 and the
+    lakehouse MERGE queries (m17/m18/m19): updates on keys %5==1 (two
+    versions, seq-2 wins), deletes on %5==0, inserts of new keys for
+    %5==2. One definition, one oracle CTE (ORDERS_CDC_CTE) — an edit here
+    changes every consumer and its oracle together."""
+    upd1 = o.filter(F.col("o_orderkey") % 5 == 1).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    upd2 = o.filter(
+        (F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 5 == 2).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"), F.col("o_totalprice"),
+    )
+    return upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+
+
+ORDERS_CDC_CTE = """
 WITH changes AS (
   SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_totalprice + 10.0 AS o_totalprice
   FROM orders WHERE o_orderkey % 5 = 1
@@ -320,16 +345,25 @@ WITH changes AS (
 latest AS (
   SELECT k, op, o_totalprice
   FROM changes QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+),
+merged AS (
+  SELECT k AS o_orderkey, o_totalprice FROM (
+    SELECT s.o_orderkey AS k,
+           CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+           c.op
+    FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op = 'U'
+    UNION ALL
+    SELECT k, o_totalprice, op FROM latest WHERE op = 'I'
+  )
 )
-SELECT k AS o_orderkey, o_totalprice FROM (
-  SELECT s.o_orderkey AS k,
-         CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
-         c.op
-  FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.k
-  WHERE c.op IS NULL OR c.op = 'U'
-  UNION ALL
-  SELECT k, o_totalprice, op FROM latest WHERE op = 'I'
-)
+"""
+
+
+@query(
+    "m5_cdc_apply",
+    oracle=ORDERS_CDC_CTE + """
+SELECT o_orderkey, o_totalprice FROM merged
 """,
     category="maintenance",
 )
@@ -340,34 +374,8 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-exact in both engines. Exercises the full CDC merge: LWW window,
     delete filter, update substitution, insert union."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    upd1 = o.filter(F.col("o_orderkey") % 5 == 1).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit("U").alias("op"),
-        F.lit(1).alias("seq"),
-        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
-    )
-    upd2 = o.filter((F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 3 == 0)).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit("U").alias("op"),
-        F.lit(2).alias("seq"),
-        (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
-    )
-    dels = o.filter(F.col("o_orderkey") % 5 == 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit("D").alias("op"),
-        F.lit(1).alias("seq"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-    )
-    ins = o.filter(F.col("o_orderkey") % 5 == 2).select(
-        (F.col("o_orderkey") + 10000000).alias("k"),
-        F.lit("I").alias("op"),
-        F.lit(1).alias("seq"),
-        F.col("o_totalprice"),
-    )
-    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
-    snap = o.select(F.col("o_orderkey").alias("k"), "o_totalprice")
-    return apply_changelog(snap, changes, "k").select(
-        F.col("k").alias("o_orderkey"), "o_totalprice"
+    return apply_changelog(o, orders_cdc_changes(o), "o_orderkey").select(
+        "o_orderkey", "o_totalprice"
     )
 
 

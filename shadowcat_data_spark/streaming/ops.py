@@ -1033,9 +1033,7 @@ def stream_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir
     )
     table = _scratch(sf_dir, "t18_user_totals")
-    import shutil as _shutil
-
-    _shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(table, ignore_errors=True)
     ddl = "user_id long, n long, total_micros long"
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:

@@ -907,3 +907,34 @@ def test_snapshot_log_acid_properties(spark, tmp_path):
         finally:
             LH.current_version = real_current
     assert sorted(os.listdir(manifest_dir))[: len(before)] == before
+
+
+def test_snapshot_expire_is_idempotent_and_crash_safe(spark, tmp_path):
+    """expire_snapshots must converge under re-runs (a crashed first run
+    re-runs cleanly) and must leave no stage-directory garbage behind."""
+    import os
+
+    from shadowcat_data_spark.plans.lakehouse import (
+        commit_snapshot,
+        current_version,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    ddl = "k long, v double"
+    commit_snapshot(spark.createDataFrame([(1, 1.0), (2, 2.0)], ddl), table, ddl)
+    commit_snapshot(spark.createDataFrame([(1, 9.0)], ddl), table, ddl)
+    before, after, deleted = expire_snapshots(table, keep_latest=1)
+    assert (before, after) == (2, 1) and deleted > 0
+    # second run: nothing left to expire, no crash on missing files
+    assert expire_snapshots(table, keep_latest=1) == (1, 1, 0)
+    assert current_version(table) == 2
+    assert read_snapshot(spark, table).count() == 1
+    # no empty stage dirs: every surviving dir under data/ holds live files
+    data_dir = os.path.join(table, "data")
+    stages = [os.path.join(data_dir, d) for d in os.listdir(data_dir)]
+    assert all(
+        any(n.endswith(".parquet") for n in os.listdir(d)) for d in stages
+    ), "expired stage directory left behind"
+    assert len(stages) == 1
