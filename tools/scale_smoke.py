@@ -168,6 +168,10 @@ def main() -> None:
         # bucket self-join is exercised at real density)
         "graph_label_propagation",
         "l28_semantic_dedup",
+        # lakehouse: full copy-on-write MERGE commit over ~1.5M orders and
+        # the 4-batch streaming upsert — the write-path additions
+        "m17_acid_merge",
+        "t18_stream_lakehouse_merge",
     ]
 
     specs = registry.load_all()
