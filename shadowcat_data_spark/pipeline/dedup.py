@@ -100,6 +100,22 @@ def shingle_rows(
     )
 
 
+def distinct_chargrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, gram) pairs: distinct character n-grams per doc. The
+    formatting-robust dedup unit — whitespace/punctuation reflows that
+    shift token boundaries barely move a char-gram set, where they
+    wreck token Jaccard. Texts shorter than n contribute ONE gram (the
+    whole text), mirroring the oracle's GREATEST(len-n+1, 1) bound."""
+    src = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(src) - (n - 1), F.lit(1))),
+        lambda i: src.substr(i, F.lit(n)),
+    )
+    return df.select(id_col, F.explode(grams).alias("tok")).distinct()
+
+
 def distinct_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
@@ -226,6 +242,50 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(d, "doc_id", "text").filter(F.col("jaccard") >= 0.75).select(
         "d1", "d2", "jaccard"
+    )
+
+
+@query(
+    "l2g_chargram_jaccard",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS t FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
+    FROM documents
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM g GROUP BY doc_id
+), df_ok AS (
+  SELECT t FROM g GROUP BY t HAVING COUNT(*) <= 20
+), shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM g a JOIN g b ON a.t = b.t AND a.doc_id < b.doc_id
+  WHERE a.t IN (SELECT t FROM df_ok)
+  GROUP BY 1, 2
+)
+SELECT d1, d2, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
+FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.5
+""",
+    category="pipeline-dedup",
+)
+def chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard near-dup pairs (exact, ≥ 0.5) — the
+    formatting-robust tier between token Jaccard (l2a) and MinHash (l2b).
+    Char grams are DENSE (every doc shares common English 5-grams), so the
+    ``max_df`` posting-list cut is mandatory here, not optional: a gram in
+    d docs fans out d·(d-1)/2 join rows, and common grams appear in most
+    of the corpus. df ≤ 20 keeps every posting list bounded while the
+    Jaccard denominators stay exact (sizes use the FULL gram sets) — only
+    pairs whose ONLY shared grams are ultra-common are deliberately
+    missed, which a ≥0.5 threshold can't satisfy anyway. Same
+    inverted-index kernel and int-ratio determinism as l2a."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(d, "doc_id", "text", tokenizer=distinct_chargrams, max_df=20)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("d1", "d2", "jaccard")
     )
 
 

@@ -938,3 +938,30 @@ def test_snapshot_expire_is_idempotent_and_crash_safe(spark, tmp_path):
         any(n.endswith(".parquet") for n in os.listdir(d)) for d in stages
     ), "expired stage directory left behind"
     assert len(stages) == 1
+
+
+def test_chargram_jaccard_survives_reflow(spark):
+    """The char-gram tier's reason to exist: a whitespace/punctuation
+    reflow of a document (double spaces collapsed, commas dropped) must
+    still pair with the original at char-5-gram Jaccard ≥ 0.5 even when
+    its token stream changed, and identical docs must pair at 1.0."""
+    from shadowcat_data_spark.pipeline.dedup import (
+        distinct_chargrams,
+        jaccard_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sly cat "
+        "watches from the fence and the birds sing in the morning light"
+    )
+    reflowed = base.replace(" the ", "  the ")  # reflow: doubled spaces
+    rows = [(1, base), (2, reflowed), (3, base), (4, "completely different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = (
+        jaccard_pairs(df, "doc_id", "text", tokenizer=distinct_chargrams, max_df=10)
+        .toPandas()
+        .set_index(["d1", "d2"])["jaccard"]
+    )
+    assert pairs[(1, 3)] == 1.0, "identical docs must be char-gram identical"
+    assert pairs[(1, 2)] >= 0.5, f"reflowed copy fell to {pairs.get((1, 2))}"
+    assert (1, 4) not in pairs.index or pairs[(1, 4)] < 0.2
