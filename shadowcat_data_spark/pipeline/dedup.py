@@ -107,7 +107,16 @@ def distinct_chargrams(
     formatting-robust dedup unit — whitespace/punctuation reflows that
     shift token boundaries barely move a char-gram set, where they
     wreck token Jaccard. Texts shorter than n contribute ONE gram (the
-    whole text), mirroring the oracle's GREATEST(len-n+1, 1) bound."""
+    whole text), mirroring the oracle's GREATEST(len-n+1, 1) bound.
+
+    Cost note (measured on a 200 KB doc): each ``substr(i, n)`` seeks to
+    codepoint i by scanning the UTF-8 string, so gram generation is
+    O(len²/ n) per DOCUMENT — irrelevant at normal doc sizes (5 KB →
+    ~5M char ops) but real for megabyte outliers. The pipeline answer is
+    upstream length banding (l23), which such corpora apply anyway; an
+    ASCII-only corpus could switch to a split-to-char-array + slice
+    formulation (O(len)) at the price of breaking astral codepoints
+    (Java regex splits surrogate pairs), which the oracle would not."""
     src = F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(src) - (n - 1), F.lit(1))),
