@@ -110,9 +110,10 @@ def distinct_chargrams(
     whole text), mirroring the oracle's GREATEST(len-n+1, 1) bound.
 
     Cost note (measured on a 200 KB doc): each ``substr(i, n)`` seeks to
-    codepoint i by scanning the UTF-8 string, so gram generation is
-    O(len²/ n) per DOCUMENT — irrelevant at normal doc sizes (5 KB →
-    ~5M char ops) but real for megabyte outliers. The pipeline answer is
+    codepoint i by scanning the UTF-8 string, so stride-1 gram generation
+    is Σᵢ O(i) = O(len²) per DOCUMENT regardless of n — irrelevant at
+    normal doc sizes (5 KB → ~12M char ops) but real for megabyte
+    outliers. The pipeline answer is
     upstream length banding (l23), which such corpora apply anyway; an
     ASCII-only corpus could switch to a split-to-char-array + slice
     formulation (O(len)) at the price of breaking astral codepoints
@@ -286,10 +287,18 @@ def chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_df`` posting-list cut is mandatory here, not optional: a gram in
     d docs fans out d·(d-1)/2 join rows, and common grams appear in most
     of the corpus. df ≤ 20 keeps every posting list bounded while the
-    Jaccard denominators stay exact (sizes use the FULL gram sets) — only
-    pairs whose ONLY shared grams are ultra-common are deliberately
-    missed, which a ≥0.5 threshold can't satisfy anyway. Same
-    inverted-index kernel and int-ratio determinism as l2a."""
+    Jaccard denominators stay exact (sizes use the FULL gram sets).
+
+    The honest recall contract of the cut: a duplicate FAMILY larger than
+    max_df pushes every gram its members share past the df bound, so this
+    tier emits NO pairs for it — the heavier the duplication, the earlier
+    it leaves this tier's reach. That is by design, not an accident:
+    families at that multiplicity are exactly what the hash tier (l1,
+    exact copies at any count) and the LSH tier (l2b, near-dups with a
+    bucket cap of 200, not 20) are for, and max_df is the knob that
+    decides the hand-off point. Size max_df ≥ the largest family this
+    exact tier must itself resolve. Same inverted-index kernel and
+    int-ratio determinism as l2a."""
     d = load_table(spark, sf_dir, "documents")
     return (
         jaccard_pairs(d, "doc_id", "text", tokenizer=distinct_chargrams, max_df=20)
