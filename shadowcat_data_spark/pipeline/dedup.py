@@ -109,21 +109,25 @@ def distinct_chargrams(
     wreck token Jaccard. Texts shorter than n contribute ONE gram (the
     whole text), mirroring the oracle's GREATEST(len-n+1, 1) bound.
 
-    Cost note (measured on a 200 KB doc): each ``substr(i, n)`` seeks to
-    codepoint i by scanning the UTF-8 string, so stride-1 gram generation
-    is Σᵢ O(i) = O(len²) per DOCUMENT regardless of n — irrelevant at
-    normal doc sizes (5 KB → ~12M char ops) but real for megabyte
-    outliers. The pipeline answer is
-    upstream length banding (l23), which such corpora apply anyway; an
-    ASCII-only corpus could switch to a split-to-char-array + slice
-    formulation (O(len)) at the price of breaking astral codepoints
-    (Java regex splits surrogate pairs), which the oracle would not."""
+    Cost note: the naive ``substr(i, n)`` per position seeks to codepoint
+    i by scanning the UTF-8 string from the start, Σᵢ O(i) = O(len²) per
+    DOCUMENT (measured 163 s on one 200 KB doc). This formulation splits
+    the text ONCE into a codepoint array (``split('')`` matches at Java
+    regex code-point boundaries, so astral codepoints stay whole —
+    verified against U+1F600) and builds each gram with an O(n) array
+    slice + join: O(len·n) total, linear in document size. Byte-identical
+    output to the substr form (and to the oracle's codepoint substr) —
+    asserted by the standing l2g oracle hash-match."""
+    # split ONCE in its own projection — inlining the split() into the
+    # lambda would re-split the document once per gram (the shingle_rows
+    # trap), putting the O(len²) right back
     src = F.col(text_col)
+    cp_df = df.select(id_col, F.length(src).alias("__len"), F.split(src, "").alias("__cps"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(src) - (n - 1), F.lit(1))),
-        lambda i: src.substr(i, F.lit(n)),
+        F.sequence(F.lit(1), F.greatest(F.col("__len") - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws("", F.slice(F.col("__cps"), i, n)),
     )
-    return df.select(id_col, F.explode(grams).alias("tok")).distinct()
+    return cp_df.select(id_col, F.explode(grams).alias("tok")).distinct()
 
 
 def distinct_shingles(
@@ -198,19 +202,41 @@ def jaccard_pairs(
     )
 
 
-@query(
-    "l2a_jaccard_histogram",
-    oracle="""
+# The mandatory posting-list bound for the exact shingle-Jaccard tier.
+# A shingle in d docs fans out d·(d-1)/2 join rows, so the bound caps every
+# posting list BEFORE the self-join — the same stopword cut l2g applies to
+# char grams (df ≤ 20 there). 50 here: comfortably above the fixture's max
+# shingle df (25 at sf0.1), so nothing is dropped at test scale, while at
+# 100 TB any boilerplate passage shared by >50 docs is exactly what the
+# l1 (exact) and l2b (LSH, bucket cap 200) tiers resolve instead — the
+# recall hand-off contract documented on l2g_chargram_jaccard.
+SHINGLE_MAX_DF = 50
+
+_SHINGLE_PAIRS_SQL = """
 WITH tok AS (
-  SELECT DISTINCT doc_id, t FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''
+  SELECT DISTINCT doc_id, sh AS t FROM (
+    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+  ) WHERE sh <> ''
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+), df_ok AS (
+  SELECT t FROM tok GROUP BY t HAVING COUNT(*) <= 50
 ), shared AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
   FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  WHERE a.t IN (SELECT t FROM df_ok)
   GROUP BY 1, 2
-), pairs AS (
+)
+"""
+
+
+@query(
+    "l2a_jaccard_histogram",
+    oracle=_SHINGLE_PAIRS_SQL
+    + """
+, pairs AS (
   SELECT shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
   FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 )
@@ -220,9 +246,16 @@ FROM pairs GROUP BY 1
     category="pipeline-dedup",
 )
 def jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution of pairwise token-Jaccard across the corpus."""
+    """Distribution of pairwise 3-shingle-Jaccard across the corpus (pairs
+    sharing ≥1 df-bounded shingle). Shingles, not single tokens: a natural
+    vocabulary makes every doc pair share words (the fixture's 31-token
+    vocabulary gives 32% of ALL pairs token-J ≥ 0.75 — meaningless), while
+    k-token shingles only collide on genuinely shared passages. The
+    SHINGLE_MAX_DF posting-list bound is mirrored by the oracle's HAVING."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, "doc_id", "text")
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", tokenizer=distinct_shingles, max_df=SHINGLE_MAX_DF
+    )
     return pairs.groupBy(
         F.floor(F.col("jaccard") * 10).cast("long").alias("j_decile")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -230,17 +263,8 @@ def jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l2a_near_dup_pairs",
-    oracle="""
-WITH tok AS (
-  SELECT DISTINCT doc_id, t FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
-), shared AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
-  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+    oracle=_SHINGLE_PAIRS_SQL
+    + """
 SELECT d1, d2, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
 FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.75
@@ -248,10 +272,16 @@ WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.75
     category="pipeline-dedup",
 )
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate doc pairs at Jaccard ≥ 0.75 (exact)."""
+    """Near-duplicate doc pairs at 3-shingle Jaccard ≥ 0.75 (exact, df ≤
+    SHINGLE_MAX_DF posting lists — every join fan-out bounded; sizes use
+    the FULL shingle sets so denominators are exact)."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text").filter(F.col("jaccard") >= 0.75).select(
-        "d1", "d2", "jaccard"
+    return (
+        jaccard_pairs(
+            d, "doc_id", "text", tokenizer=distinct_shingles, max_df=SHINGLE_MAX_DF
+        )
+        .filter(F.col("jaccard") >= 0.75)
+        .select("d1", "d2", "jaccard")
     )
 
 
@@ -594,22 +624,27 @@ def connected_components(
     return labels
 
 
-_NEAR_DUP_EDGES_SQL = """
-WITH RECURSIVE tok AS (
-  SELECT DISTINCT doc_id, t FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) WHERE t <> ''
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
-), shared AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
-  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), edges AS (
+_NEAR_DUP_EDGES_SQL = (
+    _SHINGLE_PAIRS_SQL.replace("WITH tok AS", "WITH RECURSIVE tok AS")
+    + """
+, edges AS (
   SELECT d1, d2
   FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
   WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.75
 )
 """
+)
+
+
+def _near_dup_edges(d: DataFrame) -> DataFrame:
+    """The bounded near-dup edge kernel l2d/l14 cluster on — the SAME
+    df-bounded shingle pairs l2a_near_dup_pairs emits (one definition of
+    "edge" across the dedup family, and the bound that makes edge
+    generation survive 100×; previously these two clustered on unbounded
+    token pairs, the r03 verdict's named scale-killer)."""
+    return jaccard_pairs(
+        d, "doc_id", "text", tokenizer=distinct_shingles, max_df=SHINGLE_MAX_DF
+    ).filter(F.col("jaccard") >= 0.75)
 
 
 @query(
@@ -635,8 +670,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale, which is exactly why the engine side is the iterative
     propagation that scales."""
     d = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(d, "doc_id", "text").filter(F.col("jaccard") >= 0.75)
-    labels = connected_components(edges, "d1", "d2")
+    labels = connected_components(_near_dup_edges(d), "d1", "d2")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     ).orderBy("doc_id")
@@ -675,12 +709,12 @@ def corpus_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → keep ONE canonical doc per cluster (the min
     doc_id = the cluster label itself, so no extra ranking pass) → report
     kept/removed per language. This is the operation a 100 TB corpus
-    actually runs nightly; at that scale the edge step is l2b's MinHash-LSH
-    instead of exact pairs, and the rest of the pipeline is unchanged —
-    which is the point of keeping the sweep compositional."""
+    actually runs nightly; the edge step is the df-bounded shingle kernel
+    (swap in l2b's MinHash-LSH candidates when even bounded exact pairs
+    are too wide), and the rest of the pipeline is unchanged — which is
+    the point of keeping the sweep compositional."""
     d = load_table(spark, sf_dir, "documents")
-    edges = jaccard_pairs(d, "doc_id", "text").filter(F.col("jaccard") >= 0.75)
-    labels = connected_components(edges, "d1", "d2")
+    labels = connected_components(_near_dup_edges(d), "d1", "d2")
     removed = labels.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("rm_id")
     )
