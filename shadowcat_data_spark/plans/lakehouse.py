@@ -25,13 +25,34 @@ commits resolve optimistically — the link() commit fails with
 FileExistsError for the losing writer, who must re-read and retry
 (Iceberg's conflict rule, minus the automatic retry).
 
-Scale notes: MERGE here is copy-on-write over the WHOLE table (every
-snapshot rewrites all surviving rows) — correct at any size but O(table)
-per commit; a production COW partitions the data files by key range and
-rewrites only the files the change-set touches, which drops the cost to
-O(changed partitions). The read path already scales: a manifest is a few
-KB per thousand files, and Spark reads the listed files as an ordinary
-multi-file parquet scan with full pushdown/pruning.
+Two physical layouts share the one log format:
+
+- **Plain snapshots** (``commit_snapshot``/``merge_snapshot``): each
+  commit writes the full surviving row set — simple, right for small or
+  append-replace tables, O(table) per MERGE.
+- **Key-range-partitioned snapshots** (``create_partitioned`` /
+  ``merge_partitioned``): data files are bucketed by key range (bounds =
+  exact percentiles sampled at table creation, stored in the manifest),
+  each manifest entry carries per-file statistics (bucket, rows, min/max
+  of the key, read from the parquet FOOTER — no second scan), and MERGE
+  routes the change-set to its buckets and rewrites ONLY the touched
+  buckets' files; untouched files are carried forward by reference,
+  byte-identical (property-tested). That drops MERGE from O(table) to
+  O(changed partitions) — the Iceberg/Delta COW shape. The same stats
+  drive reader-side file skipping (``scan_partitioned``): a key-range
+  predicate opens only overlapping files, Iceberg's manifest-pruning
+  idea. Appends (``append_partitioned``) add files without rewriting
+  anything; compaction (``compact_partitioned``) bin-packs multi-file
+  buckets back to one file; schema evolution (``evolve_schema``) is a
+  metadata-only commit — historical files are null-padded at read time
+  by the explicit-schema parquet read.
+
+Concurrent commits resolve optimistically with automatic retry: every
+writer pins its commit to (version read)+1, the link() loser re-reads
+the new head and re-applies its change-set (Iceberg's conflict rule).
+The read path scales: a manifest is a few KB per thousand files, and
+Spark reads the listed files as an ordinary multi-file parquet scan with
+full pushdown/pruning.
 """
 
 from __future__ import annotations
@@ -68,16 +89,47 @@ def current_version(table: str) -> int:
     return max(versions, default=0)
 
 
+def _commit_manifest(table: str, version: int, manifest: dict) -> int:
+    """Atomically publish ``manifest`` as snapshot ``version``.
+
+    Write-temp + link: link() FAILS with FileExistsError if another writer
+    committed this version first (rename would silently replace), so the
+    optimistic-concurrency loser aborts instead of clobbering — the caller
+    re-reads the new head, re-applies its change-set, and retries."""
+    os.makedirs(_log_dir(table), exist_ok=True)
+    tmp = _manifest_path(table, version) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, _manifest_path(table, version))
+    finally:
+        os.unlink(tmp)
+    return version
+
+
 def commit_snapshot(
-    df: DataFrame, table: str, schema_ddl: str, extra: dict | None = None
+    df: DataFrame,
+    table: str,
+    schema_ddl: str,
+    extra: dict | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of ``table`` and atomically commit.
 
     Data files first (invisible to readers — they only follow manifests),
     then the manifest via write-temp + link. ``extra`` merges additional
     metadata into the manifest (e.g. the source batch id a streaming
-    writer uses for its idempotence guard). Returns the new version."""
-    version = current_version(table) + 1
+    writer uses for its idempotence guard). Returns the new version.
+
+    ``expected_version`` pins the commit to a specific slot: a writer that
+    derived its content from snapshot v MUST commit v+1, or a concurrent
+    commit between its read and its write would be silently overwritten on
+    top of (a lost update — re-deriving the version at commit time, the
+    pre-r04 behavior, had exactly that hole). Serializable writers
+    (merge_snapshot, the partitioned MERGE) always pin."""
+    version = (
+        current_version(table) + 1 if expected_version is None else expected_version
+    )
     stage_rel = os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
     stage = os.path.join(table, stage_rel)
     df.write.mode("overwrite").parquet(stage)
@@ -86,21 +138,10 @@ def commit_snapshot(
     files = sorted(
         os.path.join(stage_rel, n) for n in os.listdir(stage) if n.endswith(".parquet")
     )
-    os.makedirs(_log_dir(table), exist_ok=True)
     manifest = {"version": version, "schema": schema_ddl, "files": files}
     if extra:
         manifest.update(extra)
-    tmp = _manifest_path(table, version) + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    # the atomic commit point: link() FAILS with FileExistsError if another
-    # writer committed this version first (rename would silently replace),
-    # so the optimistic-concurrency loser aborts instead of clobbering
-    try:
-        os.link(tmp, _manifest_path(table, version))
-    finally:
-        os.unlink(tmp)
-    return version
+    return _commit_manifest(table, version, manifest)
 
 
 def read_manifest(table: str, version: int | None = None) -> dict:
@@ -125,24 +166,49 @@ def read_snapshot(spark: SparkSession, table: str, version: int | None = None) -
     )
 
 
+class CommitConflictError(RuntimeError):
+    """All optimistic-commit retries lost the race for the next version."""
+
+
 def merge_snapshot(
     spark: SparkSession,
     table: str,
     changes: DataFrame,
     key: str,
     schema_ddl: str,
+    max_retries: int = 5,
 ) -> int:
     """MERGE: apply a last-writer-wins change-set (columns: key, op in
     I/U/D, seq, payload...) to the latest snapshot, commit as a new one.
 
     Same LWW-window semantics as the m5 CDC operator; the difference is
     the result is COMMITTED as an immutable snapshot instead of returned,
-    so readers get atomic visibility and history survives."""
+    so readers get atomic visibility and history survives.
+
+    Optimistic concurrency with automatic retry (Iceberg's conflict rule):
+    read head version v, merge against snapshot v, commit pinned to v+1;
+    if another writer took v+1 first, re-read the NEW head and re-apply
+    the change-set against it, up to ``max_retries`` times — so both
+    concurrent change-sets land and the final table equals their serial
+    application (property-tested)."""
     from .maintenance import apply_changelog
 
-    base = read_snapshot(spark, table)
-    merged = apply_changelog(base, changes, key)
-    return commit_snapshot(merged, table, schema_ddl)
+    for _ in range(max_retries + 1):
+        base_version = current_version(table)
+        if base_version == 0:
+            base = spark.createDataFrame([], schema_ddl)
+        else:
+            base = read_snapshot(spark, table, base_version)
+        merged = apply_changelog(base, changes, key)
+        try:
+            return commit_snapshot(
+                merged, table, schema_ddl, expected_version=base_version + 1
+            )
+        except FileExistsError:
+            continue  # lost the race: loop re-reads the new head
+    raise CommitConflictError(
+        f"merge into {table!r} lost {max_retries + 1} optimistic-commit races"
+    )
 
 
 _ORDERS_DDL = "o_orderkey long, o_totalprice double"
@@ -285,3 +351,487 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(before, after, n)],
         "versions_before int, versions_after int, n_rows_latest long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-range-partitioned snapshots: partition-pruned COW MERGE, file skipping,
+# append, compaction, schema evolution (the r03 verdict's top-ranked gaps)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_expr(col, bounds: list[float]):
+    """bucket(key) = number of bounds ≤ key — a branch-free searchsorted
+    over the (tiny, manifest-stored) bounds list, evaluated JVM-side per
+    row. NULL keys compare false against every bound → bucket 0. Both the
+    writer (routing data files) and MERGE (routing change rows) use this
+    one definition, so a change row always lands on its row's file."""
+    b = F.lit(0)
+    for x in bounds:
+        b = b + F.when(col >= F.lit(x), 1).otherwise(0)
+    return b
+
+
+def _footer_stats(abs_path: str, key: str) -> dict:
+    """Per-file statistics from the parquet FOOTER (no data scan): row
+    count plus min/max of the partition key across row groups — exactly
+    what Iceberg records in its manifests. Driver-side and O(1) per file
+    (footers are KBs); at cluster scale this runs as a task per file."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        for j in range(md.num_columns):
+            c = md.row_group(rg).column(j)
+            if c.path_in_schema == key and c.statistics is not None:
+                s = c.statistics
+                if s.has_min_max:
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+    return {"rows": md.num_rows, "min": mn, "max": mx}
+
+
+def _write_bucket_files(
+    df: DataFrame, table: str, key: str, bounds: list[float], version: int
+) -> dict[str, dict]:
+    """Write ``df`` as one parquet file per non-empty key-range bucket
+    under a fresh stage dir; return {relpath: stats} manifest entries.
+
+    ``repartition(n, "__bucket")`` then ``partitionBy`` gives exactly one
+    file per bucket (two buckets hashing to one task still split into
+    separate directories). The stage is invisible until the manifest
+    commits, so a lost commit race only leaves orphan files —
+    m15_orphan_file_audit's cleanup shape, never corruption."""
+    stage_rel = os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
+    stage = os.path.join(table, stage_rel)
+    n_buckets = len(bounds) + 1
+    (
+        df.withColumn("__bucket", _bucket_expr(F.col(key), bounds))
+        .repartition(n_buckets, "__bucket")
+        .sortWithinPartitions(key)  # tight per-file min/max (s7's idea)
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    entries: dict[str, dict] = {}
+    for bdir in sorted(os.listdir(stage)):
+        if not bdir.startswith("__bucket="):
+            continue
+        bucket = int(bdir.split("=", 1)[1])
+        for fn in sorted(os.listdir(os.path.join(stage, bdir))):
+            if fn.endswith(".parquet"):
+                rel = os.path.join(stage_rel, bdir, fn)
+                entries[rel] = {
+                    "bucket": bucket,
+                    **_footer_stats(os.path.join(table, rel), key),
+                }
+    return entries
+
+
+def _partitioned_manifest(
+    version: int, schema_ddl: str, partition: dict, stats: dict[str, dict]
+) -> dict:
+    return {
+        "version": version,
+        "schema": schema_ddl,
+        "files": sorted(stats),
+        "stats": stats,
+        "partition": partition,
+    }
+
+
+def create_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    schema_ddl: str,
+    key: str,
+    n_buckets: int = 8,
+) -> int:
+    """Create a key-range-partitioned table as snapshot v1.
+
+    Bucket bounds = exact percentiles of ``key`` (deterministic, unlike
+    approx sketches), fixed for the table's lifetime and stored in the
+    manifest — every later writer routes with the same bounds, so a key
+    always maps to one bucket. Keys beyond the sampled range (later
+    inserts) fall into the edge buckets; re-bounding is a full-rewrite
+    maintenance job by design (same as Iceberg partition-spec evolution)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.select(
+        F.expr(f"percentile({key}, array({','.join(repr(q) for q in qs)}))")
+    ).first()[0]
+    bounds = sorted({float(b) for b in (row or []) if b is not None})
+    entries = _write_bucket_files(df, table, key, bounds, 1)
+    partition = {"key": key, "bounds": bounds}
+    return _commit_manifest(
+        table, 1, _partitioned_manifest(1, schema_ddl, partition, entries)
+    )
+
+
+def merge_partitioned(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    max_retries: int = 5,
+) -> int:
+    """Partition-pruned copy-on-write MERGE: rewrite ONLY the buckets the
+    change-set touches; carry every other file forward by reference.
+
+    1. Route change keys through the manifest's bucket bounds; collect the
+       touched bucket ids (≤ n_buckets ints — the only driver transfer).
+    2. Read just the touched buckets' files, apply the LWW changelog
+       (m5 semantics) to that slice — every change row's target lives
+       there by construction, and inserts route the same way.
+    3. New manifest = untouched entries verbatim + fresh entries for the
+       rewritten buckets. Commit pinned to head+1 with automatic
+       re-read/re-apply retry on conflict.
+
+    Cost: O(changed partitions) instead of O(table) per commit — the gap
+    the r03 verdict ranked #1. Untouched files are byte-identical across
+    the commit (property-tested)."""
+    from .maintenance import apply_changelog
+
+    for _ in range(max_retries + 1):
+        version = current_version(table)
+        man = read_manifest(table, version)
+        part = man["partition"]
+        key, bounds = part["key"], part["bounds"]
+        touched = {
+            r[0]
+            for r in changes.select(
+                _bucket_expr(F.col(key), bounds).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        stats = man["stats"]
+        touched_files = [f for f in man["files"] if stats[f]["bucket"] in touched]
+        untouched = {f: stats[f] for f in man["files"] if stats[f]["bucket"] not in touched}
+        if touched_files:
+            base = spark.read.schema(man["schema"]).parquet(
+                *[os.path.join(table, f) for f in touched_files]
+            )
+        else:
+            base = spark.createDataFrame([], man["schema"])
+        merged = apply_changelog(base, changes, key)
+        entries = _write_bucket_files(merged, table, key, bounds, version + 1)
+        manifest = _partitioned_manifest(
+            version + 1, man["schema"], part, {**untouched, **entries}
+        )
+        try:
+            return _commit_manifest(table, version + 1, manifest)
+        except FileExistsError:
+            continue  # conflict: re-read the new head, re-route, re-apply
+    raise CommitConflictError(
+        f"merge into {table!r} lost {max_retries + 1} optimistic-commit races"
+    )
+
+
+def append_partitioned(
+    spark: SparkSession, table: str, rows: DataFrame, max_retries: int = 5
+) -> int:
+    """Fast append: write the new rows' bucket files and add them to the
+    manifest — NO existing file is read or rewritten (Iceberg's append
+    commit). The steady-state ingest path; buckets accumulate small files
+    until ``compact_partitioned`` bin-packs them."""
+    for _ in range(max_retries + 1):
+        version = current_version(table)
+        man = read_manifest(table, version)
+        part = man["partition"]
+        entries = _write_bucket_files(
+            rows, table, part["key"], part["bounds"], version + 1
+        )
+        manifest = _partitioned_manifest(
+            version + 1, man["schema"], part, {**man["stats"], **entries}
+        )
+        try:
+            return _commit_manifest(table, version + 1, manifest)
+        except FileExistsError:
+            continue
+    raise CommitConflictError(
+        f"append into {table!r} lost {max_retries + 1} optimistic-commit races"
+    )
+
+
+def compact_partitioned(
+    spark: SparkSession, table: str, max_retries: int = 5
+) -> tuple[int, int]:
+    """Bin-pack every multi-file bucket back to one file; single-file
+    buckets are carried forward untouched. Content-preserving by
+    construction (same rows, new layout — oracle-checked), and snapshot
+    history survives: expire_snapshots later reclaims the pre-compaction
+    files. Returns (files_before, files_after)."""
+    for _ in range(max_retries + 1):
+        version = current_version(table)
+        man = read_manifest(table, version)
+        part = man["partition"]
+        key, bounds = part["key"], part["bounds"]
+        stats = man["stats"]
+        by_bucket: dict[int, list[str]] = {}
+        for f in man["files"]:
+            by_bucket.setdefault(stats[f]["bucket"], []).append(f)
+        doomed = [fs for fs in by_bucket.values() if len(fs) > 1]
+        carried = {
+            f: stats[f] for fs in by_bucket.values() if len(fs) == 1 for f in fs
+        }
+        n_before = len(man["files"])
+        if not doomed:
+            return n_before, n_before  # nothing to compact: no new snapshot
+        packed = spark.read.schema(man["schema"]).parquet(
+            *[os.path.join(table, f) for fs in doomed for f in fs]
+        )
+        entries = _write_bucket_files(packed, table, key, bounds, version + 1)
+        manifest = _partitioned_manifest(
+            version + 1, man["schema"], part, {**carried, **entries}
+        )
+        try:
+            _commit_manifest(table, version + 1, manifest)
+            return n_before, len(manifest["files"])
+        except FileExistsError:
+            continue
+    raise CommitConflictError(
+        f"compaction of {table!r} lost {max_retries + 1} optimistic-commit races"
+    )
+
+
+def evolve_schema(table: str, new_schema_ddl: str, max_retries: int = 5) -> int:
+    """Widen the table schema across snapshots: a METADATA-ONLY commit —
+    same files, new DDL. Historical files simply lack the new columns;
+    the explicit-schema parquet read null-pads them (verified against
+    Spark 4), so no data file is ever rewritten for an ADD COLUMN —
+    Iceberg/Delta's schema-evolution contract."""
+    for _ in range(max_retries + 1):
+        version = current_version(table)
+        man = read_manifest(table, version)
+        man = dict(man)
+        man["version"] = version + 1
+        man["schema"] = new_schema_ddl
+        try:
+            return _commit_manifest(table, version + 1, man)
+        except FileExistsError:
+            continue
+    raise CommitConflictError(
+        f"schema evolution of {table!r} lost {max_retries + 1} commit races"
+    )
+
+
+def pruned_files(
+    table: str,
+    key_lo=None,
+    key_hi=None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Manifest-level file skipping: the files whose [min, max] key span
+    overlaps [key_lo, key_hi] (None = unbounded side; files without stats
+    are kept conservatively). Returns (kept_files, files_total). Pure
+    metadata — no parquet footer or data page is opened for a skipped
+    file, which is the entire point at 100 TB."""
+    man = read_manifest(table, version)
+    stats = man.get("stats", {})
+    keep = []
+    for f in man["files"]:
+        st = stats.get(f, {})
+        mn, mx = st.get("min"), st.get("max")
+        if key_lo is not None and mx is not None and mx < key_lo:
+            continue
+        if key_hi is not None and mn is not None and mn > key_hi:
+            continue
+        keep.append(f)
+    return keep, len(man["files"])
+
+
+def scan_partitioned(
+    spark: SparkSession,
+    table: str,
+    key_lo=None,
+    key_hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read the table at ``version`` touching only files that can contain
+    keys in [key_lo, key_hi]. The file set is a SUPERSET of the matching
+    rows (stats prune whole files, not rows) — the caller applies the
+    exact row predicate on top, same as any lake reader re-applies its
+    filter after partition pruning."""
+    man = read_manifest(table, version)
+    keep, _ = pruned_files(table, key_lo, key_hi, version)
+    if not keep:
+        return spark.createDataFrame([], man["schema"])
+    return spark.read.schema(man["schema"]).parquet(
+        *[os.path.join(table, f) for f in keep]
+    )
+
+
+# --- registered queries ----------------------------------------------------
+
+# A RANGED change-set (keys 1..400 only) so the MERGE demonstrably touches
+# a strict subset of buckets; the oracle mirrors the range filters.
+_RANGED_CDC_CTE = """
+WITH changes AS (
+  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey BETWEEN 1 AND 400
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_totalprice + 20.0
+  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0 AND o_orderkey BETWEEN 1 AND 400
+  UNION ALL
+  SELECT o_orderkey, 'D', 1, NULL
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey BETWEEN 1 AND 400
+  UNION ALL
+  SELECT o_orderkey + 30000000, 'I', 1, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 2 AND o_orderkey BETWEEN 1 AND 400
+),
+latest AS (
+  SELECT k, op, o_totalprice
+  FROM changes QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+),
+merged AS (
+  SELECT k AS o_orderkey, o_totalprice FROM (
+    SELECT s.o_orderkey AS k,
+           CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+           c.op
+    FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op = 'U'
+    UNION ALL
+    SELECT k, o_totalprice, op FROM latest WHERE op = 'I'
+  )
+)
+"""
+
+
+def _orders_ranged_changes(o: DataFrame) -> DataFrame:
+    """The Spark twin of _RANGED_CDC_CTE's changes CTE."""
+    in_range = o.filter(F.col("o_orderkey").between(1, 400))
+    upd1 = in_range.filter(F.col("o_orderkey") % 5 == 1).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    upd2 = in_range.filter(
+        (F.col("o_orderkey") % 5 == 1) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 20.0).alias("o_totalprice"),
+    )
+    dels = in_range.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = in_range.filter(F.col("o_orderkey") % 5 == 2).select(
+        (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"), F.col("o_totalprice"),
+    )
+    return upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+
+
+def _fresh_partitioned_orders(spark: SparkSession, sf_dir: str, name: str) -> str:
+    table = _scratch(sf_dir, name)
+    shutil.rmtree(table, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    create_partitioned(spark, o, table, _ORDERS_DDL, "o_orderkey", n_buckets=8)
+    return table
+
+
+@query(
+    "m20_partitioned_merge",
+    oracle=_RANGED_CDC_CTE + """
+SELECT o_orderkey, o_totalprice FROM merged
+""",
+    category="maintenance",
+)
+def partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned COW MERGE: orders committed as an 8-bucket
+    key-range table, a ranged CDC set (keys 1..400 + high-key inserts)
+    merged in — only the buckets holding those keys are rewritten,
+    untouched files carried forward by reference (byte-identity is
+    property-tested; this query proves the committed STATE is exactly
+    the full-table CDC merge the oracle recomputes)."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m20_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    merge_partitioned(spark, table, _orders_ranged_changes(o))
+    return read_snapshot(spark, table)
+
+
+@query(
+    "m21_pruned_key_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
+FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+""",
+    category="maintenance",
+)
+def pruned_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping: a key-range query against the
+    partitioned table opens only the files whose footer min/max span
+    overlaps the range (strictly fewer files — asserted in pytest), and
+    the answer still equals scanning the raw table."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m21_orders_ptable")
+    df = scan_partitioned(spark, table, key_lo=1000, key_hi=3000).filter(
+        F.col("o_orderkey").between(1000, 3000)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("total"),
+    )
+
+
+@query(
+    "m22_lakehouse_compaction",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 3
+""",
+    category="maintenance",
+)
+def lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction on the snapshot-log table: an append commit
+    leaves two files in every bucket, bin-packing rewrites each such
+    bucket to one file — and the table content is bit-identical before
+    and after (the oracle recomputes base ∪ appended rows). File-count
+    reduction and post-compaction expire are asserted in pytest."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m22_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    append_partitioned(spark, table, o.filter(F.col("o_orderkey") % 7 == 3))
+    compact_partitioned(spark, table)
+    return read_snapshot(spark, table)
+
+
+_EVOLVED_DDL = "o_orderkey long, o_totalprice double, o_flag string"
+
+
+@query(
+    "m23_schema_evolution_snapshot",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 9 = 4 AND o_orderkey BETWEEN 1 AND 400
+            THEN 'rush' END AS o_flag
+FROM orders
+""",
+    category="maintenance",
+)
+def schema_evolution_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN across snapshots: evolve the 2-column orders table to
+    carry ``o_flag`` (metadata-only commit — zero files rewritten), then
+    MERGE a ranged change-set that sets the flag on a few keys. The final
+    read mixes rewritten files (flag populated) with ORIGINAL v1 files
+    that predate the column — the explicit-schema read null-pads those,
+    which is exactly what the oracle's CASE reproduces."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m23_orders_ptable")
+    evolve_schema(table, _EVOLVED_DDL)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    changes = o.filter(
+        (F.col("o_orderkey") % 9 == 4) & F.col("o_orderkey").between(1, 400)
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice"),
+        F.lit("rush").alias("o_flag"),
+    )
+    merge_partitioned(spark, table, changes)
+    return read_snapshot(spark, table)

@@ -965,3 +965,183 @@ def test_chargram_jaccard_survives_reflow(spark):
     assert pairs[(1, 3)] == 1.0, "identical docs must be char-gram identical"
     assert pairs[(1, 2)] >= 0.5, f"reflowed copy fell to {pairs.get((1, 2))}"
     assert (1, 4) not in pairs.index or pairs[(1, 4)] < 0.2
+
+
+def test_partitioned_merge_rewrites_only_touched_files(spark, tmp_path):
+    """The r03 verdict's #1 ask: a MERGE touching one bucket must carry
+    every other bucket's file forward BY REFERENCE (identical relpaths →
+    byte-identical files, since data files are immutable), and the
+    committed state must equal the full merge."""
+    from shadowcat_data_spark.plans.lakehouse import (
+        create_partitioned,
+        merge_partitioned,
+        read_manifest,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)
+    assert create_partitioned(spark, df, table, ddl, "k", n_buckets=4) == 1
+    m1 = read_manifest(table)
+    assert len(m1["files"]) == 4
+    import os
+
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(table, f)) for f in m1["files"]
+    }
+    changes = spark.createDataFrame(
+        [(3, "U", 1, 99.0)], "k long, op string, seq int, v double"
+    )
+    assert merge_partitioned(spark, table, changes) == 2
+    m2 = read_manifest(table)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert len(carried) == 3, "exactly one bucket may be rewritten"
+    for f in carried:  # carried files were never rewritten in place either
+        assert os.path.getmtime(os.path.join(table, f)) == mtimes_before[f]
+    # carried manifest entries are verbatim (stats included)
+    for f in carried:
+        assert m2["stats"][f] == m1["stats"][f]
+    vals = {r.k: r.v for r in read_snapshot(spark, table).collect()}
+    assert vals[3] == 99.0 and vals[7] == 7.0 and len(vals) == 100
+    # delete-only change in another bucket: row gone, again one rewrite
+    dels = spark.createDataFrame(
+        [(97, "D", 1, None)], "k long, op string, seq int, v double"
+    )
+    merge_partitioned(spark, table, dels)
+    m3 = read_manifest(table)
+    assert len(set(m2["files"]) & set(m3["files"])) == 3
+    assert read_snapshot(spark, table).count() == 99
+
+
+def test_partitioned_scan_skips_files(spark, tmp_path):
+    """Manifest min/max stats must prune non-overlapping files at the
+    METADATA level, and the pruned scan must still return exactly the
+    matching rows."""
+    from shadowcat_data_spark.plans.lakehouse import (
+        create_partitioned,
+        pruned_files,
+        scan_partitioned,
+    )
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], ddl)
+    create_partitioned(spark, df, table, ddl, "k", n_buckets=8)
+    keep, total = pruned_files(table, key_lo=100, key_hi=140)
+    assert total == 8 and len(keep) < total
+    got = sorted(
+        r.k
+        for r in scan_partitioned(spark, table, key_lo=100, key_hi=140)
+        .filter("k BETWEEN 100 AND 140")
+        .collect()
+    )
+    assert got == list(range(100, 141))
+    # unbounded scan reads everything
+    assert scan_partitioned(spark, table).count() == 1000
+
+
+def test_concurrent_merges_both_land(spark, tmp_path):
+    """Optimistic-commit retry: writer A loses the version race to writer
+    B mid-commit, re-reads the new head, re-applies its change-set — BOTH
+    change-sets land and the final table equals their serial application."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    ch_a = spark.createDataFrame(
+        [(1, "U", 1, 111.0)], "k long, op string, seq int, v double"
+    )
+    ch_b = spark.createDataFrame(
+        [(2, "U", 1, 222.0), (200, "I", 1, 200.0)],
+        "k long, op string, seq int, v double",
+    )
+    real = LH._commit_manifest
+    state = {"fired": False}
+
+    def racy(t, version, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            LH.merge_partitioned(spark, t, ch_b)  # B steals A's version slot
+        return real(t, version, manifest)
+
+    LH._commit_manifest = racy
+    try:
+        LH.merge_partitioned(spark, table, ch_a)
+    finally:
+        LH._commit_manifest = real
+    assert LH.current_version(table) == 3  # v1 create, v2 B, v3 A's retry
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert vals[1] == 111.0 and vals[2] == 222.0 and vals[200] == 200.0
+    assert len(vals) == 41
+
+
+def test_compaction_binpacks_and_expire_reclaims(spark, tmp_path):
+    """Append leaves multi-file buckets; compaction bin-packs each back to
+    one file with identical content; expire afterwards reclaims the
+    pre-compaction files and the table still reads completely."""
+    import os
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    extra = spark.createDataFrame([(i, -1.0) for i in range(0, 100, 5)], ddl)
+    LH.append_partitioned(spark, table, extra)
+    m2 = LH.read_manifest(table)
+    assert len(m2["files"]) == 8  # 4 base + 4 appended
+    before, after = LH.compact_partitioned(spark, table)
+    assert (before, after) == (8, 4)
+    assert LH.read_snapshot(spark, table).count() == 120
+    # idempotent: nothing left to pack, no new snapshot
+    v = LH.current_version(table)
+    assert LH.compact_partitioned(spark, table) == (4, 4)
+    assert LH.current_version(table) == v
+    # retention after compaction: old layout reclaimed, content intact
+    LH.expire_snapshots(table, keep_latest=1)
+    assert LH.read_snapshot(spark, table).count() == 120
+    live = set(LH.read_manifest(table)["files"])
+    data_dir = os.path.join(table, "data")
+    on_disk = {
+        os.path.join("data", d, b, f)
+        for d in os.listdir(data_dir)
+        for b in os.listdir(os.path.join(data_dir, d))
+        if os.path.isdir(os.path.join(data_dir, d, b))
+        for f in os.listdir(os.path.join(data_dir, d, b))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live, "expire left non-manifest parquet files behind"
+
+
+def test_schema_evolution_nullpads_history(spark, tmp_path):
+    """ADD COLUMN is metadata-only: zero files rewritten at evolution
+    time, historical files null-pad on read, time travel still serves the
+    ORIGINAL schema, and a post-evolution merge populates the column only
+    where written."""
+    from pyspark.sql import functions as SF
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    files_v1 = LH.read_manifest(table)["files"]
+    LH.evolve_schema(table, "k long, v double, flag string")
+    m2 = LH.read_manifest(table)
+    assert m2["files"] == files_v1, "evolution must not touch data files"
+    cur = LH.read_snapshot(spark, table)
+    assert cur.columns == ["k", "v", "flag"]
+    assert cur.filter(SF.col("flag").isNotNull()).count() == 0
+    # time travel: v1 still reads with its own (2-column) schema
+    assert LH.read_snapshot(spark, table, 1).columns == ["k", "v"]
+    ch = spark.createDataFrame(
+        [(5, "U", 1, 5.0, "x")], "k long, op string, seq int, v double, flag string"
+    )
+    LH.merge_partitioned(spark, table, ch)
+    rows = {r.k: r.flag for r in LH.read_snapshot(spark, table).collect()}
+    assert rows[5] == "x" and sum(f is not None for f in rows.values()) == 1
