@@ -899,3 +899,249 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     are inlined into the SQL from the same constants Spark uses)."""
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, "vec_id", "embedding", _SEM_TAU)
+
+
+# ---------------------------------------------------------------------------
+# L3g/L3h/L3i — persisted ANN index: build once / probe many / refresh
+# (r03 verdict "what's missing" #2: the ANN tiers re-trained per query call)
+# ---------------------------------------------------------------------------
+
+_ANN_INDEX_DDL = "cid long, cluster long, ce array<double>"
+
+
+def build_ann_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    table: str,
+    n_clusters: int = 8,
+) -> int:
+    """Train the IVF coarse quantizer ONCE and persist the whole index as
+    a snapshot-log table: assignments (cid, cluster, vector) PARTITIONED
+    BY CLUSTER (composing the key-range table format — each cluster's
+    rows live in their own data file, so a probe opens only the probed
+    clusters' files via manifest stats), centroids in the manifest
+    metadata (k×dim floats — KBs at any corpus size, exactly what fits in
+    table metadata). Probes then run against the committed snapshot with
+    zero training jobs, and refreshes append to it incrementally — the
+    build/probe split every repeated-query pipeline needs, same shape as
+    FAISS's train()/add()/search() but as lake tables."""
+    centroids = _kmeans_centroids(corpus, vec_col, n_clusters)
+    if centroids:
+        assigned = _assign_nearest(corpus, vec_col, centroids).select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.col("__cluster").cast("long").alias("cluster"),
+            _to_double(F.col(vec_col)).alias("ce"),
+        )
+    else:  # empty corpus: commit an empty index (probes return nothing)
+        assigned = corpus.select(
+            F.col(id_col).cast("long").alias("cid"),
+            F.lit(0).cast("long").alias("cluster"),
+            _to_double(F.col(vec_col)).alias("ce"),
+        )
+    import shutil
+
+    from ..plans.lakehouse import create_partitioned
+
+    shutil.rmtree(table, ignore_errors=True)
+    return create_partitioned(
+        spark,
+        assigned,
+        table,
+        _ANN_INDEX_DDL,
+        "cluster",
+        n_buckets=max(n_clusters, 1),
+        extra={"centroids": centroids},
+    )
+
+
+def _nearest_clusters(q: DataFrame, centroids: list[list[float]], n_probe: int) -> DataFrame:
+    """(qid, qe, cluster): each query row exploded to its n_probe nearest
+    centroids — centroid literals folded into the plan, no training."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"),
+                        F.array(*[F.lit(float(x)) for x in cen]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).cast("long").alias("cl"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    return q.withColumn("__probes", F.slice(F.array_sort(dists), 1, n_probe)).select(
+        "qid", "qe", F.explode(F.col("__probes.cl")).alias("cluster")
+    )
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    q_id: str,
+    vec_col: str,
+    k: int,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search the PREBUILT index: route each query to its n_probe nearest
+    stored centroids (plan literals from the manifest — no k-means jobs
+    anywhere in this plan), open only the data files whose cluster span
+    intersects the probed set (manifest file skipping), equi-join on
+    cluster, exact-cosine re-rank. Per-query cost ∝ probed clusters'
+    rows; index cost paid once at build time."""
+    import os
+
+    from ..plans.lakehouse import read_manifest
+
+    man = read_manifest(table)
+    centroids = man.get("centroids") or []
+    empty = spark.createDataFrame([], "qid long, cid long, cos double")
+    if not centroids or not man["files"]:
+        return empty
+    q = _nearest_clusters(
+        queries.select(
+            F.col(q_id).cast("long").alias("qid"),
+            _to_double(F.col(vec_col)).alias("qe"),
+        ),
+        centroids,
+        n_probe,
+    )
+    # the probed-cluster set is ≤ n_clusters ints — the only driver transfer
+    probed = sorted(r.cluster for r in q.select("cluster").distinct().collect())
+    if not probed:
+        return empty
+    stats = man["stats"]
+    keep = [
+        f
+        for f in man["files"]
+        if stats[f]["min"] is None
+        or any(stats[f]["min"] <= c <= stats[f]["max"] for c in probed)
+    ]
+    if not keep:
+        return empty
+    c = spark.read.schema(man["schema"]).parquet(
+        *[os.path.join(table, f) for f in keep]
+    )
+    scored = q.join(c, "cluster").select(
+        "qid", "cid", _cosine(F.col("qe"), F.col("ce")).alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    table: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """Incremental index maintenance: assign ONLY the new vectors to the
+    existing centroids (read from the manifest — no retraining) and
+    APPEND their files; every existing file is carried forward untouched.
+    Cost ∝ |new batch|, the l2f daily-ingest shape applied to ANN.
+    Centroids drift as the corpus grows — a periodic full build (l3g) is
+    the rebalance job, exactly FAISS's retrain-when-distribution-shifts
+    guidance."""
+    from ..plans.lakehouse import append_partitioned, read_manifest
+
+    centroids = read_manifest(table).get("centroids") or []
+    if not centroids:
+        raise ValueError(f"index {table!r} has no trained centroids to assign against")
+    assigned = _assign_nearest(new_vectors, vec_col, centroids).select(
+        F.col(id_col).cast("long").alias("cid"),
+        F.col("__cluster").cast("long").alias("cluster"),
+        _to_double(F.col(vec_col)).alias("ce"),
+    )
+    return append_partitioned(spark, table, assigned)
+
+
+def _ann_corpus(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") >= 20), e.filter(F.col("vec_id") < 20)
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build-on-miss: reuse the committed index iff its row
+    census still matches the corpus (stale/foreign scratch → rebuild)."""
+    from ..plans.lakehouse import current_version, read_manifest
+    from ..sources.io import _scratch
+
+    table = _scratch(sf_dir, "l3g_ann_index")
+    corpus, _ = _ann_corpus(spark, sf_dir)
+    n = corpus.count()
+    if current_version(table) > 0:
+        man = read_manifest(table)
+        if "centroids" in man and sum(
+            man["stats"][f]["rows"] for f in man["files"]
+        ) == n:
+            return table
+    build_ann_index(spark, corpus, "vec_id", "embedding", table)
+    return table
+
+
+@query("l3g_ann_index_build", category="pipeline-similarity")
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index BUILD job: train + persist the IVF index table, return
+    its per-cluster census (the partition histogram an operator watches
+    for skew). Rows-only: k-means structure is engine-specific; the
+    probe path's recall is property-tested against brute force."""
+    from ..plans.lakehouse import read_snapshot
+    from ..sources.io import _scratch
+
+    corpus, _ = _ann_corpus(spark, sf_dir)
+    table = _scratch(sf_dir, "l3g_ann_index")
+    build_ann_index(spark, corpus, "vec_id", "embedding", table)
+    return (
+        read_snapshot(spark, table)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
+@query("l3h_ann_index_probe", category="pipeline-similarity")
+def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index PROBE job: top-5 neighbors for each query vector against
+    the PREBUILT committed index — no training in this plan (pytest
+    proves the trainer is never invoked on the probe path), files opened
+    only for probed clusters. Rows-only + recall-vs-brute-force test."""
+    table = _ensure_ann_index(spark, sf_dir)
+    _, q = _ann_corpus(spark, sf_dir)
+    return probe_ann_index(spark, table, q, "vec_id", "embedding", k=5).orderBy(
+        "qid", "cid"
+    )
+
+
+@query("l3i_ann_index_refresh", category="pipeline-similarity")
+def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index REFRESH job: build the index WITHOUT the 10 highest-id
+    corpus vectors, append them via refresh (no existing file rewritten —
+    property-tested), then probe with those same vectors: each must now
+    be discoverable in the index (its own top hit at cos 1.0)."""
+    from ..sources.io import _scratch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    hi = e.agg(F.max("vec_id")).first()[0]
+    if hi is None:  # empty fixture: nothing to index or refresh
+        return spark.createDataFrame([], "qid long, cid long, cos double")
+    boundary = hi - 9
+    old = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < boundary))
+    new = e.filter(F.col("vec_id") >= boundary)
+    table = _scratch(sf_dir, "l3i_ann_index")
+    build_ann_index(spark, old, "vec_id", "embedding", table)
+    refresh_ann_index(spark, table, new, "vec_id", "embedding")
+    return probe_ann_index(spark, table, new, "vec_id", "embedding", k=3).orderBy(
+        "qid", "cid"
+    )

@@ -428,16 +428,35 @@ def _write_bucket_files(
     return entries
 
 
+_STD_MANIFEST_KEYS = {"version", "schema", "files", "stats", "partition"}
+
+
 def _partitioned_manifest(
-    version: int, schema_ddl: str, partition: dict, stats: dict[str, dict]
+    version: int,
+    schema_ddl: str,
+    partition: dict,
+    stats: dict[str, dict],
+    prev: dict | None = None,
+    extra: dict | None = None,
 ) -> dict:
-    return {
+    """Build a manifest; non-standard keys of ``prev`` (application
+    metadata like a persisted model's parameters or a streaming batch id)
+    are carried forward so table services never strip them; ``extra``
+    overrides/adds."""
+    manifest = {
         "version": version,
         "schema": schema_ddl,
         "files": sorted(stats),
         "stats": stats,
         "partition": partition,
     }
+    if prev:
+        for k, v in prev.items():
+            if k not in _STD_MANIFEST_KEYS:
+                manifest[k] = v
+    if extra:
+        manifest.update(extra)
+    return manifest
 
 
 def create_partitioned(
@@ -447,6 +466,7 @@ def create_partitioned(
     schema_ddl: str,
     key: str,
     n_buckets: int = 8,
+    extra: dict | None = None,
 ) -> int:
     """Create a key-range-partitioned table as snapshot v1.
 
@@ -464,7 +484,7 @@ def create_partitioned(
     entries = _write_bucket_files(df, table, key, bounds, 1)
     partition = {"key": key, "bounds": bounds}
     return _commit_manifest(
-        table, 1, _partitioned_manifest(1, schema_ddl, partition, entries)
+        table, 1, _partitioned_manifest(1, schema_ddl, partition, entries, extra=extra)
     )
 
 
@@ -516,7 +536,7 @@ def merge_partitioned(
         merged = apply_changelog(base, changes, key)
         entries = _write_bucket_files(merged, table, key, bounds, version + 1)
         manifest = _partitioned_manifest(
-            version + 1, man["schema"], part, {**untouched, **entries}
+            version + 1, man["schema"], part, {**untouched, **entries}, prev=man
         )
         try:
             return _commit_manifest(table, version + 1, manifest)
@@ -542,7 +562,7 @@ def append_partitioned(
             rows, table, part["key"], part["bounds"], version + 1
         )
         manifest = _partitioned_manifest(
-            version + 1, man["schema"], part, {**man["stats"], **entries}
+            version + 1, man["schema"], part, {**man["stats"], **entries}, prev=man
         )
         try:
             return _commit_manifest(table, version + 1, manifest)
@@ -582,7 +602,7 @@ def compact_partitioned(
         )
         entries = _write_bucket_files(packed, table, key, bounds, version + 1)
         manifest = _partitioned_manifest(
-            version + 1, man["schema"], part, {**carried, **entries}
+            version + 1, man["schema"], part, {**carried, **entries}, prev=man
         )
         try:
             _commit_manifest(table, version + 1, manifest)

@@ -1145,3 +1145,71 @@ def test_schema_evolution_nullpads_history(spark, tmp_path):
     LH.merge_partitioned(spark, table, ch)
     rows = {r.k: r.flag for r in LH.read_snapshot(spark, table).collect()}
     assert rows[5] == "x" and sum(f is not None for f in rows.values()) == 1
+
+
+def test_persisted_ann_index_probe_recall(spark, tmp_path):
+    """Probing the persisted index must match live ivf_topk recall (same
+    quantizer, same n_probe) against brute-force truth."""
+    from shadowcat_data_spark.pipeline.similarity import (
+        build_ann_index,
+        cosine_topk,
+        probe_ann_index,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    c = e.filter(F.col("vec_id") >= 10)
+    table = str(tmp_path / "annidx")
+    build_ann_index(spark, c, "vec_id", "embedding", table)
+    truth = cosine_topk(q, c, "vec_id", "vec_id", "embedding", "embedding", 5).toPandas()
+    approx = probe_ann_index(spark, table, q, "vec_id", "embedding", k=5).toPandas()
+    true_pairs = {(r.qid, r.cid) for r in truth.itertuples()}
+    got_pairs = {(r.qid, r.cid) for r in approx.itertuples()}
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.2, f"persisted-index recall collapsed: {recall}"
+
+
+def test_ann_probe_never_trains(spark, tmp_path, monkeypatch):
+    """The build/probe split's contract: the probe path must not invoke
+    the trainer — its plan runs purely against the committed snapshot."""
+    from shadowcat_data_spark.pipeline import similarity as SIM
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    table = str(tmp_path / "annidx")
+    SIM.build_ann_index(
+        spark, e.filter(F.col("vec_id") >= 10), "vec_id", "embedding", table
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("probe path invoked the k-means trainer")
+
+    monkeypatch.setattr(SIM, "_kmeans_centroids", boom)
+    out = SIM.probe_ann_index(
+        spark, table, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5
+    )
+    assert out.count() > 0
+
+
+def test_ann_refresh_appends_without_rewrite(spark, tmp_path):
+    """Refresh must be an append commit (existing files carried forward
+    verbatim) and the appended vectors must become searchable — each new
+    vector's own top hit is itself at cos 1.0."""
+    from shadowcat_data_spark.plans.lakehouse import read_manifest
+    from shadowcat_data_spark.pipeline.similarity import (
+        build_ann_index,
+        probe_ann_index,
+        refresh_ann_index,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    old = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 400))
+    new = e.filter(F.col("vec_id") >= 400)
+    table = str(tmp_path / "annidx")
+    build_ann_index(spark, old, "vec_id", "embedding", table)
+    files_v1 = set(read_manifest(table)["files"])
+    refresh_ann_index(spark, table, new, "vec_id", "embedding")
+    m2 = read_manifest(table)
+    assert files_v1 <= set(m2["files"]), "refresh rewrote existing index files"
+    hits = probe_ann_index(spark, table, new, "vec_id", "embedding", k=1).toPandas()
+    self_hits = {(r.qid, r.cid) for r in hits.itertuples() if r.qid == r.cid}
+    assert len(self_hits) == hits.shape[0] == new.count()
