@@ -493,6 +493,7 @@ def merge_partitioned(
     table: str,
     changes: DataFrame,
     max_retries: int = 5,
+    extra: dict | None = None,
 ) -> int:
     """Partition-pruned copy-on-write MERGE: rewrite ONLY the buckets the
     change-set touches; carry every other file forward by reference.
@@ -536,7 +537,8 @@ def merge_partitioned(
         merged = apply_changelog(base, changes, key)
         entries = _write_bucket_files(merged, table, key, bounds, version + 1)
         manifest = _partitioned_manifest(
-            version + 1, man["schema"], part, {**untouched, **entries}, prev=man
+            version + 1, man["schema"], part, {**untouched, **entries}, prev=man,
+            extra=extra,
         )
         try:
             return _commit_manifest(table, version + 1, manifest)
@@ -548,7 +550,11 @@ def merge_partitioned(
 
 
 def append_partitioned(
-    spark: SparkSession, table: str, rows: DataFrame, max_retries: int = 5
+    spark: SparkSession,
+    table: str,
+    rows: DataFrame,
+    max_retries: int = 5,
+    extra: dict | None = None,
 ) -> int:
     """Fast append: write the new rows' bucket files and add them to the
     manifest — NO existing file is read or rewritten (Iceberg's append
@@ -562,7 +568,8 @@ def append_partitioned(
             rows, table, part["key"], part["bounds"], version + 1
         )
         manifest = _partitioned_manifest(
-            version + 1, man["schema"], part, {**man["stats"], **entries}, prev=man
+            version + 1, man["schema"], part, {**man["stats"], **entries}, prev=man,
+            extra=extra,
         )
         try:
             return _commit_manifest(table, version + 1, manifest)

@@ -1076,3 +1076,120 @@ def stream_lakehouse_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("total_micros").cast("double") / 1e6).alias("total_value"),
     )
+
+
+@query(
+    "t19_stream_partitioned_upsert",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM ranked WHERE rn = 1
+""",
+    category="streaming",
+)
+def stream_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert into the PARTITIONED lakehouse: four real
+    micro-batches each MERGE their per-user latest event into a key-range-
+    bucketed table — the partition-pruned COW write path (m20) driven by
+    foreachBatch instead of a batch job, with t18's batch-id idempotence
+    guard carried in the manifest.
+
+    The load-bearing semantics is OUT-OF-ORDER protection: a batch's row
+    only overwrites the stored row when its (ts, event_id) is strictly
+    newer, so the converged table is the GLOBAL per-user latest event —
+    deterministic no matter how the stream slices rows into batches
+    (a blind last-batch-wins upsert would be nondeterministic under
+    repartitioning, the bug this conditional-merge shape exists to
+    prevent in every real CDC sink). Exactly the oracle's one-shot window
+    over the whole history."""
+    from pyspark.sql import Window as W
+
+    from ..plans.lakehouse import (
+        create_partitioned,
+        merge_partitioned,
+        read_manifest,
+        read_snapshot,
+    )
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    src_dir = _scratch(sf_dir, "t19_events_4files")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    table = _scratch(sf_dir, "t19_user_latest")
+    shutil.rmtree(table, ignore_errors=True)
+    ddl = "user_id long, last_event_id long, last_value double, ts_micros long"
+
+    # v1: the user dimension, state not yet observed (the realistic CDC
+    # start point — every later batch is then a pure conditional update)
+    users = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(None).cast("long").alias("last_event_id"),
+        F.lit(None).cast("double").alias("last_value"),
+        F.lit(None).cast("long").alias("ts_micros"),
+    )
+    create_partitioned(spark, users, table, ddl, "user_id", n_buckets=8)
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already committed — idempotence guard
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+                F.unix_micros(F.col("ts")).alias("ts_micros"),
+            )
+        )
+        cur = read_snapshot(sp, table).select(
+            "user_id",
+            F.col("ts_micros").alias("__cur_ts"),
+            F.col("last_event_id").alias("__cur_eid"),
+        )
+        newer = (
+            latest.join(cur, "user_id", "left")
+            .filter(
+                F.col("__cur_ts").isNull()
+                | (
+                    F.struct("ts_micros", "last_event_id")
+                    > F.struct("__cur_ts", "__cur_eid")
+                )
+            )
+            .select(
+                "user_id",
+                F.lit("U").alias("op"),
+                F.lit(1).alias("seq"),
+                "last_event_id",
+                "last_value",
+                "ts_micros",
+            )
+        )
+        merge_partitioned(sp, table, newer, extra={"batch_id": batch_id})
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(upsert_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_snapshot(spark, table).select(
+        "user_id", "last_event_id", "last_value"
+    )

@@ -234,3 +234,40 @@ def test_stream_lakehouse_merge_commits_one_snapshot_per_batch(spark):
     assert current_version(table) == 4
     ids = [read_manifest(table, v)["batch_id"] for v in range(1, 5)]
     assert ids == sorted(ids) == [0, 1, 2, 3]
+
+
+def test_stream_partitioned_upsert_prunes_and_protects_order(spark):
+    """t19: each micro-batch commit goes through the partition-pruned
+    MERGE (manifests carry per-bucket stats; batch ids recorded for the
+    replay guard), and the converged state is the GLOBAL per-user latest
+    event — the conditional (ts, event_id) overwrite must make the result
+    independent of how rows were sliced into batches."""
+    from pyspark.sql import functions as SF
+
+    from shadowcat_data_spark import registry
+    from shadowcat_data_spark.plans.lakehouse import current_version, read_manifest
+    from shadowcat_data_spark.session import load_table
+    from shadowcat_data_spark.sources.io import _scratch
+
+    from .conftest import SF_DIR
+
+    out = registry.load_all()["t19_stream_partitioned_upsert"].fn(spark, SF_DIR)
+    got = {r.user_id: (r.last_event_id, r.last_value) for r in out.collect()}
+    table = _scratch(SF_DIR, "t19_user_latest")
+    # v1 create + one merge per non-skipped batch, batch ids monotone
+    v = current_version(table)
+    assert v == 5
+    ids = [read_manifest(table, k).get("batch_id") for k in range(2, v + 1)]
+    assert ids == sorted(ids)
+    # converged state equals the one-shot batch window over ALL events
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(SF.col("ts").desc(), SF.col("event_id").desc())
+    truth = {
+        r.user_id: (r.event_id, r.value)
+        for r in ev.withColumn("rn", SF.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == truth

@@ -172,6 +172,15 @@ def main() -> None:
         # the 4-batch streaming upsert — the write-path additions
         "m17_acid_merge",
         "t18_stream_lakehouse_merge",
+        # round-4 additions: the partition-pruned MERGE (touched buckets
+        # only — contrast with m17's full rewrite at the same row count),
+        # manifest-stats file skipping, and the persisted-ANN-index
+        # build/probe split (probe time here includes the one-time build
+        # via the ensure-on-miss path; l3g isolates the build cost)
+        "m20_partitioned_merge",
+        "m21_pruned_key_scan",
+        "l3g_ann_index_build",
+        "l3h_ann_index_probe",
     ]
 
     specs = registry.load_all()
