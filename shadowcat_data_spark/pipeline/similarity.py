@@ -1013,8 +1013,21 @@ def probe_ann_index(
         centroids,
         n_probe,
     )
-    # the probed-cluster set is ≤ n_clusters ints — the only driver transfer
-    probed = sorted(r.cluster for r in q.select("cluster").distinct().collect())
+    return _bucket_join_topk(spark, table, man, q, "cluster", k)
+
+
+def _bucket_join_topk(
+    spark: SparkSession, table: str, man: dict, q: DataFrame, route_col: str, k: int
+) -> DataFrame:
+    """The shared index-probe tail: prune the index's data files to the
+    routed bucket/cluster set (manifest stats — skipped files are never
+    opened), equi-join queries to stored vectors on the routing column,
+    exact-cosine re-rank, per-query top-k. ``q`` = (qid, qe, route_col)."""
+    import os
+
+    empty = spark.createDataFrame([], "qid long, cid long, cos double")
+    # the routed set is ≤ the bucket count — the only driver transfer
+    probed = sorted(r[0] for r in q.select(route_col).distinct().collect())
     if not probed:
         return empty
     stats = man["stats"]
@@ -1029,7 +1042,7 @@ def probe_ann_index(
     c = spark.read.schema(man["schema"]).parquet(
         *[os.path.join(table, f) for f in keep]
     )
-    scored = q.join(c, "cluster").select(
+    scored = q.join(c, route_col).select(
         "qid", "cid", _cosine(F.col("qe"), F.col("ce")).alias("cos")
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
@@ -1145,3 +1158,99 @@ def ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ann_index(spark, table, new, "vec_id", "embedding", k=3).orderBy(
         "qid", "cid"
     )
+
+
+# ---------------------------------------------------------------------------
+# L3j — SRP persisted index: the fully ORACLE-CHECKED index tier
+# ---------------------------------------------------------------------------
+
+_SRP_INDEX_DDL = "cid long, bucket long, ce array<double>"
+
+
+def build_srp_index(
+    spark: SparkSession, corpus: DataFrame, id_col: str, vec_col: str, table: str
+) -> int:
+    """Persist a signed-random-projection index: every corpus vector's
+    6-bit SRP bucket (the SAME fixed-seed planes l28 shares, so the
+    clustering itself is oracle-reproducible), committed as a snapshot-log
+    table partitioned BY BUCKET. Deterministic counterpart of the k-means
+    index (l3g) — no training stage at all, so build cost is one
+    projection pass and the whole build+probe lifecycle is exactly
+    checkable against SQL, which no sketch-seeded tier can offer."""
+    import shutil
+
+    from ..plans.lakehouse import create_partitioned
+
+    planes = _sem_planes()
+    idx = corpus.select(
+        F.col(id_col).cast("long").alias("cid"),
+        _srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        _to_double(F.col(vec_col)).alias("ce"),
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    return create_partitioned(spark, idx, table, _SRP_INDEX_DDL, "bucket", n_buckets=16)
+
+
+def probe_srp_index(
+    spark: SparkSession, table: str, queries: DataFrame, q_id: str, vec_col: str, k: int
+) -> DataFrame:
+    """Search the persisted SRP index: bucket each query with the same
+    plane literals (no state beyond the committed table), open only the
+    matching buckets' files, exact-cosine top-k inside the bucket."""
+    from ..plans.lakehouse import read_manifest
+
+    man = read_manifest(table)
+    if not man["files"]:
+        return spark.createDataFrame([], "qid long, cid long, cos double")
+    planes = _sem_planes()
+    q = queries.select(
+        F.col(q_id).cast("long").alias("qid"),
+        _to_double(F.col(vec_col)).alias("qe"),
+        _srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    return _bucket_join_topk(spark, table, man, q, "bucket", k)
+
+
+def _srp_probe_oracle() -> str:
+    cos = (
+        "CASE WHEN (sqrt(list_sum(list_transform(qe, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(ce, x -> x * x)))) > 0"
+        " THEN list_sum(list_transform(list_zip(qe, ce), p -> p[1] * p[2]))"
+        " / (sqrt(list_sum(list_transform(qe, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(ce, x -> x * x))))"
+        " ELSE 0.0 END"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), b AS (
+  SELECT vec_id, e, CAST({_sem_bucket_sql("e")} AS BIGINT) AS bucket FROM v
+), q AS (
+  SELECT vec_id AS qid, e AS qe, bucket FROM b WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS cid, e AS ce, bucket FROM b WHERE vec_id >= 20
+), scored AS (
+  SELECT qid, cid, {cos} AS cos
+  FROM q JOIN c USING (bucket)
+)
+SELECT qid, cid, cos FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) <= 5
+"""
+
+
+@query("l3j_srp_index_probe", oracle=_srp_probe_oracle(), category="pipeline-similarity")
+def srp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted SRP index then probe it — end-to-end ORACLE-
+    CHECKED: the plane constants are inlined into the SQL from the one
+    Python source of truth (l28's trick), so bucketing, file routing,
+    candidate sets, cosines, and tie-broken top-5 all hash-match DuckDB.
+    The exactness witness for the whole persisted-index machinery: any
+    routing/pruning bug in the lakehouse-backed index path breaks this
+    hash, not just a recall curve."""
+    from ..sources.io import _scratch
+
+    corpus, q = _ann_corpus(spark, sf_dir)
+    table = _scratch(sf_dir, "l3j_srp_index")
+    build_srp_index(spark, corpus, "vec_id", "embedding", table)
+    return probe_srp_index(spark, table, q, "vec_id", "embedding", k=5)

@@ -392,7 +392,12 @@ def _footer_stats(abs_path: str, key: str) -> dict:
 
 
 def _write_bucket_files(
-    df: DataFrame, table: str, key: str, bounds: list[float], version: int
+    df: DataFrame,
+    table: str,
+    key: str,
+    bounds: list[float],
+    version: int,
+    n_out: int | None = None,
 ) -> dict[str, dict]:
     """Write ``df`` as one parquet file per non-empty key-range bucket
     under a fresh stage dir; return {relpath: stats} manifest entries.
@@ -404,10 +409,13 @@ def _write_bucket_files(
     m15_orphan_file_audit's cleanup shape, never corruption."""
     stage_rel = os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
     stage = os.path.join(table, stage_rel)
-    n_buckets = len(bounds) + 1
+    # n_out: how many buckets this write can actually contain (a routed
+    # MERGE knows its touched set) — avoids scheduling empty shuffle
+    # partitions for the buckets that are not being rewritten
+    n_buckets = n_out if n_out is not None else len(bounds) + 1
     (
         df.withColumn("__bucket", _bucket_expr(F.col(key), bounds))
-        .repartition(n_buckets, "__bucket")
+        .repartition(max(n_buckets, 1), "__bucket")
         .sortWithinPartitions(key)  # tight per-file min/max (s7's idea)
         .write.partitionBy("__bucket")
         .mode("overwrite")
@@ -509,9 +517,16 @@ def merge_partitioned(
 
     Cost: O(changed partitions) instead of O(table) per commit — the gap
     the r03 verdict ranked #1. Untouched files are byte-identical across
-    the commit (property-tested)."""
+    the commit (property-tested).
+
+    The change-set is materialized ONCE (``localCheckpoint``) before
+    anything else: it is consumed twice (bucket routing, then the merge
+    join), and a change-set derived from a scan — the normal CDC case —
+    would otherwise be recomputed from source per consumer (measured 2×
+    the change-set derivation cost at sf1 before this)."""
     from .maintenance import apply_changelog
 
+    changes = changes.localCheckpoint(eager=False)
     for _ in range(max_retries + 1):
         version = current_version(table)
         man = read_manifest(table, version)
@@ -535,7 +550,9 @@ def merge_partitioned(
         else:
             base = spark.createDataFrame([], man["schema"])
         merged = apply_changelog(base, changes, key)
-        entries = _write_bucket_files(merged, table, key, bounds, version + 1)
+        entries = _write_bucket_files(
+            merged, table, key, bounds, version + 1, n_out=len(touched)
+        )
         manifest = _partitioned_manifest(
             version + 1, man["schema"], part, {**untouched, **entries}, prev=man,
             extra=extra,

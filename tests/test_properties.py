@@ -1213,3 +1213,38 @@ def test_ann_refresh_appends_without_rewrite(spark, tmp_path):
     hits = probe_ann_index(spark, table, new, "vec_id", "embedding", k=1).toPandas()
     self_hits = {(r.qid, r.cid) for r in hits.itertuples() if r.qid == r.cid}
     assert len(self_hits) == hits.shape[0] == new.count()
+
+
+def test_concurrent_plain_merges_both_land(spark, tmp_path):
+    """merge_snapshot (unpartitioned) shares the retry loop: a loser of
+    the version race re-reads and re-applies — serial-equivalent result."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "t")
+    ddl = "k long, v double"
+    LH.commit_snapshot(
+        spark.createDataFrame([(i, float(i)) for i in range(10)], ddl), table, ddl
+    )
+    ch_a = spark.createDataFrame(
+        [(1, "U", 1, 111.0)], "k long, op string, seq int, v double"
+    )
+    ch_b = spark.createDataFrame(
+        [(2, "U", 1, 222.0)], "k long, op string, seq int, v double"
+    )
+    real = LH._commit_manifest
+    state = {"fired": False}
+
+    def racy(t, version, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            LH.merge_snapshot(spark, t, ch_b, "k", ddl)
+        return real(t, version, manifest)
+
+    LH._commit_manifest = racy
+    try:
+        LH.merge_snapshot(spark, table, ch_a, "k", ddl)
+    finally:
+        LH._commit_manifest = real
+    assert LH.current_version(table) == 3
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert vals[1] == 111.0 and vals[2] == 222.0 and len(vals) == 10
