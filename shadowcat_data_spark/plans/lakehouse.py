@@ -879,3 +879,77 @@ def schema_evolution_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_partitioned(spark, table, changes)
     return read_snapshot(spark, table)
+
+
+def snapshot_changes(
+    spark: SparkSession, table: str, v_from: int, v_to: int, key: str
+) -> DataFrame:
+    """Change data feed between two committed snapshots: the row-level
+    (key, op, new values) diff a downstream consumer replays to stay in
+    sync — Delta's CDF / Iceberg's changelog read, derived purely from
+    the two immutable snapshots (no write-path hooks needed, so it works
+    on any snapshot-log table, plain or partitioned, between ANY two
+    versions, not just adjacent ones).
+
+    One full-outer join on the key: present only in v_to → I, present
+    only in v_from → D (values NULL), present in both with any value
+    column changed (null-safe compare) → U; unchanged rows emit nothing.
+    Both sides are manifest-listed file scans with full pushdown; the
+    join shuffles on the key like any CDC apply."""
+    a = read_snapshot(spark, table, v_from)
+    b = read_snapshot(spark, table, v_to)
+    val_cols = [c for c in b.columns if c != key]
+    old = a.select(
+        F.col(key).alias("__k_old"),
+        *[F.col(c).alias(f"__old_{c}") for c in val_cols],
+    )
+    new = b.select(
+        F.col(key).alias("__k_new"),
+        *[F.col(c).alias(f"__new_{c}") for c in val_cols],
+    )
+    j = old.join(new, old["__k_old"] == new["__k_new"], "full_outer")
+    same_vals = F.lit(True)
+    for c in val_cols:
+        same_vals = same_vals & F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+    op = (
+        F.when(F.col("__k_old").isNull(), F.lit("I"))
+        .when(F.col("__k_new").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        j.filter(
+            F.col("__k_old").isNull() | F.col("__k_new").isNull() | ~same_vals
+        )
+        .select(
+            F.coalesce(F.col("__k_new"), F.col("__k_old")).alias(key),
+            op.alias("op"),
+            *[F.col(f"__new_{c}").alias(c) for c in val_cols],
+        )
+    )
+
+
+@query(
+    "m24_change_data_feed",
+    oracle=_RANGED_CDC_CTE + """
+SELECT COALESCE(m.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NULL THEN 'I'
+            WHEN m.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       m.o_totalprice
+FROM orders s FULL OUTER JOIN merged m ON s.o_orderkey = m.o_orderkey
+WHERE s.o_orderkey IS NULL OR m.o_orderkey IS NULL
+   OR s.o_totalprice IS DISTINCT FROM m.o_totalprice
+""",
+    category="maintenance",
+)
+def change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF read over the partitioned table: commit orders (v1), MERGE the
+    ranged change-set (v2), then reconstruct the row-level diff v1→v2
+    from the snapshots alone. The oracle recomputes the same diff from
+    the raw change semantics — so the feed provably captures exactly the
+    inserts, the deletes, and the value-changed updates, and nothing
+    else (an update whose value is unchanged must NOT appear)."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m24_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    merge_partitioned(spark, table, _orders_ranged_changes(o))
+    return snapshot_changes(spark, table, 1, 2, "o_orderkey")
