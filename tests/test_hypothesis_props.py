@@ -259,3 +259,61 @@ def test_containment_matches_python_reference(spark, texts):
             if inter:
                 want[(i, j)] = inter / len(sets[i])
     assert got == want, (got, want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # a run of change batches, each a list of (key, op, value)
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.sampled_from(["I", "U", "D"]),
+                st.integers(min_value=-999, max_value=999),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_partitioned_merge_matches_serial_reference(spark, tmp_path_factory, batches):
+    """Random CDC sequences through merge_partitioned must equal the
+    serial Python application of the changelog semantics: within a batch
+    the highest seq wins per key; 'I' inserts-or-replaces, 'U' updates
+    only existing keys (a U for an absent key is dropped), 'D' removes.
+    Hypothesis drives key collisions, replays of the same key across
+    batches, deletes of absent keys, and inserts over live keys —
+    including the bucket-routing of every one of those through the
+    partitioned write path."""
+    from shadowcat_data_spark.plans.lakehouse import (
+        create_partitioned,
+        merge_partitioned,
+        read_snapshot,
+    )
+
+    table = str(tmp_path_factory.mktemp("pmerge") / "t")
+    ddl = "k long, v double"
+    state = {k: float(k) for k in range(16)}
+    df = spark.createDataFrame(sorted(state.items()), ddl)
+    create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    for batch in batches:
+        rows = [
+            (k, op, seq + 1, float(v)) for seq, (k, op, v) in enumerate(batch)
+        ]
+        changes = spark.createDataFrame(rows, "k long, op string, seq int, v double")
+        merge_partitioned(spark, table, changes)
+        # serial reference: per key, the highest-seq change wins
+        latest = {}
+        for k, op, seq, v in rows:
+            if k not in latest or seq > latest[k][1]:
+                latest[k] = (op, seq, v)
+        for k, (op, _, v) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            elif op == "I":
+                state[k] = v
+            elif k in state:  # U: updates only existing keys
+                state[k] = v
+    got = {r.k: r.v for r in read_snapshot(spark, table).collect()}
+    assert got == state
