@@ -953,3 +953,74 @@ def change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     merge_partitioned(spark, table, _orders_ranged_changes(o))
     return snapshot_changes(spark, table, 1, 2, "o_orderkey")
+
+
+def remove_orphan_files(table: str, min_age_seconds: float = 0.0) -> int:
+    """Reclaim data files NO committed manifest references — the residue
+    of lost optimistic-commit races and crashed writers (their staged
+    files are invisible to readers by construction; this deletes them).
+    Iceberg's remove_orphan_files. Returns the number of files deleted.
+
+    ``min_age_seconds`` is the in-flight-writer guard: a file younger
+    than the threshold may belong to a commit still in progress, so it is
+    left alone — production schedules this with hours of slack (Iceberg
+    defaults to 3 days); tests pass 0. Safety rails: only files under
+    ``data/``, and the live set is the union over ALL committed
+    manifests, so time travel is never broken. Driver-side file ops,
+    O(#files) — at real scale the listing diff runs as a DataFrame
+    anti-join (m15_orphan_file_audit is that shape)."""
+    import time
+
+    live: set[str] = set()
+    for v in range(1, current_version(table) + 1):
+        if os.path.exists(_manifest_path(table, v)):
+            live.update(read_manifest(table, v)["files"])
+    data_dir = os.path.join(table, "data")
+    removed = 0
+    now = time.time()
+    for root, _dirs, names in os.walk(data_dir, topdown=False):
+        for n in names:
+            abs_p = os.path.join(root, n)
+            rel = os.path.relpath(abs_p, table)
+            if n.endswith(".parquet") and rel not in live:
+                if now - os.path.getmtime(abs_p) >= min_age_seconds:
+                    os.unlink(abs_p)
+                    removed += 1
+        # sweep emptied stage dirs and their marker files (_SUCCESS, .crc)
+        left = os.listdir(root)
+        if root != data_dir and all(
+            not x.endswith(".parquet") and not os.path.isdir(os.path.join(root, x))
+            for x in left
+        ):
+            for x in left:
+                os.unlink(os.path.join(root, x))
+            os.rmdir(root)
+    return removed
+
+
+@query(
+    "m25_orphan_cleanup",
+    oracle="""
+SELECT 1 AS n_orphans_removed, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+""",
+    category="maintenance",
+)
+def orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan reclamation on the partitioned table: a crashed writer's
+    staged file (never committed — no manifest lists it) is found by the
+    metadata diff and deleted, and the committed snapshot reads back
+    complete afterwards. The oracle pins both the orphan census (exactly
+    the one planted file; live files must NOT be counted) and the
+    row-count integrity of the surviving snapshot."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m25_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # plant a crashed writer's stage: one staged parquet, no manifest
+    o.limit(5).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(table, "data", "crashed-writer-stage")
+    )
+    n = remove_orphan_files(table)
+    rows = read_snapshot(spark, table).count()
+    return spark.createDataFrame(
+        [(n, rows)], "n_orphans_removed int, n_rows long"
+    )

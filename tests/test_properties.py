@@ -1248,3 +1248,68 @@ def test_concurrent_plain_merges_both_land(spark, tmp_path):
     assert LH.current_version(table) == 3
     vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
     assert vals[1] == 111.0 and vals[2] == 222.0 and len(vals) == 10
+
+
+def test_orphan_cleanup_spares_live_and_young_files(spark, tmp_path):
+    """remove_orphan_files must delete exactly the unreferenced files:
+    every manifest-listed file (across ALL versions — time travel intact)
+    survives, a planted orphan goes, and a YOUNG orphan survives the
+    min_age guard (in-flight writer protection)."""
+    import os
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    ch = spark.createDataFrame(
+        [(1, "U", 1, 9.0)], "k long, op string, seq int, v double"
+    )
+    LH.merge_partitioned(spark, table, ch)  # v2: v1 keeps a replaced file
+    stray = os.path.join(table, "data", "crashed")
+    spark.createDataFrame([(99, 9.9)], ddl).coalesce(1).write.parquet(stray)
+    # young-file guard: nothing old enough to delete
+    assert LH.remove_orphan_files(table, min_age_seconds=3600) == 0
+    assert LH.remove_orphan_files(table) == 1
+    assert not os.path.exists(stray)
+    # both snapshots still read completely (v1's replaced file is LIVE
+    # metadata — referenced by manifest v1 — and must survive)
+    assert LH.read_snapshot(spark, table, 1).count() == 40
+    assert {r.v for r in LH.read_snapshot(spark, table).filter("k = 1").collect()} == {9.0}
+
+
+def test_truly_concurrent_merges_serialize(spark, tmp_path):
+    """Three OS threads merge disjoint change-sets into the same
+    partitioned table simultaneously: the link()-based optimistic
+    protocol must serialize them (each retrying losers re-apply), with
+    all three effects present and one commit per writer."""
+    import threading
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(30)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    errs = []
+
+    def writer(key: int):
+        try:
+            ch = spark.createDataFrame(
+                [(key, "U", 1, key * 100.0)], "k long, op string, seq int, v double"
+            )
+            LH.merge_partitioned(spark, table, ch, max_retries=10)
+        except Exception as exc:  # pragma: no cover - surfaced via assert
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert LH.current_version(table) == 4  # create + exactly one commit each
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert vals[1] == 100.0 and vals[2] == 200.0 and vals[3] == 300.0
+    assert len(vals) == 30

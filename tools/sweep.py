@@ -10,11 +10,11 @@ BASELINE.md each round.
 Run: python tools/sweep.py [sf_dir] [--json-out PATH]
        [--oracle-skip name1,name2] [--start-after NAME]
 
-``--oracle-skip`` demotes the named queries to the rows-only check — used
-for the sf0.1 deep sweep, where the recursive-CTE closure ORACLES of
-l2d/l14 are quadratic in dup-component size and outlive any patience
-while the engine side finishes in seconds (that asymmetry is the point
-of the iterative-propagation design). ``--start-after`` resumes an
+``--oracle-skip`` demotes the named queries to the rows-only check.
+Since r04 (df-bounded shingle edges) it is NOT needed at any shipped
+scale: the r04 sf0.1 deep sweep ran all 240 oracles with zero skips in
+462 s — r03 had to skip l2d/l14, whose closure oracles were unrunnable
+against the unbounded token-edge graph. ``--start-after`` resumes an
 interrupted sweep alphabetically.
 Exit: non-zero iff any oracle-checked query mismatches or any query errors.
 """
