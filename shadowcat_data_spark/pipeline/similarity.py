@@ -1042,7 +1042,11 @@ def _bucket_join_topk(
     c = spark.read.schema(man["schema"]).parquet(
         *[os.path.join(table, f) for f in keep]
     )
-    scored = q.join(c, route_col).select(
+    # broadcast the QUERY side: its smallness is invariant (a bounded
+    # probe batch), while the pruned index side grows with the corpus —
+    # at fixture scale the planner would happily broadcast the corpus
+    # instead, which inverts at 100 TB
+    scored = c.join(F.broadcast(q), route_col).select(
         "qid", "cid", _cosine(F.col("qe"), F.col("ce")).alias("cos")
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
