@@ -1313,3 +1313,35 @@ def test_truly_concurrent_merges_serialize(spark, tmp_path):
     vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
     assert vals[1] == 100.0 and vals[2] == 200.0 and vals[3] == 300.0
     assert len(vals) == 30
+
+
+def test_secondary_column_stats_prune_files(spark, tmp_path):
+    """Manifest stats cover every primitive column: on a table whose
+    layout clusters a non-key column, a predicate on that column must
+    skip files at the metadata level, and an uncorrelated column must
+    NOT prune (conservative keep)."""
+    from shadowcat_data_spark.plans.lakehouse import (
+        create_partitioned,
+        pruned_files,
+        scan_partitioned,
+    )
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, twin long, noise long"
+    # twin is monotone in k (clusters with it); noise is k scrambled
+    rows = [(i, i * 10, (i * 7919) % 1000) for i in range(1000)]
+    df = spark.createDataFrame(rows, ddl)
+    create_partitioned(spark, df, table, ddl, "k", n_buckets=8)
+    kept_twin, total = pruned_files(table, key_lo=100, key_hi=200, col="twin")
+    assert total == 8 and len(kept_twin) < total
+    got = sorted(
+        r.k
+        for r in scan_partitioned(spark, table, 100, 200, col="twin")
+        .filter("twin BETWEEN 100 AND 200")
+        .collect()
+    )
+    assert got == list(range(10, 21))  # twin = 10k → k in [10, 20]
+    kept_noise, _ = pruned_files(table, key_lo=100, key_hi=200, col="noise")
+    assert len(kept_noise) == total, "uncorrelated column must not prune"
+    # unknown column: conservative keep, never an error
+    assert pruned_files(table, 0, 1, col="nope")[0] == kept_noise
