@@ -1095,3 +1095,72 @@ def secondary_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("total_value"),
     )
+
+
+def rebound_partitioned(
+    spark: SparkSession, table: str, n_buckets: int | None = None, max_retries: int = 5
+) -> int:
+    """Partition-spec evolution: recompute bucket bounds as exact
+    percentiles of the CURRENT data and rewrite the table under the new
+    spec — the rebalance job for a table whose ingest drifted away from
+    its creation-time key distribution (every append beyond the sampled
+    range piles into the edge buckets; Iceberg evolves partition specs
+    for the same reason). Deliberately a FULL rewrite: re-bounding moves
+    rows between buckets, so there is nothing to carry forward — run it
+    as scheduled maintenance when bucket-size skew crosses a threshold
+    (m16_partition_size_report is the watcher shape). Bounds live per
+    manifest, so time travel across the spec change just works: old
+    versions read their old files under their old bounds."""
+    for _ in range(max_retries + 1):
+        version = current_version(table)
+        man = read_manifest(table, version)
+        part = man["partition"]
+        key = part["key"]
+        n = n_buckets or len(part["bounds"]) + 1
+        cur = read_snapshot(spark, table, version)
+        qs = [i / n for i in range(1, n)]
+        row = cur.select(
+            F.expr(f"percentile({key}, array({','.join(repr(q) for q in qs)}))")
+        ).first()[0]
+        bounds = sorted({float(b) for b in (row or []) if b is not None})
+        entries = _write_bucket_files(cur, table, key, bounds, version + 1)
+        manifest = _partitioned_manifest(
+            version + 1,
+            man["schema"],
+            {"key": key, "bounds": bounds},
+            entries,
+            prev=man,
+        )
+        try:
+            return _commit_manifest(table, version + 1, manifest)
+        except FileExistsError:
+            continue
+    raise CommitConflictError(
+        f"rebound of {table!r} lost {max_retries + 1} optimistic-commit races"
+    )
+
+
+@query(
+    "m27_partition_rebound",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+UNION ALL
+SELECT o_orderkey % 97, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+""",
+    category="maintenance",
+)
+def partition_rebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-bounding after skewed ingest: an appended batch whose keys all
+    collapse into the lowest bucket's range (key % 97) skews the layout;
+    rebound recomputes equal-frequency bounds over the merged
+    distribution and rewrites — content must be bit-identical before and
+    after (the oracle recomputes base ∪ appended), and the balance win
+    is asserted in pytest via per-bucket row counts."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m27_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    skewed = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") % 97).alias("o_orderkey"), "o_totalprice"
+    )
+    append_partitioned(spark, table, skewed)
+    rebound_partitioned(spark, table)
+    return read_snapshot(spark, table)

@@ -1345,3 +1345,40 @@ def test_secondary_column_stats_prune_files(spark, tmp_path):
     assert len(kept_noise) == total, "uncorrelated column must not prune"
     # unknown column: conservative keep, never an error
     assert pruned_files(table, 0, 1, col="nope")[0] == kept_noise
+
+
+def test_rebound_rebalances_skewed_buckets(spark, tmp_path):
+    """Equal-frequency bounds: after a skewed append doubles one bucket,
+    re-bounding must (a) preserve content exactly, (b) leave per-bucket
+    row counts near-equal again, (c) keep old snapshots readable under
+    their OLD bounds (spec evolution never breaks time travel)."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(400)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    # skewed ingest: 400 more rows all inside the first bucket's range
+    skew = spark.createDataFrame([(i % 100, -1.0) for i in range(400)], ddl)
+    LH.append_partitioned(spark, table, skew)
+
+    def bucket_rows(man):
+        per = {}
+        for f in man["files"]:
+            st = man["stats"][f]
+            per[st["bucket"]] = per.get(st["bucket"], 0) + st["rows"]
+        return per
+
+    before = bucket_rows(LH.read_manifest(table))
+    assert max(before.values()) >= 3 * min(before.values()), "setup not skewed"
+    LH.rebound_partitioned(spark, table)
+    after = bucket_rows(LH.read_manifest(table))
+    assert max(after.values()) <= 1.5 * min(after.values()), f"still skewed: {after}"
+    assert LH.read_snapshot(spark, table).count() == 800
+    # time travel across the spec change: v2 reads under its old bounds
+    assert LH.read_snapshot(spark, table, 2).count() == 800
+    assert LH.read_snapshot(spark, table, 1).count() == 400
+    # new spec actually replaced the bounds in the head manifest
+    assert LH.read_manifest(table)["partition"]["bounds"] != LH.read_manifest(
+        table, 1
+    )["partition"]["bounds"]
