@@ -415,25 +415,42 @@ def _write_bucket_files(
     bounds: list[float],
     version: int,
     n_out: int | None = None,
+    files_per_bucket: int = 1,
 ) -> dict[str, dict]:
-    """Write ``df`` as one parquet file per non-empty key-range bucket
-    under a fresh stage dir; return {relpath: stats} manifest entries.
+    """Write ``df`` as ``files_per_bucket`` parquet files per non-empty
+    key-range bucket under a fresh stage dir; return {relpath: stats}
+    manifest entries.
 
-    ``repartition(n, "__bucket")`` then ``partitionBy`` gives exactly one
-    file per bucket (two buckets hashing to one task still split into
-    separate directories). The stage is invisible until the manifest
-    commits, so a lost commit race only leaves orphan files —
-    m15_orphan_file_audit's cleanup shape, never corruption."""
+    ``repartition(n, "__bucket"[, "__salt"])`` then ``partitionBy``
+    bounds the file count (co-hashed partitions still split into
+    separate bucket directories). ``files_per_bucket`` is the straggler
+    lever: one file per bucket means one TASK writes the whole bucket —
+    fine at fixture scale, a multi-TB straggler at 100 TB. Size it to
+    bucket_bytes / target_file_size (Iceberg's write.target-file-size);
+    every reader/maintenance path already handles multi-file buckets
+    (append and compaction create/destroy them routinely). The stage is
+    invisible until the manifest commits, so a lost commit race only
+    leaves orphan files — remove_orphan_files' cleanup shape, never
+    corruption."""
     stage_rel = os.path.join("data", f"v{version:08d}-{uuid.uuid4().hex[:8]}")
     stage = os.path.join(table, stage_rel)
     # n_out: how many buckets this write can actually contain (a routed
     # MERGE knows its touched set) — avoids scheduling empty shuffle
     # partitions for the buckets that are not being rewritten
     n_buckets = n_out if n_out is not None else len(bounds) + 1
+    fpb = max(files_per_bucket, 1)
+    staged = df.withColumn("__bucket", _bucket_expr(F.col(key), bounds))
+    if fpb > 1:  # spread each bucket across fpb writer tasks
+        staged = staged.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(key)), F.lit(fpb))
+        )
+        split_cols = ["__bucket", "__salt"]
+    else:
+        split_cols = ["__bucket"]
     (
-        df.withColumn("__bucket", _bucket_expr(F.col(key), bounds))
-        .repartition(max(n_buckets, 1), "__bucket")
+        staged.repartition(max(n_buckets, 1) * fpb, *split_cols)
         .sortWithinPartitions(key)  # tight per-file min/max (s7's idea)
+        .drop("__salt")
         .write.partitionBy("__bucket")
         .mode("overwrite")
         .parquet(stage)
@@ -492,6 +509,7 @@ def create_partitioned(
     key: str,
     n_buckets: int = 8,
     extra: dict | None = None,
+    files_per_bucket: int = 1,
 ) -> int:
     """Create a key-range-partitioned table as snapshot v1.
 
@@ -506,7 +524,9 @@ def create_partitioned(
         F.expr(f"percentile({key}, array({','.join(repr(q) for q in qs)}))")
     ).first()[0]
     bounds = sorted({float(b) for b in (row or []) if b is not None})
-    entries = _write_bucket_files(df, table, key, bounds, 1)
+    entries = _write_bucket_files(
+        df, table, key, bounds, 1, files_per_bucket=files_per_bucket
+    )
     partition = {"key": key, "bounds": bounds}
     return _commit_manifest(
         table, 1, _partitioned_manifest(1, schema_ddl, partition, entries, extra=extra)

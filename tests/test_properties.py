@@ -1382,3 +1382,36 @@ def test_rebound_rebalances_skewed_buckets(spark, tmp_path):
     assert LH.read_manifest(table)["partition"]["bounds"] != LH.read_manifest(
         table, 1
     )["partition"]["bounds"]
+
+
+def test_files_per_bucket_bounds_writer_tasks(spark, tmp_path):
+    """The straggler lever: files_per_bucket=3 must spread every bucket
+    across 3 files (salted writer tasks) with exact content, working
+    stats, and a MERGE that still rewrites only the touched bucket's
+    files (all 3 of them, no others)."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(600)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4, files_per_bucket=3)
+    man = LH.read_manifest(table)
+    per_bucket = {}
+    for f in man["files"]:
+        per_bucket.setdefault(man["stats"][f]["bucket"], []).append(f)
+    assert all(len(fs) == 3 for fs in per_bucket.values()), {
+        b: len(fs) for b, fs in per_bucket.items()
+    }
+    assert LH.read_snapshot(spark, table).count() == 600
+    # pruning still works: files in other buckets are skipped
+    keep, total = LH.pruned_files(table, key_lo=10, key_hi=20)
+    assert total == 12 and len(keep) == 3
+    # MERGE touches one bucket: its 3 files replaced, the other 9 carried
+    ch = spark.createDataFrame(
+        [(15, "U", 1, -15.0)], "k long, op string, seq int, v double"
+    )
+    LH.merge_partitioned(spark, table, ch)
+    m2 = LH.read_manifest(table)
+    assert len(set(man["files"]) & set(m2["files"])) == 9
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert vals[15] == -15.0 and len(vals) == 600
