@@ -930,6 +930,16 @@ def schema_evolution_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table)
 
 
+def _read_files(
+    spark: SparkSession, table: str, files: list[str], schema_ddl: str
+) -> DataFrame:
+    if not files:
+        return spark.createDataFrame([], schema_ddl)
+    return spark.read.schema(schema_ddl).parquet(
+        *[os.path.join(table, f) for f in files]
+    )
+
+
 def snapshot_changes(
     spark: SparkSession, table: str, v_from: int, v_to: int, key: str
 ) -> DataFrame:
@@ -944,9 +954,22 @@ def snapshot_changes(
     only in v_from → D (values NULL), present in both with any value
     column changed (null-safe compare) → U; unchanged rows emit nothing.
     Both sides are manifest-listed file scans with full pushdown; the
-    join shuffles on the key like any CDC apply."""
-    a = read_snapshot(spark, table, v_from)
-    b = read_snapshot(spark, table, v_to)
+    join shuffles on the key like any CDC apply.
+
+    Both sides read under v_to's schema: a widening evolution between
+    the versions (the only kind evolve_schema performs) null-pads the
+    old side, so the feed is well-typed across schema changes — a row
+    whose only change is the new column going NULL→value reports as U."""
+    man_to = read_manifest(table, v_to)
+    a = _read_files(spark, table, read_manifest(table, v_from)["files"], man_to["schema"])
+    b = _read_files(spark, table, man_to["files"], man_to["schema"])
+    return _diff_frames(a, b, key)
+
+
+def _diff_frames(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Row-level (key, op, new values) diff of two same-schema frames —
+    the CDF core shared by the any-two-versions read and the incremental
+    adjacent-version read."""
     val_cols = [c for c in b.columns if c != key]
     old = a.select(
         F.col(key).alias("__k_old"),
@@ -975,6 +998,27 @@ def snapshot_changes(
             *[F.col(f"__new_{c}").alias(c) for c in val_cols],
         )
     )
+
+
+def snapshot_changes_incremental(
+    spark: SparkSession, table: str, v: int, key: str
+) -> DataFrame:
+    """The CDF for ONE commit (v-1 → v), reading only the files the
+    commit actually changed: a carried-forward file is the SAME file in
+    both manifests, so by construction it contributes no diff — the old
+    side is just the replaced files, the new side just the added ones.
+    Per-commit feed cost is therefore O(changed partitions), matching
+    the write side's pruned-MERGE cost; a downstream consumer tailing
+    the log pays for what changed, never for the table. Equality with
+    the full-snapshot diff is property-tested commit by commit."""
+    prev = read_manifest(table, v - 1)
+    cur = read_manifest(table, v)
+    prev_files, cur_files = set(prev["files"]), set(cur["files"])
+    removed = [f for f in prev["files"] if f not in cur_files]
+    added = [f for f in cur["files"] if f not in prev_files]
+    a = _read_files(spark, table, removed, cur["schema"])
+    b = _read_files(spark, table, added, cur["schema"])
+    return _diff_frames(a, b, key)
 
 
 @query(
@@ -1184,3 +1228,42 @@ def partition_rebound(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_partitioned(spark, table, skewed)
     rebound_partitioned(spark, table)
     return read_snapshot(spark, table)
+
+
+@query(
+    "m28_cdf_replay",
+    oracle=_RANGED_CDC_CTE + """
+SELECT o_orderkey, o_totalprice FROM merged
+WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey BETWEEN 1 AND 200)
+""",
+    category="maintenance",
+)
+def cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream synchronization by CDF tail: a consumer holding the v1
+    state replays each commit's INCREMENTAL change feed (changed-files-
+    only diff) through the standard changelog apply — the replayed state
+    must equal the table head after two rounds of merges. This is the
+    consumer half of the CDC contract: the write side pays O(changed
+    partitions) per commit (m20), and with the incremental feed the read
+    side pays the same — a subscriber is never charged for the table,
+    only for its changes."""
+    from .maintenance import apply_changelog
+
+    table = _fresh_partitioned_orders(spark, sf_dir, "m28_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    merge_partitioned(spark, table, _orders_ranged_changes(o))  # v2
+    dels = o.filter(
+        (F.col("o_orderkey") % 11 == 0) & F.col("o_orderkey").between(1, 200)
+    ).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    merge_partitioned(spark, table, dels)  # v3
+    downstream = read_snapshot(spark, table, 1)
+    for v in range(2, current_version(table) + 1):
+        feed = snapshot_changes_incremental(spark, table, v, "o_orderkey")
+        changes = feed.select(
+            "o_orderkey", "op", F.lit(1).alias("seq"), "o_totalprice"
+        )
+        downstream = apply_changelog(downstream, changes, "o_orderkey")
+    return downstream

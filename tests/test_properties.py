@@ -1415,3 +1415,38 @@ def test_files_per_bucket_bounds_writer_tasks(spark, tmp_path):
     assert len(set(man["files"]) & set(m2["files"])) == 9
     vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
     assert vals[15] == -15.0 and len(vals) == 600
+
+
+def test_incremental_cdf_equals_full_diff_per_commit(spark, tmp_path):
+    """snapshot_changes_incremental (changed-files-only) must equal the
+    full-snapshot diff for every commit kind: pruned merge, append,
+    schema evolution (no files → empty feed), compaction (new files,
+    same rows → empty feed)."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    ch = spark.createDataFrame(
+        [(3, "U", 1, 33.0), (200, "I", 1, 2.0), (97, "D", 1, None)],
+        "k long, op string, seq int, v double",
+    )
+    LH.merge_partitioned(spark, table, ch)  # v2
+    LH.append_partitioned(
+        spark, table, spark.createDataFrame([(300, 3.0)], ddl)
+    )  # v3
+    LH.evolve_schema(table, "k long, v double, tag string")  # v4
+    LH.compact_partitioned(spark, table)  # v5
+
+    def rows(df_):
+        return sorted(map(tuple, df_.collect()))
+
+    for v in range(2, LH.current_version(table) + 1):
+        inc = rows(LH.snapshot_changes_incremental(spark, table, v, "k"))
+        full = rows(LH.snapshot_changes(spark, table, v - 1, v, "k"))
+        assert inc == full, f"v{v}: {inc} != {full}"
+    # the commit kinds behaved as designed
+    assert len(rows(LH.snapshot_changes_incremental(spark, table, 2, "k"))) == 3
+    assert rows(LH.snapshot_changes_incremental(spark, table, 4, "k")) == []
+    assert rows(LH.snapshot_changes_incremental(spark, table, 5, "k")) == []
