@@ -95,7 +95,16 @@ def _commit_manifest(table: str, version: int, manifest: dict) -> int:
     Write-temp + link: link() FAILS with FileExistsError if another writer
     committed this version first (rename would silently replace), so the
     optimistic-concurrency loser aborts instead of clobbering — the caller
-    re-reads the new head, re-applies its change-set, and retries."""
+    re-reads the new head, re-applies its change-set, and retries.
+
+    Stamps ``committed_at`` (wall-clock seconds) into the manifest — the
+    anchor for TIMESTAMP AS OF time travel. Metadata only: no query
+    output ever derives from it, so determinism is unaffected."""
+    import time
+
+    # stamped unconditionally: the commit's own wall time, never a value
+    # carried forward from the previous manifest or passed by a caller
+    manifest["committed_at"] = time.time()
     os.makedirs(_log_dir(table), exist_ok=True)
     tmp = _manifest_path(table, version) + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -164,6 +173,29 @@ def read_snapshot(spark: SparkSession, table: str, version: int | None = None) -
     return spark.read.schema(manifest["schema"]).parquet(
         *[os.path.join(table, f) for f in manifest["files"]]
     )
+
+
+def version_as_of(table: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest version committed at or
+    before ``ts`` (Delta/Iceberg's timestamp time travel). Commit times
+    come from the manifests; pre-r04 manifests without a stamp are
+    treated as infinitely old (always visible). Raises if the table has
+    no snapshot that early."""
+    best = 0
+    for v in range(1, current_version(table) + 1):
+        if os.path.exists(_manifest_path(table, v)):
+            if read_manifest(table, v).get("committed_at", 0.0) <= ts:
+                best = v
+    if best == 0:
+        raise ValueError(
+            f"table {table!r} has no snapshot committed at or before {ts}"
+        )
+    return best
+
+
+def read_snapshot_as_of(spark: SparkSession, table: str, ts: float) -> DataFrame:
+    """Read the table as it was at wall-clock time ``ts``."""
+    return read_snapshot(spark, table, version_as_of(table, ts))
 
 
 class CommitConflictError(RuntimeError):
@@ -470,7 +502,7 @@ def _write_bucket_files(
     return entries
 
 
-_STD_MANIFEST_KEYS = {"version", "schema", "files", "stats", "partition"}
+_STD_MANIFEST_KEYS = {"version", "schema", "files", "stats", "partition", "committed_at"}
 
 
 def _partitioned_manifest(

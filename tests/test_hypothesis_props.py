@@ -317,3 +317,41 @@ def test_partitioned_merge_matches_serial_reference(spark, tmp_path_factory, bat
                 state[k] = v
     got = {r.k: r.v for r in read_snapshot(spark, table).collect()}
     assert got == state
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30), min_size=2, max_size=8
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bounded_jaccard_matches_python_reference(spark, texts, max_df):
+    """jaccard_pairs with a max_df posting-list bound must equal the
+    literal Python set computation: shared counts use ONLY tokens with
+    df ≤ max_df, denominators use the FULL token sets — the exact
+    contract the HAVING-mirrored oracles encode. Hypothesis drives tiny
+    vocabularies where every token crosses the bound."""
+    from collections import Counter
+
+    from shadowcat_data_spark.pipeline.dedup import distinct_tokens, jaccard_pairs
+
+    docs = {i: {t for t in s.split(" ") if t} for i, s in enumerate(texts)}
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in jaccard_pairs(
+            df, "doc_id", "text", tokenizer=distinct_tokens, max_df=max_df
+        ).collect()
+    }
+    dfreq = Counter(t for toks in docs.values() for t in toks)
+    want = {}
+    for i in docs:
+        for j in docs:
+            if i < j:
+                shared = sum(
+                    1 for t in docs[i] & docs[j] if dfreq[t] <= max_df
+                )
+                if shared:
+                    want[(i, j)] = shared / (len(docs[i]) + len(docs[j]) - shared)
+    assert got == want

@@ -1450,3 +1450,31 @@ def test_incremental_cdf_equals_full_diff_per_commit(spark, tmp_path):
     assert len(rows(LH.snapshot_changes_incremental(spark, table, 2, "k"))) == 3
     assert rows(LH.snapshot_changes_incremental(spark, table, 4, "k")) == []
     assert rows(LH.snapshot_changes_incremental(spark, table, 5, "k")) == []
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: a time between two commits resolves to the
+    earlier snapshot, a time after the head to the head, and a time
+    before the first commit is an error."""
+    import time
+
+    import pytest as _pytest
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    LH.create_partitioned(
+        spark, spark.createDataFrame([(1, 1.0)], ddl), table, ddl, "k", n_buckets=2
+    )
+    t_before = LH.read_manifest(table, 1)["committed_at"] - 1.0
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    LH.append_partitioned(spark, table, spark.createDataFrame([(2, 2.0)], ddl))
+    assert LH.version_as_of(table, t_mid) == 1
+    assert LH.read_snapshot_as_of(spark, table, t_mid).count() == 1
+    assert LH.version_as_of(table, time.time()) == 2
+    assert LH.read_snapshot_as_of(spark, table, time.time()).count() == 2
+    with _pytest.raises(ValueError):
+        LH.version_as_of(table, t_before)
