@@ -280,25 +280,48 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFr
     change per key applies. One window over the changelog (small relative to
     the snapshot) + one shuffle join on the key — the snapshot is never
     rewritten per-change, which is what makes this the 100 TB CDC pattern
-    (the same shape Delta/Iceberg MERGE compiles to)."""
+    (the same shape Delta/Iceberg MERGE compiles to).
+
+    Partial updates: a snapshot column ABSENT from the change-set keeps
+    its snapshot value on 'U' rows and is NULL on 'I' rows — the SQL
+    MERGE "WHEN MATCHED THEN UPDATE SET <only these>" contract. (The
+    pre-r04 behavior took the column list from the CHANGES, so a
+    narrower change-set silently dropped — then null-padded — every
+    unmentioned column of the rows it touched.)"""
     w = W.partitionBy(key).orderBy(F.col("seq").desc())
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "seq")
     )
-    val_cols = [c for c in latest.columns if c not in (key, "op")]
+    val_cols = [c for c in snapshot.columns if c != key]
+    change_cols = set(latest.columns)
+    extra = [c for c in latest.columns if c not in (key, "op") and c not in snapshot.columns]
+    if extra:
+        raise ValueError(
+            f"change-set columns {extra} do not exist in the snapshot schema"
+        )
     merged = snapshot.alias("s").join(latest.alias("c"), key, "left")
     kept = merged.filter(F.col("c.op").isNull() | (F.col("c.op") == "U")).select(
         key,
         *[
-            F.when(F.col("c.op") == "U", F.col(f"c.{c}"))
-            .otherwise(F.col(f"s.{c}"))
-            .alias(c)
+            (
+                F.when(F.col("c.op") == "U", F.col(f"c.{c}"))
+                .otherwise(F.col(f"s.{c}"))
+                if c in change_cols
+                else F.col(f"s.{c}")
+            ).alias(c)
             for c in val_cols
         ],
     )
-    inserts = latest.filter(F.col("op") == "I").select(key, *val_cols)
+    schema = {f.name: f.dataType for f in snapshot.schema.fields}
+    inserts = latest.filter(F.col("op") == "I").select(
+        key,
+        *[
+            (F.col(c) if c in change_cols else F.lit(None).cast(schema[c])).alias(c)
+            for c in val_cols
+        ],
+    )
     return kept.unionByName(inserts)
 
 

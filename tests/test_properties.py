@@ -1478,3 +1478,34 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert LH.read_snapshot_as_of(spark, table, time.time()).count() == 2
     with _pytest.raises(ValueError):
         LH.version_as_of(table, t_before)
+
+
+def test_partial_update_merge_preserves_unmentioned_columns(spark, tmp_path):
+    """MERGE with a change-set narrower than the table: unmentioned
+    columns keep their values on updated rows (NOT nulled — the pre-r04
+    bug) and are NULL on inserted rows; a change-set with an unknown
+    column is rejected loudly."""
+    import pytest as _pytest
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double, tag string"
+    df = spark.createDataFrame([(i, float(i), f"t{i}") for i in range(20)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=2)
+    ch = spark.createDataFrame(
+        [(3, "U", 1, 33.0), (100, "I", 1, 1.0)],
+        "k long, op string, seq int, v double",  # no tag column
+    )
+    LH.merge_partitioned(spark, table, ch)
+    rows = {r.k: (r.v, r.tag) for r in LH.read_snapshot(spark, table).collect()}
+    assert rows[3] == (33.0, "t3"), "partial update must keep the tag"
+    assert rows[100] == (1.0, None)
+    assert rows[7] == (7.0, "t7")
+    bad = spark.createDataFrame(
+        [(3, "U", 1, 1.0)], "k long, op string, seq int, nope double"
+    )
+    from shadowcat_data_spark.plans.maintenance import apply_changelog
+
+    with _pytest.raises(ValueError, match="nope"):
+        apply_changelog(LH.read_snapshot(spark, table), bad, "k")
