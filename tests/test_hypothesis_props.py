@@ -355,3 +355,90 @@ def test_bounded_jaccard_matches_python_reference(spark, texts, max_df):
                 if shared:
                     want[(i, j)] = shared / (len(docs[i]) + len(docs[j]) - shared)
     assert got == want
+
+
+_SERVICE_OPS = st.lists(
+    st.one_of(
+        st.tuples(  # merge: update some keys, insert fresh, delete some
+            st.just("merge"),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=60),
+                    st.sampled_from(["I", "U", "D"]),
+                    st.integers(min_value=-99, max_value=99),
+                ),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        st.tuples(st.just("append"), st.integers(min_value=0, max_value=3)),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("evolve"), st.none()),
+        st.tuples(st.just("rebound"), st.none()),
+        st.tuples(st.just("expire"), st.none()),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_SERVICE_OPS)
+def test_lakehouse_service_fuzzer(spark, tmp_path_factory, ops):
+    """Random interleavings of EVERY table service — merge, append,
+    compact, evolve, rebound, expire — must preserve exactly the content
+    a serial key→value model predicts, leave zero orphans, and keep the
+    manifest row census equal to the table. The content-neutral services
+    (compact/evolve/rebound/expire) are the dangerous ones: each
+    rewrites or drops files while claiming to change nothing."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path_factory.mktemp("svc") / "t")
+    ddl = "k long, v double"
+    state = {k: float(k) for k in range(20)}
+    LH.create_partitioned(
+        spark, spark.createDataFrame(sorted(state.items()), ddl), table, ddl,
+        "k", n_buckets=3,
+    )
+    n_evolved = 0
+    next_fresh = 1000  # appended keys disjoint from merge key space
+    for kind, arg in ops:
+        if kind == "merge":
+            rows = [(k, op, i + 1, float(v)) for i, (k, op, v) in enumerate(arg)]
+            LH.merge_partitioned(
+                spark,
+                table,
+                spark.createDataFrame(rows, "k long, op string, seq int, v double"),
+            )
+            latest = {}
+            for k, op, seq, v in rows:
+                if k not in latest or seq > latest[k][1]:
+                    latest[k] = (op, seq, v)
+            for k, (op, _, v) in latest.items():
+                if op == "D":
+                    state.pop(k, None)
+                elif op == "I":
+                    state[k] = v
+                elif k in state:
+                    state[k] = v
+        elif kind == "append":
+            fresh = [(next_fresh + i, -1.0) for i in range(arg)]
+            next_fresh += arg
+            if fresh:
+                LH.append_partitioned(spark, table, spark.createDataFrame(fresh, ddl))
+                state.update(dict(fresh))
+        elif kind == "compact":
+            LH.compact_partitioned(spark, table)
+        elif kind == "evolve":
+            n_evolved += 1
+            LH.evolve_schema(table, f"{ddl}, x{n_evolved} string")
+            ddl = f"{ddl}, x{n_evolved} string"
+        elif kind == "rebound":
+            LH.rebound_partitioned(spark, table)
+        elif kind == "expire":
+            LH.expire_snapshots(table, keep_latest=2)
+    got = {r.k: r.v for r in LH.read_snapshot(spark, table).select("k", "v").collect()}
+    assert got == state
+    man = LH.read_manifest(table)
+    assert sum(man["stats"][f]["rows"] for f in man["files"]) == len(state)
+    assert LH.remove_orphan_files(table) == 0, "clean services left orphans"
