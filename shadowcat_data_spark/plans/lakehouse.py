@@ -1299,3 +1299,35 @@ def cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         downstream = apply_changelog(downstream, changes, "o_orderkey")
     return downstream
+
+
+@query(
+    "m29_metadata_count",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey BETWEEN 1000 AND 3000) AS BIGINT)
+         AS n_rows_in_range
+FROM orders
+""",
+    category="maintenance",
+)
+def metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown into table METADATA: COUNT(*) answered from the
+    manifest's per-file row census without opening a single data file —
+    Iceberg answers count/min/max from manifests the same way. The
+    range-restricted count still scans, but only the stats-pruned file
+    subset. Both must equal the oracle's full-scan answers."""
+    table = _scratch(sf_dir, "m29_orders_ptable")
+    shutil.rmtree(table, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    create_partitioned(spark, o, table, _ORDERS_DDL, "o_orderkey", n_buckets=8)
+    man = read_manifest(table)
+    n_meta = sum(man["stats"][f]["rows"] for f in man["files"])  # zero file reads
+    n_range = (
+        scan_partitioned(spark, table, key_lo=1000, key_hi=3000)
+        .filter(F.col("o_orderkey").between(1000, 3000))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_meta, n_range)], "n_rows long, n_rows_in_range long"
+    )

@@ -299,3 +299,198 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("t14_out")
+
+
+# ---------------------------------------------------------------------------
+# T20 — stream the lakehouse change data feed (snapshot versions as offsets)
+# ---------------------------------------------------------------------------
+
+if _HAVE_PYDS:
+
+    def _cdf_rows_for_version(table: str, v: int, key: str, val_cols: list[str]):
+        """Driver-side incremental CDF for ONE commit: diff only the files
+        the commit replaced/added (carried files are the same file — no
+        diff by construction), via pyarrow. This mirrors
+        ``lakehouse.snapshot_changes_incremental`` row for row; the
+        executor-sized variant is that DataFrame job — a stream SOURCE
+        polls on the driver, so it reads only O(changed partitions) per
+        batch, which is what keeps tailing a 100 TB table feasible."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..plans.lakehouse import read_manifest
+
+        prev = read_manifest(table, v - 1)
+        cur = read_manifest(table, v)
+        prev_files, cur_files = set(prev["files"]), set(cur["files"])
+
+        def load(files):
+            out = {}
+            for f in sorted(files):
+                t = pq.read_table(os.path.join(table, f))
+                cols = {c: t.column(c).to_pylist() if c in t.column_names
+                        else [None] * t.num_rows
+                        for c in [key, *val_cols]}
+                for i in range(t.num_rows):
+                    out[cols[key][i]] = tuple(cols[c][i] for c in val_cols)
+            return out
+
+        old = load([f for f in prev["files"] if f not in cur_files])
+        new = load([f for f in cur["files"] if f not in prev_files])
+        rows = []
+        for k in sorted(set(old) | set(new), key=lambda x: (x is None, x)):
+            if k not in old:
+                rows.append((k, "I", *new[k]))
+            elif k not in new:
+                rows.append((k, "D", *([None] * len(val_cols))))
+            elif old[k] != new[k]:
+                rows.append((k, "U", *new[k]))
+        return rows
+
+    class SnapshotCDFStreamReader(SimpleDataSourceStreamReader):
+        """The lakehouse table AS A STREAM: offsets are snapshot
+        versions, each micro-batch is one commit's incremental change
+        feed. Replay between committed offsets re-derives identical rows
+        from the immutable snapshots — the exactly-once-under-recovery
+        property t14's range source demonstrates, here on real data:
+        offsets are durable, CDF rows are re-derivable forever (until
+        expire_snapshots trades that history for storage)."""
+
+        def __init__(self, options):
+            self.table = options["table"]
+            self.key = options["key"]
+            self.val_cols = [c for c in options["val_cols"].split(",") if c]
+            self.start = int(options.get("start_version", 1))
+
+        def initialOffset(self):
+            return {"version": self.start}
+
+        def read(self, start):
+            from ..plans.lakehouse import current_version
+
+            v = int(start["version"])
+            if v >= current_version(self.table):
+                return (iter([]), start)
+            return (
+                iter(_cdf_rows_for_version(self.table, v + 1, self.key, self.val_cols)),
+                {"version": v + 1},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            rows = []
+            for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+                rows.extend(
+                    _cdf_rows_for_version(self.table, v, self.key, self.val_cols)
+                )
+            return iter(rows)
+
+    class SnapshotCDFStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "snapshotcdf"
+
+        def schema(self) -> str:
+            return self.options["ddl"]
+
+        def simpleStreamReader(self, schema) -> SnapshotCDFStreamReader:
+            return SnapshotCDFStreamReader(self.options)
+
+    def register_snapshot_cdf_stream(spark: SparkSession) -> None:
+        spark.dataSource.register(SnapshotCDFStreamDataSource)
+
+
+@query(
+    "t20_stream_lakehouse_cdf",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey BETWEEN 1 AND 400
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, o_totalprice + 20.0
+  FROM orders WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 = 0 AND o_orderkey BETWEEN 1 AND 400
+  UNION ALL
+  SELECT o_orderkey, 'D', 1, NULL
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey BETWEEN 1 AND 400
+  UNION ALL
+  SELECT o_orderkey + 30000000, 'I', 1, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 2 AND o_orderkey BETWEEN 1 AND 400
+),
+latest AS (
+  SELECT k, op, o_totalprice
+  FROM changes QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+),
+merged AS (
+  SELECT k AS o_orderkey, o_totalprice FROM (
+    SELECT s.o_orderkey AS k,
+           CASE WHEN c.op = 'U' THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+           c.op
+    FROM orders s LEFT JOIN latest c ON s.o_orderkey = c.k
+    WHERE c.op IS NULL OR c.op = 'U'
+    UNION ALL
+    SELECT k, o_totalprice, op FROM latest WHERE op = 'I'
+  )
+)
+SELECT COALESCE(m.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NULL THEN 'I'
+            WHEN m.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       m.o_totalprice
+FROM orders s FULL OUTER JOIN merged m ON s.o_orderkey = m.o_orderkey
+WHERE s.o_orderkey IS NULL OR m.o_orderkey IS NULL
+   OR s.o_totalprice IS DISTINCT FROM m.o_totalprice
+UNION ALL
+SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE)
+FROM merged WHERE o_orderkey % 11 = 0 AND o_orderkey BETWEEN 1 AND 200
+""",
+    category="streaming",
+)
+def stream_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read-side completion of the streaming+lakehouse matrix (t18/
+    t19 write INTO the table; this streams OUT of it): a custom source
+    whose offsets are snapshot versions feeds each commit's incremental
+    change feed as one micro-batch. Two commits after the start version
+    → two batches; the accumulated stream must equal the two diffs the
+    oracle recomputes (ranged CDC merge, then ranged deletes — a delete
+    of an already-deleted key must NOT re-appear in the feed)."""
+    if not _HAVE_PYDS:
+        raise NotImplementedError("Python Data Source API requires PySpark 4+")
+    from pyspark.sql import functions as F
+
+    from ..plans.lakehouse import (
+        _fresh_partitioned_orders,
+        _orders_ranged_changes,
+        merge_partitioned,
+    )
+
+    table = _fresh_partitioned_orders(spark, sf_dir, "t20_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    merge_partitioned(spark, table, _orders_ranged_changes(o))  # v2
+    dels = o.filter(
+        (F.col("o_orderkey") % 11 == 0) & F.col("o_orderkey").between(1, 200)
+    ).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(1).alias("seq"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    merge_partitioned(spark, table, dels)  # v3
+    register_snapshot_cdf_stream(spark)
+    stream = (
+        spark.readStream.format("snapshotcdf")
+        .option("table", table)
+        .option("key", "o_orderkey")
+        .option("val_cols", "o_totalprice")
+        .option("ddl", "o_orderkey long, op string, o_totalprice double")
+        .option("start_version", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t20_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("t20_out")

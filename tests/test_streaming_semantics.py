@@ -271,3 +271,28 @@ def test_stream_partitioned_upsert_prunes_and_protects_order(spark):
         .collect()
     }
     assert got == truth
+
+
+def test_cdf_stream_reader_matches_spark_diff(spark, tmp_path):
+    """The t20 source's driver-side pyarrow diff must equal the
+    executor-side snapshot_changes_incremental row for row, per commit —
+    the stream emits exactly what a batch CDF reader would."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.sources.custom import _cdf_rows_for_version
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    ch = spark.createDataFrame(
+        [(3, "U", 1, 33.0), (100, "I", 1, 1.0), (7, "D", 1, None)],
+        "k long, op string, seq int, v double",
+    )
+    LH.merge_partitioned(spark, table, ch)
+    LH.append_partitioned(spark, table, spark.createDataFrame([(200, 2.0)], ddl))
+    for v in (2, 3):
+        via_arrow = sorted(_cdf_rows_for_version(table, v, "k", ["v"]))
+        via_spark = sorted(
+            map(tuple, LH.snapshot_changes_incremental(spark, table, v, "k").collect())
+        )
+        assert via_arrow == via_spark, f"v{v}: {via_arrow} != {via_spark}"
