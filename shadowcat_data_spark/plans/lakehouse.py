@@ -1331,3 +1331,82 @@ def metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_meta, n_range)], "n_rows long, n_rows_in_range long"
     )
+
+
+def auto_optimize(
+    spark: SparkSession,
+    table: str,
+    max_files_per_bucket: int = 1,
+    skew_ratio: float = 3.0,
+    keep_latest: int = 3,
+) -> list[str]:
+    """The scheduled-maintenance driver (Delta OPTIMIZE's shape): inspect
+    the head manifest and run exactly the services the table needs, in
+    dependency order — compact small files first (fewer files for the
+    rebound to read), re-bound if per-bucket row skew still exceeds
+    ``skew_ratio`` afterwards, then expire history beyond ``keep_latest``.
+    Decisions come from MANIFEST STATS ONLY (no data files opened to
+    decide), so the planning cost is metadata-sized at any table size.
+    Returns the action names executed — deterministic for a given table
+    state, which is what makes the whole run oracle-checkable."""
+    actions: list[str] = []
+    man = read_manifest(table)
+
+    def census(m) -> tuple[dict[int, int], dict[int, int]]:
+        files: dict[int, int] = {}
+        rows: dict[int, int] = {}
+        for f in m["files"]:
+            st = m["stats"][f]
+            files[st["bucket"]] = files.get(st["bucket"], 0) + 1
+            rows[st["bucket"]] = rows.get(st["bucket"], 0) + st["rows"]
+        return files, rows
+
+    files_per, _ = census(man)
+    if any(n > max_files_per_bucket for n in files_per.values()):
+        compact_partitioned(spark, table)
+        actions.append("compact")
+        man = read_manifest(table)
+    _, rows_per = census(man)
+    if rows_per and max(rows_per.values()) > skew_ratio * max(min(rows_per.values()), 1):
+        rebound_partitioned(spark, table)
+        actions.append("rebound")
+    if current_version(table) > keep_latest:
+        expire_snapshots(table, keep_latest=keep_latest)
+        actions.append("expire")
+    return actions
+
+
+@query(
+    "m30_auto_optimize",
+    oracle="""
+SELECT * FROM (
+  VALUES (1, 'compact'), (2, 'rebound'), (3, 'expire')
+) t(step, action)
+CROSS JOIN (
+  SELECT CAST((SELECT COUNT(*) FROM orders)
+            + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+          AS BIGINT) AS n_rows_after
+)
+""",
+    category="maintenance",
+)
+def auto_optimize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-OPTIMIZE end to end: a skewed append (all keys collapsed into
+    the lowest bucket's range) leaves the table with multi-file buckets,
+    3×+ row skew, and 2 snapshots of growing history; the maintenance
+    driver must decide — from manifest stats alone — to compact, then
+    rebound, then (after its own two commits push history past
+    keep_latest=3) expire, and the table must read back complete. The
+    oracle pins the exact action sequence AND the row census."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m30_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    skewed = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") % 97).alias("o_orderkey"), "o_totalprice"
+    )
+    append_partitioned(spark, table, skewed)
+    actions = auto_optimize(spark, table)
+    n = read_snapshot(spark, table).count()
+    return spark.createDataFrame(
+        [(i + 1, a, n) for i, a in enumerate(actions)],
+        "step int, action string, n_rows_after long",
+    )
