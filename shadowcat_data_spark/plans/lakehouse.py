@@ -166,8 +166,13 @@ def read_manifest(table: str, version: int | None = None) -> dict:
 
 
 def read_snapshot(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
-    """Read the table at ``version`` (default: latest committed)."""
+    """Read the table at ``version`` (default: latest committed). A
+    snapshot carrying equality-delete files (merge-on-read commits) is
+    read through the delete-applying path transparently — every consumer
+    (CDF, maintenance, time travel) sees the post-delete state."""
     manifest = read_manifest(table, version)
+    if manifest.get("delete_files"):
+        return _read_files_mor(spark, table, manifest, manifest["files"])
     if not manifest["files"]:  # empty snapshot: schema from the manifest
         return spark.createDataFrame([], manifest["schema"])
     return spark.read.schema(manifest["schema"]).parquet(
@@ -342,7 +347,9 @@ def expire_snapshots(table: str, keep_latest: int = 1) -> tuple[int, int, int]:
         out: set[str] = set()
         for v in vs:
             with open(_manifest_path(table, v)) as fh:
-                out.update(json.load(fh)["files"])
+                man = json.load(fh)
+            out.update(man["files"])
+            out.update(man.get("delete_files") or {})  # MOR deletes are files too
         return out
 
     doomed_files = files_of([v for v in versions if v not in keep]) - files_of(keep)
@@ -497,6 +504,11 @@ def _write_bucket_files(
                 rel = os.path.join(stage_rel, bdir, fn)
                 entries[rel] = {
                     "bucket": bucket,
+                    # data sequence number (Iceberg's): which commit wrote
+                    # this file — equality-delete files apply only to data
+                    # files with a strictly smaller seq, so a commit that
+                    # both deletes a key and re-inserts it keeps the new row
+                    "seq": version,
                     **_footer_stats(os.path.join(table, rel), key),
                 }
     return entries
@@ -612,12 +624,11 @@ def merge_partitioned(
         stats = man["stats"]
         touched_files = [f for f in man["files"] if stats[f]["bucket"] in touched]
         untouched = {f: stats[f] for f in man["files"] if stats[f]["bucket"] not in touched}
-        if touched_files:
-            base = spark.read.schema(man["schema"]).parquet(
-                *[os.path.join(table, f) for f in touched_files]
-            )
-        else:
-            base = spark.createDataFrame([], man["schema"])
+        # MOR-aware base read: standing delete files apply to the touched
+        # buckets here (the rewrite materializes them for these buckets —
+        # the new files' seq postdates every delete, so nothing re-applies);
+        # carried delete files keep governing the untouched buckets.
+        base = _read_files_mor(spark, table, man, touched_files)
         merged = apply_changelog(base, changes, key)
         entries = _write_bucket_files(
             merged, table, key, bounds, version + 1, n_out=len(touched)
@@ -690,8 +701,11 @@ def compact_partitioned(
         n_before = len(man["files"])
         if not doomed:
             return n_before, n_before  # nothing to compact: no new snapshot
-        packed = spark.read.schema(man["schema"]).parquet(
-            *[os.path.join(table, f) for fs in doomed for f in fs]
+        # MOR-aware: standing deletes are materialized into the packed
+        # buckets (their new seq postdates the deletes); carried delete
+        # files keep applying to the single-file buckets left in place.
+        packed = _read_files_mor(
+            spark, table, man, [f for fs in doomed for f in fs]
         )
         entries = _write_bucket_files(packed, table, key, bounds, version + 1)
         manifest = _partitioned_manifest(
@@ -779,11 +793,10 @@ def scan_partitioned(
     filter after partition pruning."""
     man = read_manifest(table, version)
     keep, _ = pruned_files(table, key_lo, key_hi, version, col=col)
-    if not keep:
-        return spark.createDataFrame([], man["schema"])
-    return spark.read.schema(man["schema"]).parquet(
-        *[os.path.join(table, f) for f in keep]
-    )
+    # MOR-aware: a deleted row may live in a kept file, so standing
+    # delete files anti-join here too (they are keys-only and tiny;
+    # pruning them by their own min/max would be a further refinement)
+    return _read_files_mor(spark, table, man, keep)
 
 
 # --- registered queries ----------------------------------------------------
@@ -972,6 +985,67 @@ def _read_files(
     )
 
 
+def _read_files_mor(
+    spark: SparkSession,
+    table: str,
+    man: dict,
+    files: list[str],
+    schema_ddl: str | None = None,
+) -> DataFrame:
+    """Read ``files`` of ``man``'s snapshot with its equality-delete files
+    applied — the merge-on-read path (Iceberg v2 equality deletes).
+
+    A delete file is a tiny parquet of deleted KEYS stamped with the
+    sequence number of the commit that wrote it; it erases a key from
+    every data file with a strictly SMALLER seq (a row re-inserted in or
+    after the delete commit survives — Iceberg's sequence-number rule).
+    The plan: one scan of all delete files tagged with their seq, then
+    data files grouped by THEIR seq (one group per retained writing
+    commit — a handful), each group anti-joined against the deletes that
+    postdate it, groups unioned. Delete sets are broadcast: a delete
+    file is keys-only and bounded by contract (a change-set too big to
+    broadcast belongs in the COW ``merge_partitioned`` path, which this
+    module keeps as the bulk-mutation API — same split Iceberg documents
+    for equality deletes vs rewrites)."""
+    from functools import reduce
+
+    schema = schema_ddl or man["schema"]
+    dfiles = man.get("delete_files") or {}
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not dfiles:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in files]
+        )
+    key = man["partition"]["key"]
+    deletes = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(os.path.join(table, rel)).select(
+                F.col(key), F.lit(int(st["seq"])).alias("__dseq")
+            )
+            for rel, st in dfiles.items()
+        ],
+    )
+    stats = man.get("stats", {})
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        groups.setdefault(int(stats.get(f, {}).get("seq", 0)), []).append(f)
+    max_dseq = max(int(st["seq"]) for st in dfiles.values())
+    parts = []
+    for seq in sorted(groups):
+        part = spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in groups[seq]]
+        )
+        if seq < max_dseq:  # at least one delete file postdates this group
+            applicable = F.broadcast(
+                deletes.filter(F.col("__dseq") > seq).select(key).distinct()
+            )
+            part = part.join(applicable, on=key, how="left_anti")
+        parts.append(part)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def snapshot_changes(
     spark: SparkSession, table: str, v_from: int, v_to: int, key: str
 ) -> DataFrame:
@@ -993,8 +1067,12 @@ def snapshot_changes(
     old side, so the feed is well-typed across schema changes — a row
     whose only change is the new column going NULL→value reports as U."""
     man_to = read_manifest(table, v_to)
-    a = _read_files(spark, table, read_manifest(table, v_from)["files"], man_to["schema"])
-    b = _read_files(spark, table, man_to["files"], man_to["schema"])
+    man_from = read_manifest(table, v_from)
+    # each side reads under ITS OWN delete context (v_to's schema): a row
+    # a MOR commit deleted must show as D even though its data file is
+    # carried forward verbatim in v_to's manifest
+    a = _read_files_mor(spark, table, man_from, man_from["files"], man_to["schema"])
+    b = _read_files_mor(spark, table, man_to, man_to["files"])
     return _diff_frames(a, b, key)
 
 
@@ -1045,11 +1123,21 @@ def snapshot_changes_incremental(
     the full-snapshot diff is property-tested commit by commit."""
     prev = read_manifest(table, v - 1)
     cur = read_manifest(table, v)
+    if (prev.get("delete_files") or {}) != (cur.get("delete_files") or {}):
+        # a MOR commit changes row visibility WITHOUT replacing data files,
+        # so the changed-files shortcut is blind to it — fall back to the
+        # full-snapshot diff (correctness first; the fast path resumes on
+        # the next COW commit). A materialize commit also lands here: its
+        # delete-file drop plus bucket rewrite is visibility-neutral only
+        # as a PAIR, which the full diff evaluates correctly (empty feed).
+        return snapshot_changes(spark, table, v - 1, v, key)
     prev_files, cur_files = set(prev["files"]), set(cur["files"])
     removed = [f for f in prev["files"] if f not in cur_files]
     added = [f for f in cur["files"] if f not in prev_files]
-    a = _read_files(spark, table, removed, cur["schema"])
-    b = _read_files(spark, table, added, cur["schema"])
+    # identical delete context on both sides: carried deletes apply to the
+    # removed (old-seq) files and are seq-inapplicable to the added ones
+    a = _read_files_mor(spark, table, prev, removed, cur["schema"])
+    b = _read_files_mor(spark, table, cur, added)
     return _diff_frames(a, b, key)
 
 
@@ -1099,7 +1187,9 @@ def remove_orphan_files(table: str, min_age_seconds: float = 0.0) -> int:
     live: set[str] = set()
     for v in range(1, current_version(table) + 1):
         if os.path.exists(_manifest_path(table, v)):
-            live.update(read_manifest(table, v)["files"])
+            man = read_manifest(table, v)
+            live.update(man["files"])
+            live.update(man.get("delete_files") or {})  # MOR deletes are live too
     data_dir = os.path.join(table, "data")
     removed = 0
     now = time.time()
@@ -1226,6 +1316,9 @@ def rebound_partitioned(
             {"key": key, "bounds": bounds},
             entries,
             prev=man,
+            # a re-bound is a full rewrite through the MOR-aware read:
+            # every standing delete is materialized, so none carry over
+            extra={"delete_files": {}},
         )
         try:
             return _commit_manifest(table, version + 1, manifest)
@@ -1342,15 +1435,23 @@ def auto_optimize(
 ) -> list[str]:
     """The scheduled-maintenance driver (Delta OPTIMIZE's shape): inspect
     the head manifest and run exactly the services the table needs, in
-    dependency order — compact small files first (fewer files for the
-    rebound to read), re-bound if per-bucket row skew still exceeds
-    ``skew_ratio`` afterwards, then expire history beyond ``keep_latest``.
-    Decisions come from MANIFEST STATS ONLY (no data files opened to
-    decide), so the planning cost is metadata-sized at any table size.
-    Returns the action names executed — deterministic for a given table
-    state, which is what makes the whole run oracle-checkable."""
+    dependency order — materialize standing MOR delete files first (every
+    later read of the touched buckets stops paying the anti-join), compact
+    small files next (fewer files for the rebound to read), re-bound if
+    per-bucket row skew still exceeds ``skew_ratio`` afterwards, then
+    expire history beyond ``keep_latest``. Decisions come from MANIFEST
+    STATS ONLY (no data files opened to decide), so the planning cost is
+    metadata-sized at any table size. Returns the action names executed —
+    deterministic for a given table state, which is what makes the whole
+    run oracle-checkable."""
+    from .lakehouse_mor import materialize_deletes
+
     actions: list[str] = []
     man = read_manifest(table)
+    if man.get("delete_files"):
+        materialize_deletes(spark, table)
+        actions.append("materialize")
+        man = read_manifest(table)
 
     def census(m) -> tuple[dict[int, int], dict[int, int]]:
         files: dict[int, int] = {}

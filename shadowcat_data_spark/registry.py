@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.plans.tpch",
     "shadowcat_data_spark.plans.maintenance",
     "shadowcat_data_spark.plans.lakehouse",
+    "shadowcat_data_spark.plans.lakehouse_mor",
 ]
 
 _loaded = False

@@ -1509,3 +1509,191 @@ def test_partial_update_merge_preserves_unmentioned_columns(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="nope"):
         apply_changelog(LH.read_snapshot(spark, table), bad, "k")
+
+
+def test_mor_delete_touches_no_data_files(spark, tmp_path):
+    """A merge-on-read DELETE commit must add exactly one keys-only delete
+    file and carry EVERY data file forward by reference (Iceberg v2
+    equality-delete contract) — yet the snapshot read already hides the
+    deleted rows."""
+    import os
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    m1 = LH.read_manifest(table)
+    mtimes = {f: os.path.getmtime(os.path.join(table, f)) for f in m1["files"]}
+    keys = spark.createDataFrame([(3,), (97,)], "k long")
+    assert MOR.delete_mor(spark, table, keys) == 2
+    m2 = LH.read_manifest(table)
+    assert m2["files"] == m1["files"], "no data file may be added or removed"
+    for f, st in m2["stats"].items():
+        assert st == m1["stats"][f], "data entries must carry verbatim"
+    for f in m2["files"]:
+        assert os.path.getmtime(os.path.join(table, f)) == mtimes[f]
+    assert len(m2["delete_files"]) == 1
+    vals = {r.k for r in LH.read_snapshot(spark, table).collect()}
+    assert vals == set(range(100)) - {3, 97}
+    # deleting an absent key is a no-op, not an error (no existence check)
+    MOR.delete_mor(spark, table, spark.createDataFrame([(12345,)], "k long"))
+    assert LH.read_snapshot(spark, table).count() == 98
+    # time travel: v1 still shows the pre-delete state
+    assert LH.read_snapshot(spark, table, 1).count() == 100
+
+
+def test_mor_seq_scoping_reinsert_survives(spark, tmp_path):
+    """The sequence-number rule: a delete file erases a key only from
+    OLDER data files, so an upsert re-inserting a deleted key (or
+    replacing a live one) keeps exactly the new row — the subtle case a
+    global anti-join would get wrong by killing the fresh copy too."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    MOR.delete_mor(spark, table, spark.createDataFrame([(5,)], "k long"))
+    assert 5 not in {r.k for r in LH.read_snapshot(spark, table).collect()}
+    # v3: re-insert the deleted key AND replace a live one, in one commit
+    MOR.upsert_mor(
+        spark, table, spark.createDataFrame([(5, 500.0), (7, 700.0)], ddl)
+    )
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert vals[5] == 500.0, "re-inserted row must survive the older delete"
+    assert vals[7] == 700.0 and len(vals) == 50, "exactly one row per key"
+    # a LATER delete still erases the re-inserted row
+    MOR.delete_mor(spark, table, spark.createDataFrame([(5,)], "k long"))
+    assert 5 not in {r.k for r in LH.read_snapshot(spark, table).collect()}
+
+
+def test_mor_materialize_clears_deletes_preserves_content(spark, tmp_path):
+    """materialize_deletes must rewrite ONLY the buckets holding deleted
+    keys (others carried by reference), produce a delete-free manifest,
+    and leave the visible content bit-identical to the MOR read."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    # both delete keys land in the lowest bucket
+    MOR.delete_mor(spark, table, spark.createDataFrame([(1,), (2,)], "k long"))
+    before = sorted(
+        (r.k, r.v) for r in LH.read_snapshot(spark, table).collect()
+    )
+    m2 = LH.read_manifest(table)
+    nd, nb = MOR.materialize_deletes(spark, table)
+    assert (nd, nb) == (1, 1), "one delete file folded, one bucket rewritten"
+    m3 = LH.read_manifest(table)
+    assert m3["delete_files"] == {}
+    assert len(set(m2["files"]) & set(m3["files"])) == 3, "3 of 4 carried"
+    after = sorted((r.k, r.v) for r in LH.read_snapshot(spark, table).collect())
+    assert after == before
+    # idempotent: nothing standing, no new snapshot
+    v = LH.current_version(table)
+    assert MOR.materialize_deletes(spark, table) == (0, 0)
+    assert LH.current_version(table) == v
+
+
+def test_mor_cdf_and_replay(spark, tmp_path):
+    """The incremental CDF must fall back to the full diff across a MOR
+    commit (changed-files alone would miss it), and a consumer replaying
+    every commit's feed from the v1 state must converge to the head —
+    across delete, upsert, AND materialize commits (the last emitting an
+    empty feed: a layout change is not a data change)."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+    from shadowcat_data_spark.plans.maintenance import apply_changelog
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(60)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    MOR.delete_mor(spark, table, spark.createDataFrame([(4,), (44,)], "k long"))
+    MOR.upsert_mor(
+        spark, table, spark.createDataFrame([(4, 400.0), (900, 9.0)], ddl)
+    )
+    MOR.materialize_deletes(spark, table)
+    # per-commit feeds
+    feed2 = LH.snapshot_changes_incremental(spark, table, 2, "k")
+    got2 = {(r.k, r.op) for r in feed2.collect()}
+    assert got2 == {(4, "D"), (44, "D")}
+    feed3 = LH.snapshot_changes_incremental(spark, table, 3, "k")
+    got3 = {(r.k, r.op, r.v) for r in feed3.collect()}
+    assert got3 == {(4, "I", 400.0), (900, "I", 9.0)}
+    feed4 = LH.snapshot_changes_incremental(spark, table, 4, "k")
+    assert feed4.count() == 0, "materialize must be visibility-neutral"
+    # replay: v1 + all feeds == head
+    state = LH.read_snapshot(spark, table, 1)
+    for v in range(2, LH.current_version(table) + 1):
+        feed = LH.snapshot_changes_incremental(spark, table, v, "k")
+        state = apply_changelog(
+            state, feed.select("k", "op", F.lit(1).alias("seq"), "v"), "k"
+        )
+    head = sorted((r.k, r.v) for r in LH.read_snapshot(spark, table).collect())
+    assert sorted((r.k, r.v) for r in state.collect()) == head
+
+
+def test_mor_expire_and_orphans_respect_delete_files(spark, tmp_path):
+    """Delete files are first-class table files: a LIVE one must survive
+    orphan reclamation (deleting it would resurrect rows), and an expired
+    one must be reclaimed from disk with the head still reading clean."""
+    import os
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=2)
+    MOR.delete_mor(spark, table, spark.createDataFrame([(9,)], "k long"))
+    (dfile,) = LH.read_manifest(table)["delete_files"]
+    assert LH.remove_orphan_files(table) == 0, "live delete file spared"
+    assert os.path.exists(os.path.join(table, dfile))
+    assert LH.read_snapshot(spark, table).count() == 39
+    # fold + expire history: the delete file must leave the disk
+    MOR.materialize_deletes(spark, table)
+    LH.expire_snapshots(table, keep_latest=1)
+    assert not os.path.exists(os.path.join(table, dfile))
+    assert LH.read_snapshot(spark, table).count() == 39
+
+
+def test_mor_concurrent_delete_and_merge_both_land(spark, tmp_path):
+    """A MOR delete losing the commit race to a COW merge must re-read the
+    new head and re-commit: both land, and the final state equals the
+    serial application."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    ch_b = spark.createDataFrame(
+        [(2, "U", 1, 222.0)], "k long, op string, seq int, v double"
+    )
+    real = LH._commit_manifest
+    state = {"fired": False}
+
+    def racy(t, version, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            LH.merge_partitioned(spark, t, ch_b)  # B steals the version slot
+        return real(t, version, manifest)
+
+    LH._commit_manifest = racy
+    try:
+        MOR.delete_mor(spark, table, spark.createDataFrame([(1,)], "k long"))
+    finally:
+        LH._commit_manifest = real
+    assert LH.current_version(table) == 3  # v1 create, v2 B's merge, v3 delete
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert 1 not in vals and vals[2] == 222.0 and len(vals) == 39
