@@ -87,7 +87,11 @@ def _write_delete_file(
 
 
 def delete_mor(
-    spark: SparkSession, table: str, keys: DataFrame, max_retries: int = 5
+    spark: SparkSession,
+    table: str,
+    keys: DataFrame,
+    max_retries: int = 5,
+    extra: dict | None = None,
 ) -> int:
     """DELETE WHERE key IN (keys), merge-on-read: the commit adds one
     keys-only delete file and touches NO data file — O(delete-set) work
@@ -109,7 +113,8 @@ def delete_mor(
             man["stats"],
             prev=man,
             extra={
-                "delete_files": {**(man.get("delete_files") or {}), **dentries}
+                "delete_files": {**(man.get("delete_files") or {}), **dentries},
+                **(extra or {}),
             },
         )
         try:
@@ -122,7 +127,11 @@ def delete_mor(
 
 
 def upsert_mor(
-    spark: SparkSession, table: str, rows: DataFrame, max_retries: int = 5
+    spark: SparkSession,
+    table: str,
+    rows: DataFrame,
+    max_retries: int = 5,
+    extra: dict | None = None,
 ) -> int:
     """UPSERT, merge-on-read: append ``rows`` as ordinary bucket data
     files and add a delete file of their keys in the SAME commit. The
@@ -149,7 +158,8 @@ def upsert_mor(
             {**man["stats"], **entries},
             prev=man,
             extra={
-                "delete_files": {**(man.get("delete_files") or {}), **dentries}
+                "delete_files": {**(man.get("delete_files") or {}), **dentries},
+                **(extra or {}),
             },
         )
         try:

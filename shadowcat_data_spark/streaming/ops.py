@@ -1193,3 +1193,80 @@ def stream_partitioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table).select(
         "user_id", "last_event_id", "last_value"
     )
+
+@query(
+    "t21_stream_mor_forget",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS total_value
+FROM events WHERE user_id % 10 <> 3
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def stream_mor_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming right-to-be-forgotten tail, merge-on-read: deletion
+    requests (user ids) arrive as four real micro-batches; each batch
+    resolves its users to the table's keys (a broadcast semi join — the
+    only read) and commits ONE keys-only equality-delete file, so every
+    trigger writes O(matched keys) bytes and rewrites nothing — the
+    shape a GDPR erasure stream needs against a 100 TB fact table, where
+    the COW alternative (t19) would rewrite multi-GB buckets per
+    trigger. t18's batch-id idempotence guard makes replays no-ops; the
+    standing delete files are later folded by auto_optimize/materialize
+    (m33/m35), which the stream never waits for. Converged table ≡ the
+    oracle's one-shot NOT-IN aggregate, deterministic for any slicing of
+    the requests into batches (the deleted set is a union).
+
+    Honest cost note: resolving users → keys scans the table per trigger
+    (shuffle-free — the request set broadcasts). At 100 TB you'd amortize
+    that by batching requests per trigger window (erasure SLAs are days,
+    not seconds) or by maintaining a user→keys inverted index table; the
+    COMMIT cost — the part that must stay small per trigger — is already
+    O(matched keys)."""
+    from ..plans.lakehouse import create_partitioned, read_manifest, read_snapshot
+    from ..plans.lakehouse_mor import delete_mor
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = _scratch(sf_dir, "t21_events_mor")
+    shutil.rmtree(table, ignore_errors=True)
+    ddl = "event_id long, user_id long, event_type string, value double"
+    create_partitioned(spark, ev, table, ddl, "event_id", n_buckets=8)
+
+    src_dir = _scratch(sf_dir, "t21_forget_requests")
+    requests = ev.select("user_id").where(F.col("user_id") % 10 == 3).distinct()
+    requests.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    def forget_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already committed — idempotence guard
+        doomed = (
+            read_snapshot(sp, table)
+            .join(F.broadcast(batch.select("user_id").distinct()), "user_id", "semi")
+            .select("event_id")
+        )
+        delete_mor(sp, table, doomed, extra={"batch_id": batch_id})
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(forget_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_snapshot(spark, table).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")).cast("double")
+            / 1000000.0
+        ).alias("total_value"),
+    )

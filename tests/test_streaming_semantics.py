@@ -296,3 +296,35 @@ def test_cdf_stream_reader_matches_spark_diff(spark, tmp_path):
             map(tuple, LH.snapshot_changes_incremental(spark, table, v, "k").collect())
         )
         assert via_arrow == via_spark, f"v{v}: {via_arrow} != {via_spark}"
+
+
+def test_t21_mor_forget_replay_idempotent(spark, tmp_path):
+    """A replayed foreachBatch delivery (at-least-once under retries) must
+    not double-commit: the manifest's batch_id guard makes the second
+    delivery a no-op, and the deleted users stay deleted — no resurrect,
+    no extra snapshot."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+
+    table = str(tmp_path / "t")
+    ddl = "k long, u long"
+    df = spark.createDataFrame([(i, i % 5) for i in range(50)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=2)
+
+    def forget(batch_users, batch_id):
+        if LH.read_manifest(table).get("batch_id", -1) >= batch_id:
+            return
+        doomed = (
+            LH.read_snapshot(spark, table)
+            .join(batch_users, "u", "semi")
+            .select("k")
+        )
+        MOR.delete_mor(spark, table, doomed, extra={"batch_id": batch_id})
+
+    users = spark.createDataFrame([(3,)], "u long")
+    forget(users, 0)
+    v = LH.current_version(table)
+    assert LH.read_snapshot(spark, table).count() == 40
+    forget(users, 0)  # replayed delivery
+    assert LH.current_version(table) == v, "replay must not commit"
+    assert LH.read_snapshot(spark, table).count() == 40
