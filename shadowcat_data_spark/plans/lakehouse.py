@@ -342,6 +342,12 @@ def expire_snapshots(table: str, keep_latest: int = 1) -> tuple[int, int, int]:
         v for v in range(1, latest + 1) if os.path.exists(_manifest_path(table, v))
     ]
     keep = set(versions[-keep_latest:]) if keep_latest else set()
+    # tagged versions are retained regardless of age — a tag is a retention
+    # statement (Iceberg's ref-retention contract), so `expire` can never
+    # pull a named release/audit snapshot out from under its readers
+    from .lakehouse_wap import list_tags
+
+    keep |= set(list_tags(table).values()) & set(versions)
 
     def files_of(vs) -> set[str]:
         out: set[str] = set()

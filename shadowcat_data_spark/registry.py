@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.plans.maintenance",
     "shadowcat_data_spark.plans.lakehouse",
     "shadowcat_data_spark.plans.lakehouse_mor",
+    "shadowcat_data_spark.plans.lakehouse_wap",
 ]
 
 _loaded = False

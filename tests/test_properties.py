@@ -1697,3 +1697,110 @@ def test_mor_concurrent_delete_and_merge_both_land(spark, tmp_path):
     assert LH.current_version(table) == 3  # v1 create, v2 B's merge, v3 delete
     vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
     assert 1 not in vals and vals[2] == 222.0 and len(vals) == 39
+
+
+def test_restore_is_append_only_undo(spark, tmp_path):
+    """RESTORE commits a copy of an old manifest as the new head: the
+    table reads as before the bad commit, the bad version stays
+    time-travelable, and no data file moved (the restored head references
+    v1's files verbatim)."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_wap as WAP
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    ch = spark.createDataFrame(
+        [(1, "U", 1, 111.0)], "k long, op string, seq int, v double"
+    )
+    LH.merge_partitioned(spark, table, ch)
+    assert WAP.restore_snapshot(table, 1) == 3
+    m1, m3 = LH.read_manifest(table, 1), LH.read_manifest(table, 3)
+    assert m3["files"] == m1["files"] and m3["restored_from"] == 1
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert vals[1] == 1.0, "head must read the pre-merge state"
+    assert {r.k: r.v for r in LH.read_snapshot(spark, table, 2).collect()}[
+        1
+    ] == 111.0, "the undone version must stay inspectable"
+
+
+def test_tags_protect_versions_from_expire(spark, tmp_path):
+    """A tagged version must survive expire_snapshots (a tag IS a
+    retention statement); dropping the tag releases it to the next
+    expire. Tag creation is atomic — retargeting requires an explicit
+    delete."""
+    import os
+
+    import pytest as _pytest
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_wap as WAP
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=2)
+    ch = spark.createDataFrame(
+        [(1, "U", 1, 111.0)], "k long, op string, seq int, v double"
+    )
+    LH.merge_partitioned(spark, table, ch)  # v2
+    LH.merge_partitioned(  # v3
+        spark,
+        table,
+        spark.createDataFrame([(2, "U", 1, 2.5)], "k long, op string, seq int, v double"),
+    )
+    assert WAP.tag_snapshot(table, "baseline", 1) == 1
+    with _pytest.raises(FileExistsError):
+        WAP.tag_snapshot(table, "baseline", 2)  # no silent retarget
+    LH.expire_snapshots(table, keep_latest=1)
+    # v1 survives via its tag; v2 is gone
+    assert os.path.exists(LH._manifest_path(table, 1))
+    assert not os.path.exists(LH._manifest_path(table, 2))
+    assert WAP.read_snapshot_by_tag(spark, table, "baseline").count() == 40
+    assert {r.k: r.v for r in WAP.read_snapshot_by_tag(spark, table, "baseline").collect()}[1] == 1.0
+    WAP.delete_tag(table, "baseline")
+    LH.expire_snapshots(table, keep_latest=1)
+    assert not os.path.exists(LH._manifest_path(table, 1))
+    assert LH.read_snapshot(spark, table).count() == 40
+
+
+def test_wap_stage_invisible_until_published(spark, tmp_path):
+    """A staged append must be invisible to every reader (head read, time
+    travel, scans) until published; a discarded stage's files become
+    orphans and are reclaimed; publish after an intervening commit
+    attaches to the new head. Staged rows must not be shadowed by MOR
+    delete files that predate them (seq re-stamp at publish)."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+    from shadowcat_data_spark.plans import lakehouse_wap as WAP
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=2)
+    MOR.delete_mor(spark, table, spark.createDataFrame([(7,)], "k long"))
+
+    batch = spark.createDataFrame([(7, 700.0), (100, 100.0)], ddl)
+    sid = WAP.stage_append(spark, table, batch)
+    assert LH.read_snapshot(spark, table).count() == 39, "stage invisible"
+    staged_vals = {r.k: r.v for r in WAP.read_staged(spark, table, sid).collect()}
+    assert staged_vals[7] == 700.0 and staged_vals[100] == 100.0
+    assert len(staged_vals) == 41, "staged view = head + batch"
+    # head moves between audit and publish; fast-append attaches anyway
+    LH.merge_partitioned(
+        spark,
+        table,
+        spark.createDataFrame([(3, "U", 1, 333.0)], "k long, op string, seq int, v double"),
+    )
+    WAP.publish_staged(table, sid)
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert vals[7] == 700.0, "published row must survive the older delete"
+    assert vals[3] == 333.0 and vals[100] == 100.0 and len(vals) == 41
+    # a discarded stage is reclaimable and was never visible
+    sid2 = WAP.stage_append(
+        spark, table, spark.createDataFrame([(200, -1.0)], ddl)
+    )
+    WAP.discard_staged(table, sid2)
+    assert LH.remove_orphan_files(table) > 0
+    assert 200 not in {r.k for r in LH.read_snapshot(spark, table).collect()}
