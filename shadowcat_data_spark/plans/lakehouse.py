@@ -1053,7 +1053,12 @@ def _read_files_mor(
 
 
 def snapshot_changes(
-    spark: SparkSession, table: str, v_from: int, v_to: int, key: str
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+    preimages: bool = False,
 ) -> DataFrame:
     """Change data feed between two committed snapshots: the row-level
     (key, op, new values) diff a downstream consumer replays to stay in
@@ -1079,13 +1084,24 @@ def snapshot_changes(
     # carried forward verbatim in v_to's manifest
     a = _read_files_mor(spark, table, man_from, man_from["files"], man_to["schema"])
     b = _read_files_mor(spark, table, man_to, man_to["files"])
-    return _diff_frames(a, b, key)
+    return _diff_frames(a, b, key, preimages=preimages)
 
 
-def _diff_frames(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+def _diff_frames(
+    a: DataFrame, b: DataFrame, key: str, preimages: bool = False
+) -> DataFrame:
     """Row-level (key, op, new values) diff of two same-schema frames —
     the CDF core shared by the any-two-versions read and the incremental
-    adjacent-version read."""
+    adjacent-version read.
+
+    ``preimages=True`` switches to Delta CDF's full row vocabulary —
+    op ∈ {insert, delete, update_preimage, update_postimage}, where
+    deletes and update_preimages carry the OLD values — which is what
+    retraction-based consumers (incremental materialized-view
+    maintenance, m38) need: the compact I/U/D form tells them a row
+    changed but not what to subtract. The changed-row join feeds several
+    output branches; Catalyst re-derives it per branch, fine for a feed
+    (bounded by the change volume, not the table)."""
     val_cols = [c for c in b.columns if c != key]
     old = a.select(
         F.col(key).alias("__k_old"),
@@ -1099,25 +1115,41 @@ def _diff_frames(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     same_vals = F.lit(True)
     for c in val_cols:
         same_vals = same_vals & F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
-    op = (
-        F.when(F.col("__k_old").isNull(), F.lit("I"))
-        .when(F.col("__k_new").isNull(), F.lit("D"))
-        .otherwise(F.lit("U"))
+    changed = j.filter(
+        F.col("__k_old").isNull() | F.col("__k_new").isNull() | ~same_vals
     )
-    return (
-        j.filter(
-            F.col("__k_old").isNull() | F.col("__k_new").isNull() | ~same_vals
+    if not preimages:
+        op = (
+            F.when(F.col("__k_old").isNull(), F.lit("I"))
+            .when(F.col("__k_new").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
         )
-        .select(
+        return changed.select(
             F.coalesce(F.col("__k_new"), F.col("__k_old")).alias(key),
             op.alias("op"),
             *[F.col(f"__new_{c}").alias(c) for c in val_cols],
         )
+
+    def side(df: DataFrame, op_name: str, prefix: str) -> DataFrame:
+        kcol = "__k_old" if prefix == "__old_" else "__k_new"
+        return df.select(
+            F.col(kcol).alias(key),
+            F.lit(op_name).alias("op"),
+            *[F.col(f"{prefix}{c}").alias(c) for c in val_cols],
+        )
+
+    ins = side(changed.filter(F.col("__k_old").isNull()), "insert", "__new_")
+    dels = side(changed.filter(F.col("__k_new").isNull()), "delete", "__old_")
+    both = changed.filter(
+        F.col("__k_old").isNotNull() & F.col("__k_new").isNotNull()
     )
+    pre = side(both, "update_preimage", "__old_")
+    post = side(both, "update_postimage", "__new_")
+    return ins.unionByName(dels).unionByName(pre).unionByName(post)
 
 
 def snapshot_changes_incremental(
-    spark: SparkSession, table: str, v: int, key: str
+    spark: SparkSession, table: str, v: int, key: str, preimages: bool = False
 ) -> DataFrame:
     """The CDF for ONE commit (v-1 → v), reading only the files the
     commit actually changed: a carried-forward file is the SAME file in
@@ -1136,7 +1168,7 @@ def snapshot_changes_incremental(
         # the next COW commit). A materialize commit also lands here: its
         # delete-file drop plus bucket rewrite is visibility-neutral only
         # as a PAIR, which the full diff evaluates correctly (empty feed).
-        return snapshot_changes(spark, table, v - 1, v, key)
+        return snapshot_changes(spark, table, v - 1, v, key, preimages=preimages)
     prev_files, cur_files = set(prev["files"]), set(cur["files"])
     removed = [f for f in prev["files"] if f not in cur_files]
     added = [f for f in cur["files"] if f not in prev_files]
@@ -1144,7 +1176,7 @@ def snapshot_changes_incremental(
     # removed (old-seq) files and are seq-inapplicable to the added ones
     a = _read_files_mor(spark, table, prev, removed, cur["schema"])
     b = _read_files_mor(spark, table, cur, added)
-    return _diff_frames(a, b, key)
+    return _diff_frames(a, b, key, preimages=preimages)
 
 
 @query(

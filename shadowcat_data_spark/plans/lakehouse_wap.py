@@ -280,3 +280,130 @@ def wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_partitioned(spark, table, _orders_ranged_changes(o))
     publish_staged(table, good)
     return read_snapshot(spark, table)
+
+
+# --- incremental materialized-view maintenance over the CDF ----------------
+
+_VIEW_CTE = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 1 AND o_orderkey BETWEEN 1 AND 400
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 30000000, o_totalprice FROM orders
+  WHERE o_orderkey % 5 = 2 AND o_orderkey BETWEEN 1 AND 400
+),
+final AS (
+  SELECT * FROM merged
+  WHERE NOT (o_orderkey % 7 = 6 AND o_orderkey BETWEEN 1 AND 1000)
+)
+"""
+
+
+@query(
+    "m38_cdf_view_maintenance",
+    oracle=_VIEW_CTE + """
+SELECT CAST(o_orderkey % 10 AS INT) AS o_grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
+FROM final GROUP BY o_orderkey % 10
+""",
+    category="maintenance",
+)
+def cdf_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed:
+    a per-group (count, total) summary is computed ONCE at v1, then kept
+    in sync across a COW update+insert commit (v2) and a merge-on-read
+    delete commit (v3) purely by folding each commit's PREIMAGE feed into
+    the view — +postimage/+insert, −preimage/−delete — never re-reading
+    the fact table. This is the retraction algebra Delta CDF's
+    update_preimage rows exist for: the compact I/U/D feed (m24) cannot
+    maintain a SUM because it does not say what to subtract. The view's
+    measures are exactly-associative quantized partials (the m10
+    argument), so fold order is immaterial. Per-commit cost is
+    O(feed) + O(view) — at 100 TB the view is group-cardinality-sized
+    and the feed is the commit's change volume; the fact table is never
+    touched after v1. The result must equal the oracle's from-scratch
+    aggregate of the final state."""
+    from ..plans.lakehouse_mor import delete_mor
+    from ..sources.io import _scratch
+    import shutil
+
+    table = _scratch(sf_dir, "m38_orders_ptable")
+    shutil.rmtree(table, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 10).cast("int").alias("o_grp"),
+        "o_totalprice",
+    )
+    ddl = "o_orderkey long, o_grp int, o_totalprice double"
+    _lh.create_partitioned(spark, base, table, ddl, "o_orderkey", n_buckets=8)
+
+    # the materialized view: quantized-exact partials per group, v1 state
+    def as_view(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias(
+                "cents"
+            ),
+        )
+
+    view = as_view(read_snapshot(spark, table)).localCheckpoint()
+
+    # v2: COW merge — updates (+10 on keys ≡1 mod 5 in 1..400) and inserts
+    in_range = o.filter(F.col("o_orderkey").between(1, 400))
+    upd = in_range.filter(F.col("o_orderkey") % 5 == 1).select(
+        "o_orderkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        (F.col("o_orderkey") % 10).cast("int").alias("o_grp"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+    )
+    ins = in_range.filter(F.col("o_orderkey") % 5 == 2).select(
+        (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        (F.col("o_orderkey") % 10).cast("int").alias("o_grp"),
+        F.col("o_totalprice"),
+    )
+    merge_partitioned(spark, table, upd.unionByName(ins))
+
+    # v3: MOR delete — keys ≡6 mod 7 in 1..1000 (inserted keys are out of range)
+    doomed = (
+        read_snapshot(spark, table)
+        .filter((F.col("o_orderkey") % 7 == 6) & F.col("o_orderkey").between(1, 1000))
+        .select("o_orderkey")
+    )
+    delete_mor(spark, table, doomed)
+
+    # fold each commit's preimage feed into the view — the fact table is
+    # never re-read; a group whose count reaches zero leaves the view
+    sign = (
+        F.when(F.col("op").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("op").isin("delete", "update_preimage"), F.lit(-1))
+    )
+    for v in range(2, current_version(table) + 1):
+        feed = _lh.snapshot_changes_incremental(
+            spark, table, v, "o_orderkey", preimages=True
+        )
+        delta = feed.select(
+            "o_grp",
+            sign.alias("n"),
+            (sign * F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias(
+                "cents"
+            ),
+        ).groupBy("o_grp").agg(
+            F.sum("n").alias("n"), F.sum("cents").alias("cents")
+        )
+        view = (
+            view.unionByName(delta)
+            .groupBy("o_grp")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+            .filter(F.col("n") > 0)
+            .localCheckpoint()
+        )
+    return view.select(
+        "o_grp",
+        "n",
+        (F.col("cents").cast("double") / 100.0).alias("total"),
+    )

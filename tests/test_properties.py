@@ -1804,3 +1804,34 @@ def test_wap_stage_invisible_until_published(spark, tmp_path):
     WAP.discard_staged(table, sid2)
     assert LH.remove_orphan_files(table) > 0
     assert 200 not in {r.k for r in LH.read_snapshot(spark, table).collect()}
+
+
+def test_cdf_preimage_vocabulary(spark, tmp_path):
+    """preimages=True must emit Delta CDF's full row vocabulary: insert
+    (new values), delete (OLD values), and a preimage+postimage PAIR per
+    update — the retraction algebra m38's view maintenance folds."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=2)
+    ch = spark.createDataFrame(
+        [(3, "U", 1, 33.0), (5, "D", 1, None), (100, "I", 1, 1.0)],
+        "k long, op string, seq int, v double",
+    )
+    LH.merge_partitioned(spark, table, ch)
+    feed = LH.snapshot_changes_incremental(spark, table, 2, "k", preimages=True)
+    got = {(r.k, r.op, r.v) for r in feed.collect()}
+    assert got == {
+        (100, "insert", 1.0),
+        (5, "delete", 5.0),  # delete carries the OLD value
+        (3, "update_preimage", 3.0),
+        (3, "update_postimage", 33.0),
+    }
+    # compact form unchanged: one row per changed key, new values only
+    compact = {
+        (r.k, r.op, r.v)
+        for r in LH.snapshot_changes_incremental(spark, table, 2, "k").collect()
+    }
+    assert compact == {(100, "I", 1.0), (5, "D", None), (3, "U", 33.0)}
