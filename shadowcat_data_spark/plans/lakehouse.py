@@ -89,7 +89,9 @@ def current_version(table: str) -> int:
     return max(versions, default=0)
 
 
-def _commit_manifest(table: str, version: int, manifest: dict) -> int:
+def _commit_manifest(
+    table: str, version: int, manifest: dict, operation: str | None = None
+) -> int:
     """Atomically publish ``manifest`` as snapshot ``version``.
 
     Write-temp + link: link() FAILS with FileExistsError if another writer
@@ -105,6 +107,9 @@ def _commit_manifest(table: str, version: int, manifest: dict) -> int:
     # stamped unconditionally: the commit's own wall time, never a value
     # carried forward from the previous manifest or passed by a caller
     manifest["committed_at"] = time.time()
+    if operation is not None:
+        # what kind of commit this was — DESCRIBE HISTORY's operation column
+        manifest["operation"] = operation
     os.makedirs(_log_dir(table), exist_ok=True)
     tmp = _manifest_path(table, version) + f".tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -122,6 +127,7 @@ def commit_snapshot(
     schema_ddl: str,
     extra: dict | None = None,
     expected_version: int | None = None,
+    operation: str = "commit",
 ) -> int:
     """Write ``df`` as the next snapshot of ``table`` and atomically commit.
 
@@ -150,7 +156,7 @@ def commit_snapshot(
     manifest = {"version": version, "schema": schema_ddl, "files": files}
     if extra:
         manifest.update(extra)
-    return _commit_manifest(table, version, manifest)
+    return _commit_manifest(table, version, manifest, operation=operation)
 
 
 def read_manifest(table: str, version: int | None = None) -> dict:
@@ -239,7 +245,11 @@ def merge_snapshot(
         merged = apply_changelog(base, changes, key)
         try:
             return commit_snapshot(
-                merged, table, schema_ddl, expected_version=base_version + 1
+                merged,
+                table,
+                schema_ddl,
+                expected_version=base_version + 1,
+                operation="merge",
             )
         except FileExistsError:
             continue  # lost the race: loop re-reads the new head
@@ -520,7 +530,15 @@ def _write_bucket_files(
     return entries
 
 
-_STD_MANIFEST_KEYS = {"version", "schema", "files", "stats", "partition", "committed_at"}
+_STD_MANIFEST_KEYS = {
+    "version",
+    "schema",
+    "files",
+    "stats",
+    "partition",
+    "committed_at",
+    "operation",  # per-commit, never inherited from the previous manifest
+}
 
 
 def _partitioned_manifest(
@@ -579,7 +597,10 @@ def create_partitioned(
     )
     partition = {"key": key, "bounds": bounds}
     return _commit_manifest(
-        table, 1, _partitioned_manifest(1, schema_ddl, partition, entries, extra=extra)
+        table,
+        1,
+        _partitioned_manifest(1, schema_ddl, partition, entries, extra=extra),
+        operation="create",
     )
 
 
@@ -644,7 +665,9 @@ def merge_partitioned(
             extra=extra,
         )
         try:
-            return _commit_manifest(table, version + 1, manifest)
+            return _commit_manifest(
+                table, version + 1, manifest, operation="merge"
+            )
         except FileExistsError:
             continue  # conflict: re-read the new head, re-route, re-apply
     raise CommitConflictError(
@@ -675,7 +698,9 @@ def append_partitioned(
             extra=extra,
         )
         try:
-            return _commit_manifest(table, version + 1, manifest)
+            return _commit_manifest(
+                table, version + 1, manifest, operation="append"
+            )
         except FileExistsError:
             continue
     raise CommitConflictError(
@@ -718,7 +743,7 @@ def compact_partitioned(
             version + 1, man["schema"], part, {**carried, **entries}, prev=man
         )
         try:
-            _commit_manifest(table, version + 1, manifest)
+            _commit_manifest(table, version + 1, manifest, operation="compact")
             return n_before, len(manifest["files"])
         except FileExistsError:
             continue
@@ -740,7 +765,9 @@ def evolve_schema(table: str, new_schema_ddl: str, max_retries: int = 5) -> int:
         man["version"] = version + 1
         man["schema"] = new_schema_ddl
         try:
-            return _commit_manifest(table, version + 1, man)
+            return _commit_manifest(
+                table, version + 1, man, operation="evolve-schema"
+            )
         except FileExistsError:
             continue
     raise CommitConflictError(
@@ -1359,7 +1386,9 @@ def rebound_partitioned(
             extra={"delete_files": {}},
         )
         try:
-            return _commit_manifest(table, version + 1, manifest)
+            return _commit_manifest(
+                table, version + 1, manifest, operation="rebound"
+            )
         except FileExistsError:
             continue
     raise CommitConflictError(
@@ -1548,4 +1577,122 @@ def auto_optimize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, a, n) for i, a in enumerate(actions)],
         "step int, action string, n_rows_after long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables: DESCRIBE HISTORY / files — query the log itself
+# ---------------------------------------------------------------------------
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """The commit log as a DataFrame — Delta's DESCRIBE HISTORY / Iceberg's
+    ``snapshots`` metadata table: one row per surviving version with the
+    stamped operation, file/delete-file census, and the manifest-stats row
+    count. Driver-side over manifests only (KBs per thousand files —
+    metadata-sized at any table size; no data file is opened).
+    ``n_rows_meta`` counts DATA rows: on a snapshot with standing MOR
+    delete files it is an upper bound of the visible count, the same
+    caveat that disables metadata-only COUNT(*) under deletes (m29)."""
+    rows = []
+    for v in range(1, current_version(table) + 1):
+        if not os.path.exists(_manifest_path(table, v)):
+            continue  # expired version: history starts where retention left it
+        man = read_manifest(table, v)
+        stats = man.get("stats") or {}
+        n_rows = (
+            sum(stats[f]["rows"] for f in man["files"]) if stats else None
+        )
+        rows.append(
+            (
+                v,
+                man.get("operation"),
+                len(man["files"]),
+                len(man.get("delete_files") or {}),
+                n_rows,
+                man.get("restored_from"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, n_files int, n_delete_files int, "
+        "n_rows_meta long, restored_from int",
+    )
+
+
+def table_files(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Per-file metadata of one snapshot — Iceberg's ``files`` metadata
+    table: path, bucket, seq, rows, and the partition key's min/max, all
+    straight from the manifest (no footers re-read). The operational
+    entry point for layout forensics: skew, small files, stale seqs."""
+    man = read_manifest(table, version)
+    stats = man.get("stats") or {}
+    rows = [
+        (
+            f,
+            st.get("bucket"),
+            st.get("seq"),
+            st.get("rows"),
+            float(st["min"]) if st.get("min") is not None else None,
+            float(st["max"]) if st.get("max") is not None else None,
+        )
+        for f, st in ((f, stats.get(f, {})) for f in man["files"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, bucket int, seq int, n_rows long, key_min double, key_max double",
+    )
+
+
+@query(
+    "m39_table_history",
+    oracle="""
+WITH census AS (
+  -- the append duplicates keys ≡3 (mod 7); an equality delete erases a key
+  -- from EVERY data file, so predicate keys that were also appended lose
+  -- both copies — deleted counts row OCCURRENCES, not keys
+  SELECT CAST(COUNT(*) AS BIGINT) AS base,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 = 3) AS BIGINT) AS appended,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey % 5 = 0
+                               AND o_orderkey BETWEEN 1 AND 2000) AS BIGINT)
+         + CAST(COUNT(*) FILTER (WHERE o_orderkey % 5 = 0
+                                 AND o_orderkey BETWEEN 1 AND 2000
+                                 AND o_orderkey % 7 = 3) AS BIGINT) AS deleted
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 1 AS version, 'create' AS operation, 8 AS n_files, 0 AS n_delete_files,
+         base AS n_rows_meta FROM census
+  UNION ALL SELECT 2, 'append', 16, 0, base + appended FROM census
+  UNION ALL SELECT 3, 'compact', 8, 0, base + appended FROM census
+  UNION ALL SELECT 4, 'delete', 8, 1, base + appended FROM census
+  UNION ALL SELECT 5, 'materialize', 8, 0, base + appended - deleted FROM census
+)
+""",
+    category="maintenance",
+)
+def table_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over a scripted lifecycle — create, append,
+    compact, MOR delete, materialize — pinning for every version the
+    stamped operation, the file and delete-file census, and the
+    metadata row count (which, per the documented caveat, does NOT drop
+    at the delete commit — data files are untouched — and does drop at
+    materialization). The whole answer comes from manifests; no data
+    file is opened."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m39_orders_ptable")
+    from .lakehouse_mor import delete_mor, materialize_deletes
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    append_partitioned(spark, table, o.filter(F.col("o_orderkey") % 7 == 3))
+    compact_partitioned(spark, table)
+    delete_mor(
+        spark,
+        table,
+        o.filter(
+            (F.col("o_orderkey") % 5 == 0) & F.col("o_orderkey").between(1, 2000)
+        ).select("o_orderkey"),
+    )
+    materialize_deletes(spark, table)
+    return table_history(spark, table).select(
+        "version", "operation", "n_files", "n_delete_files", "n_rows_meta"
     )

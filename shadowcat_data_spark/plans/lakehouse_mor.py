@@ -118,7 +118,9 @@ def delete_mor(
             },
         )
         try:
-            return _lh._commit_manifest(table, version + 1, manifest)
+            return _lh._commit_manifest(
+                table, version + 1, manifest, operation="delete"
+            )
         except FileExistsError:
             continue  # lost the race: re-read the new head and retry
     raise CommitConflictError(
@@ -163,7 +165,9 @@ def upsert_mor(
             },
         )
         try:
-            return _lh._commit_manifest(table, version + 1, manifest)
+            return _lh._commit_manifest(
+                table, version + 1, manifest, operation="upsert"
+            )
         except FileExistsError:
             continue
     raise CommitConflictError(
@@ -224,7 +228,9 @@ def materialize_deletes(
             extra={"delete_files": {}},
         )
         try:
-            _lh._commit_manifest(table, version + 1, manifest)
+            _lh._commit_manifest(
+                table, version + 1, manifest, operation="materialize"
+            )
             return len(dfiles), len(touched)
         except FileExistsError:
             continue

@@ -67,7 +67,9 @@ def restore_snapshot(table: str, to_version: int, max_retries: int = 5) -> int:
         man["version"] = head + 1
         man["restored_from"] = to_version
         try:
-            return _lh._commit_manifest(table, head + 1, man)
+            return _lh._commit_manifest(
+                table, head + 1, man, operation="restore"
+            )
         except FileExistsError:
             continue
     raise CommitConflictError(
@@ -206,7 +208,9 @@ def publish_staged(table: str, stage_id: str, max_retries: int = 5) -> int:
             prev=man,
         )
         try:
-            v = _lh._commit_manifest(table, head + 1, manifest)
+            v = _lh._commit_manifest(
+                table, head + 1, manifest, operation="publish"
+            )
             os.unlink(path)
             return v
         except FileExistsError:

@@ -1835,3 +1835,36 @@ def test_cdf_preimage_vocabulary(spark, tmp_path):
         for r in LH.snapshot_changes_incremental(spark, table, 2, "k").collect()
     }
     assert compact == {(100, "I", 1.0), (5, "D", None), (3, "U", 33.0)}
+
+
+def test_metadata_tables_census(spark, tmp_path):
+    """table_files must mirror the manifest entries (bucket/seq/rows/span)
+    and table_history must start where retention left it after an
+    expire, with operations stamped per commit — never inherited."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(80)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    LH.append_partitioned(spark, table, spark.createDataFrame([(200, 1.0)], ddl))
+    MOR.delete_mor(spark, table, spark.createDataFrame([(3,)], "k long"))
+    hist = {r.version: r for r in LH.table_history(spark, table).collect()}
+    assert [hist[v].operation for v in (1, 2, 3)] == ["create", "append", "delete"]
+    assert hist[2].n_files == hist[1].n_files + 1  # append adds, never rewrites
+    assert hist[3].n_delete_files == 1 and hist[3].n_files == hist[2].n_files
+    assert hist[3].n_rows_meta == 81, "metadata rows ignore MOR deletes (documented)"
+    files = LH.table_files(spark, table).collect()
+    assert len(files) == hist[3].n_files
+    assert sum(r.n_rows for r in files) == 81
+    assert all(
+        r.key_min is not None and r.key_min <= r.key_max for r in files
+    ), "every data file carries its key span"
+    top_seq = max(r.seq for r in files)
+    assert top_seq == 2, "append files carry their commit's seq"
+    # history survives retention truncation: only surviving versions listed
+    MOR.materialize_deletes(spark, table)
+    LH.expire_snapshots(table, keep_latest=2)
+    versions = [r.version for r in LH.table_history(spark, table).collect()]
+    assert versions == [3, 4]

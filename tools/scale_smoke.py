@@ -181,6 +181,11 @@ def main() -> None:
         "m21_pruned_key_scan",
         "l3g_ann_index_build",
         "l3h_ann_index_probe",
+        # continued-session additions: the merge-on-read lifecycle at 1.5M
+        # rows (delete/upsert commits write O(change-set); materialize
+        # rewrites touched buckets) and the WAP staged-append publish
+        "m33_mor_materialize",
+        "m37_wap_publish",
     ]
 
     specs = registry.load_all()
