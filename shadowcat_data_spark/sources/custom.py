@@ -494,3 +494,164 @@ def stream_lakehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("t20_out")
+
+
+# ---------------------------------------------------------------------------
+# Batch source for snapshot-log tables: spark.read.format("snapshotlog")
+# ---------------------------------------------------------------------------
+
+if _HAVE_PYDS:
+
+    class _SnapFilePartition(InputPartition):
+        """One manifest data file = one scan task, carrying everything the
+        executor needs: the file's absolute path, its commit seq, and the
+        (path, seq) list of equality-delete files — so MERGE-ON-READ
+        delete application happens PER TASK with zero driver involvement,
+        exactly how an Iceberg reader schedules v2 deletes."""
+
+        def __init__(self, path: str, seq: int, deletes: list, key: str, cols: list):
+            self.path = path
+            self.seq = seq
+            self.deletes = deletes  # [(abs_path, seq)]
+            self.key = key
+            self.cols = cols
+
+    class SnapshotLogReader(DataSourceReader):
+        """Plans one partition per manifest-listed data file of the
+        requested version (options: ``path``, optional ``version``)."""
+
+        def __init__(self, options):
+            self.table = options["path"]
+            self.version = options.get("version")
+
+        def partitions(self):
+            import os
+
+            from ..plans.lakehouse import read_manifest
+
+            man = read_manifest(
+                self.table, int(self.version) if self.version else None
+            )
+            stats = man.get("stats") or {}
+            dfiles = [
+                (os.path.join(self.table, rel), int(st["seq"]))
+                for rel, st in (man.get("delete_files") or {}).items()
+            ]
+            key = (man.get("partition") or {}).get("key", "")
+            # column order from the DDL (flat schemas only — the snapshot
+            # tables this format manages are scalar-columned by design;
+            # a nested type's comma would need a real DDL parser)
+            cols = [c.split()[0] for c in man["schema"].split(",")]
+            parts = [
+                _SnapFilePartition(
+                    os.path.join(self.table, f),
+                    int(stats.get(f, {}).get("seq", 0)),
+                    dfiles,
+                    key,
+                    cols,
+                )
+                for f in man["files"]
+            ]
+            # zero-file snapshot: one no-op partition keeps the scan valid
+            return parts or [_SnapFilePartition("", 0, [], key, cols)]
+
+        def read(self, partition: _SnapFilePartition):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            if not partition.path:
+                return
+            # task-local equality-delete set: keys from every delete file
+            # that postdates this data file's commit (the seq rule)
+            doomed = None
+            applicable = [p for p, s in partition.deletes if s > partition.seq]
+            if applicable:
+                doomed = pa.concat_tables(
+                    [pq.read_table(p, columns=[partition.key]) for p in applicable]
+                )[partition.key]
+            for batch in pq.ParquetFile(partition.path).iter_batches():
+                t = pa.Table.from_batches([batch]).select(partition.cols)
+                if doomed is not None and len(doomed):
+                    t = t.filter(
+                        pc.invert(pc.is_in(t[partition.key], value_set=doomed))
+                    )
+                yield from t.to_batches()
+
+    class SnapshotLogDataSource(DataSource):
+        """``spark.read.format("snapshotlog").option("path", table)`` —
+        the snapshot-log table format as a first-class Spark relation.
+        The schema comes from the manifest (not file inference), time
+        travel is ``option("version", N)``, and merge-on-read delete
+        files are applied inside each scan task from Arrow batches."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "snapshotlog"
+
+        def schema(self) -> str:
+            from ..plans.lakehouse import read_manifest
+
+            v = self.options.get("version")
+            return read_manifest(self.options["path"], int(v) if v else None)[
+                "schema"
+            ]
+
+        def reader(self, schema) -> SnapshotLogReader:
+            return SnapshotLogReader(self.options)
+
+    def register_snapshotlog(spark: SparkSession) -> None:
+        spark.dataSource.register(SnapshotLogDataSource)
+
+
+@query(
+    "s17_snapshotlog_source",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_now,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_now,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_v1
+FROM orders
+WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey BETWEEN 1 AND 2000)
+""",
+    category="source",
+)
+def snapshotlog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse as a registered Spark format: a partitioned orders
+    table takes a merge-on-read DELETE, then is read back with
+    ``spark.read.format("snapshotlog")`` — one scan task per manifest
+    file, equality-delete keys subtracted task-locally from Arrow
+    batches (no driver-side anti-join anywhere in the plan), plus a
+    time-travel read of v1 through ``option("version")`` proving the
+    pre-delete state. Must equal the raw-parquet oracle on both counts."""
+    if not _HAVE_PYDS:
+        raise NotImplementedError("Python Data Source API requires PySpark 4+")
+    from ..plans.lakehouse import _fresh_partitioned_orders
+    from ..plans.lakehouse_mor import delete_mor
+
+    table = _fresh_partitioned_orders(spark, sf_dir, "s17_orders_ptable")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    delete_mor(
+        spark,
+        table,
+        o.filter(
+            (F.col("o_orderkey") % 5 == 0) & F.col("o_orderkey").between(1, 2000)
+        ).select("o_orderkey"),
+    )
+    register_snapshotlog(spark)
+    now = spark.read.format("snapshotlog").option("path", table).load()
+    v1 = (
+        spark.read.format("snapshotlog")
+        .option("path", table)
+        .option("version", "1")
+        .load()
+    )
+    return now.agg(
+        F.count(F.lit(1)).alias("n_now"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("total_now"),
+    ).crossJoin(v1.agg(F.count(F.lit(1)).alias("n_v1")))

@@ -376,22 +376,42 @@ _SERVICE_OPS = st.lists(
         st.tuples(st.just("evolve"), st.none()),
         st.tuples(st.just("rebound"), st.none()),
         st.tuples(st.just("expire"), st.none()),
+        st.tuples(  # merge-on-read delete: a few keys from the merge space
+            st.just("mor_delete"),
+            st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=4),
+        ),
+        st.tuples(  # merge-on-read upsert: key → new value
+            st.just("mor_upsert"),
+            st.dictionaries(
+                st.integers(min_value=0, max_value=60),
+                st.integers(min_value=-99, max_value=99),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.tuples(st.just("materialize"), st.none()),
+        st.tuples(st.just("wap_append"), st.integers(min_value=0, max_value=2)),
     ),
     min_size=2,
-    max_size=5,
+    max_size=6,
 )
 
 
 @settings(max_examples=4, deadline=None)
 @given(_SERVICE_OPS)
 def test_lakehouse_service_fuzzer(spark, tmp_path_factory, ops):
-    """Random interleavings of EVERY table service — merge, append,
-    compact, evolve, rebound, expire — must preserve exactly the content
-    a serial key→value model predicts, leave zero orphans, and keep the
-    manifest row census equal to the table. The content-neutral services
-    (compact/evolve/rebound/expire) are the dangerous ones: each
-    rewrites or drops files while claiming to change nothing."""
+    """Random interleavings of EVERY table service — COW merge, append,
+    compact, evolve, rebound, expire, MOR delete/upsert, delete
+    materialization, staged WAP publish — must preserve exactly the
+    content a serial key→value model predicts, leave zero orphans, and
+    (after a final materialize) keep the manifest row census equal to
+    the table. The content-neutral services (compact/evolve/rebound/
+    expire/materialize) are the dangerous ones: each rewrites or drops
+    files while claiming to change nothing; the MOR ops additionally
+    mix visibility state (delete files) into every later service."""
     from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans import lakehouse_mor as MOR
+    from shadowcat_data_spark.plans import lakehouse_wap as WAP
 
     table = str(tmp_path_factory.mktemp("svc") / "t")
     ddl = "k long, v double"
@@ -425,7 +445,11 @@ def test_lakehouse_service_fuzzer(spark, tmp_path_factory, ops):
             fresh = [(next_fresh + i, -1.0) for i in range(arg)]
             next_fresh += arg
             if fresh:
-                LH.append_partitioned(spark, table, spark.createDataFrame(fresh, ddl))
+                # writes may lag a schema evolution: old-shape rows are
+                # legal, the explicit-schema read null-pads the new cols
+                LH.append_partitioned(
+                    spark, table, spark.createDataFrame(fresh, "k long, v double")
+                )
                 state.update(dict(fresh))
         elif kind == "compact":
             LH.compact_partitioned(spark, table)
@@ -437,8 +461,34 @@ def test_lakehouse_service_fuzzer(spark, tmp_path_factory, ops):
             LH.rebound_partitioned(spark, table)
         elif kind == "expire":
             LH.expire_snapshots(table, keep_latest=2)
+        elif kind == "mor_delete":
+            MOR.delete_mor(
+                spark, table, spark.createDataFrame([(k,) for k in arg], "k long")
+            )
+            for k in arg:
+                state.pop(k, None)
+        elif kind == "mor_upsert":
+            rows = [(k, float(v)) for k, v in arg.items()]
+            MOR.upsert_mor(spark, table, spark.createDataFrame(rows, "k long, v double"))
+            state.update(dict(rows))
+        elif kind == "materialize":
+            MOR.materialize_deletes(spark, table)
+        elif kind == "wap_append":
+            fresh = [(next_fresh + i, -2.0) for i in range(arg)]
+            next_fresh += arg
+            if fresh:
+                sid = WAP.stage_append(
+                    spark, table, spark.createDataFrame(fresh, "k long, v double")
+                )
+                WAP.publish_staged(table, sid)
+                state.update(dict(fresh))
     got = {r.k: r.v for r in LH.read_snapshot(spark, table).select("k", "v").collect()}
     assert got == state
+    # the metadata row census counts DATA rows: exact only once standing
+    # MOR delete files are folded (the documented m29/m39 caveat)
+    MOR.materialize_deletes(spark, table)
+    got2 = {r.k: r.v for r in LH.read_snapshot(spark, table).select("k", "v").collect()}
+    assert got2 == state, "materialize changed visible content"
     man = LH.read_manifest(table)
     assert sum(man["stats"][f]["rows"] for f in man["files"]) == len(state)
     assert LH.remove_orphan_files(table) == 0, "clean services left orphans"
