@@ -1113,3 +1113,110 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict.alias("verdict"),
         (verdict == "kept").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L29 — BPE vocabulary induction (Sennrich-style byte-pair encoding merges)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merges(
+    spark: SparkSession, docs: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from a corpus — the tokenizer-
+    training step of an LLM data pipeline, shaped for scale the way the
+    algorithm demands:
+
+    - CORPUS-SCALE work happens exactly once: a distributed word-frequency
+      aggregation (explode → groupBy). Everything after operates on the
+      WORD VOCABULARY (distinct words + counts) — orders of magnitude
+      smaller than the corpus and independent of corpus growth beyond
+      vocabulary saturation, which is why single-machine BPE trainers get
+      away with it and why the per-round loop here is cheap.
+    - Each round is Catalyst-only: adjacent-pair counts via
+      arrays_zip(slice, slice) → explode → sum, the argmax pair via ONE
+      driver row (deterministic tie-break: count desc, then lexicographic
+      pair), and the merge applied to every word with an ``F.aggregate``
+      fold — greedy left-to-right non-overlapping replacement, provably
+      equal to the reference scan (the just-merged symbol a+b can never
+      re-match the pair's left element a, so the fold cannot chain) —
+      no Python UDF anywhere.
+    - ``localCheckpoint`` per round truncates the lineage (20 rounds of
+      nested lambda expressions would otherwise stack in the optimizer).
+
+    Words carry an explicit ``</w>`` end-of-word symbol (Sennrich's
+    formulation), so merges distinguish word-final units. Returns the
+    merge table (rank, left, right, merged, pair_count); stops early if
+    the vocabulary runs out of pairs. Property-tested against a pure-
+    Python reference implementation on random corpora."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            "cnt",
+        )
+        # the vocab is corpus-independent-small after saturation; 8
+        # partitions keep the 2 jobs/round from scheduling 32 near-empty
+        # tasks each (measured 32.7s → 13.0s for 20 rounds at sf0.01).
+        # At web scale raise it with vocab size — the loop itself is
+        # partition-count-agnostic.
+        .repartition(8)
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("syms")
+        pair_rows = (
+            words.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", F.lit(1), n - 1).alias("a"),
+                        F.slice("syms", F.lit(2), n - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            break  # vocabulary exhausted: every word is one symbol
+        a, b, pc = pair_rows[0]["a"], pair_rows[0]["b"], int(pair_rows[0]["pc"])
+        merged = a + b
+        merges.append((rank, a, b, merged, pc))
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(fold.alias("syms"), "cnt").localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+@query("l29_bpe_vocab", category="pipeline-text")
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 20 BPE merges learned from the documents corpus. No SQL
+    oracle — the merge recurrence (argmax, rewrite, repeat) is not
+    expressible in one query; correctness is pinned instead by the
+    hypothesis twin against a pure-Python BPE reference
+    (tests/test_hypothesis_props.py) and the deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(spark, docs, "text", 20)

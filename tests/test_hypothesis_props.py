@@ -492,3 +492,62 @@ def test_lakehouse_service_fuzzer(spark, tmp_path_factory, ops):
     man = LH.read_manifest(table)
     assert sum(man["stats"][f]["rows"] for f in man["files"]) == len(state)
     assert LH.remove_orphan_files(table) == 0, "clean services left orphans"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bpe_matches_python_reference(spark, words_list, n_merges):
+    """The Catalyst BPE trainer (pair argmax + F.aggregate greedy fold)
+    must produce exactly the merge sequence of a pure-Python reference
+    implementation — same tie-break (count desc, lexicographic pair) and
+    same greedy left-to-right non-overlapping replacement."""
+    from collections import Counter
+
+    from shadowcat_data_spark.pipeline.text import bpe_merges
+
+    def reference(tokens, n):
+        counts = Counter(tokens)
+        vocab = {tuple(list(w) + ["</w>"]): c for w, c in counts.items()}
+        out = []
+        for rank in range(1, n + 1):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            (a, b), pc = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((rank, a, b, a + b, pc))
+            new_vocab = Counter()
+            for syms, c in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_vocab[tuple(res)] += c
+            vocab = new_vocab
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words_list)], "doc_id long, text string"
+    )
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(spark, docs, "text", n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == reference(words_list, n_merges)
