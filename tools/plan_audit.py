@@ -43,6 +43,12 @@ ALLOW = {
     "q22_idle_rich_customers": {"BroadcastNestedLoopJoin"},
     "q11_important_stock": {"BroadcastNestedLoopJoin"},
     "q15_top_supplier": {"BroadcastNestedLoopJoin"},
+    # snapshot-log DataSource smoke: combines a ONE-row aggregate of the
+    # current snapshot with a ONE-row aggregate of version 1 — both sides
+    # are single rows at any table scale, so the keyless BNLJ is a
+    # constant-cost apply (a literal join key gets constant-folded away,
+    # so there is no way to express this as a hash join)
+    "s17_snapshotlog_source": {"BroadcastNestedLoopJoin"},
     "l5_tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     "l16_bigram_pmi": {"BroadcastNestedLoopJoin"},
     "m4_gap_fill_locf": {"BroadcastNestedLoopJoin"},
