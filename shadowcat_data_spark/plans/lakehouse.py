@@ -1696,3 +1696,113 @@ def table_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_history(spark, table).select(
         "version", "operation", "n_files", "n_delete_files", "n_rows_meta"
     )
+
+
+def runtime_pruned_join(
+    spark: SparkSession,
+    table: str,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Runtime-filter join pruning (Iceberg runtime filtering / Spark
+    DPP's lakehouse analog): before scanning the big partitioned table,
+    run ONE tiny aggregate over the (already filtered) build side —
+    min/max of its join keys plus the set of table buckets those keys
+    route to — and keep only the table files whose manifest span AND
+    bucket survive both filters. The aggregate is O(|build|) with a
+    1-row result at any scale; the payoff is whole probe-side files
+    never opened.
+
+    Pruning bites exactly when the probe table is partitioned/clustered
+    on the join key (this module's tables always are): the range filter
+    handles compact build key spans (a backfill window, a restatement),
+    the bucket-set filter additionally handles scattered-but-few key
+    sets. A build side whose keys blanket every bucket prunes nothing —
+    the same contract as Iceberg's runtime filters, and the reason the
+    probe predicate is re-applied by the join itself (kept files are a
+    superset of matching rows).
+
+    Returns (joined DataFrame, files_kept, files_total). The build side
+    is intentionally evaluated twice (filter aggregate + join): it is
+    the SMALL side — at cluster scale both uses read the same pushed-
+    down scan, and the join side is broadcast below, so no shuffle of
+    the probe table ever happens on the pruned plan."""
+    man = read_manifest(table, version)
+    bounds = (man.get("partition") or {}).get("bounds", [])
+    row = build.agg(
+        F.min(build_key).alias("lo"),
+        F.max(build_key).alias("hi"),
+        F.collect_set(_bucket_expr(F.col(build_key), bounds)).alias("bks"),
+    ).first()
+    total = len(man["files"])
+    if row["lo"] is None:  # empty build side → empty join, zero files read
+        empty = _read_files_mor(spark, table, man, []).limit(0)
+        return empty.join(build, empty[probe_key] == build[build_key]), 0, total
+    keep, _ = pruned_files(table, row["lo"], row["hi"], version)
+    buckets = set(row["bks"] or [])
+    stats = man.get("stats", {})
+    keep = [
+        f
+        for f in keep
+        if stats.get(f, {}).get("bucket") is None
+        or stats[f]["bucket"] in buckets
+    ]
+    probe = _read_files_mor(spark, table, man, keep)
+    return probe.join(F.broadcast(build), probe[probe_key] == build[build_key]), len(
+        keep
+    ), total
+
+
+_LINEITEM_DDL = "l_orderkey long, l_extendedprice double, l_quantity double"
+
+
+@query(
+    "m40_runtime_filter_join",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey BETWEEN 2000 AND 2600 AND o.o_orderstatus = 'O'
+""",
+    category="maintenance",
+)
+def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join against the partitioned lakehouse: lineitem
+    committed as an 8-bucket key-range table, joined to a filtered
+    orders build side (one backfill window of order keys). The build
+    side's key span + bucket set — computed at runtime, not parsed from
+    the predicate — prune lineitem's files from the manifest BEFORE the
+    scan (strictly fewer files opened — asserted in pytest), and the
+    joined aggregate still equals the raw-table join the oracle runs."""
+    table = _scratch(sf_dir, "m40_lineitem_ptable")
+    shutil.rmtree(table, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    create_partitioned(spark, li, table, _LINEITEM_DDL, "l_orderkey", n_buckets=8)
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderkey").between(2000, 2600)
+            & (F.col("o_orderstatus") == "O")
+        )
+        .select("o_orderkey")
+    )
+    joined, _kept, _total = runtime_pruned_join(
+        spark, table, "l_orderkey", build, "o_orderkey"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        (
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+            ).cast("double")
+            / 100.0
+        ).alias("revenue"),
+    )

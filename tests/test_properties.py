@@ -1041,6 +1041,35 @@ def test_partitioned_scan_skips_files(spark, tmp_path):
     assert scan_partitioned(spark, table).count() == 1000
 
 
+def test_runtime_filter_join_prunes_probe_files(spark, tmp_path):
+    """m40's kernel: the build side's runtime key span + bucket set must
+    prune probe-table files at the metadata level, the pruned join must
+    equal the unpruned join, and an empty build side must read ZERO
+    probe files."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=8)
+    build = spark.createDataFrame(
+        [(k,) for k in range(100, 141)] + [(5000,)], "bk long"
+    )
+    joined, kept, total = LH.runtime_pruned_join(spark, table, "k", build, "bk")
+    assert total == 8 and 0 < kept < total
+    got = sorted(r.k for r in joined.collect())
+    full = LH.read_snapshot(spark, table)
+    want = sorted(
+        r.k for r in full.join(build, full["k"] == build["bk"]).collect()
+    )
+    assert got == want == list(range(100, 141))
+    # empty build side: no probe file opened, empty result, schema intact
+    empty_build = build.filter("bk < 0")
+    j0, kept0, _ = LH.runtime_pruned_join(spark, table, "k", empty_build, "bk")
+    assert kept0 == 0 and j0.count() == 0
+    assert [f.name for f in j0.schema.fields][:2] == ["k", "v"]
+
+
 def test_concurrent_merges_both_land(spark, tmp_path):
     """Optimistic-commit retry: writer A loses the version race to writer
     B mid-commit, re-reads the new head, re-applies its change-set — BOTH
