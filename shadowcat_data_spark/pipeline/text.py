@@ -1220,3 +1220,179 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_hypothesis_props.py) and the deterministic tie-break."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merges(spark, docs, "text", 20)
+
+
+# ---------------------------------------------------------------------------
+# L30 — quality classifier trained IN the engine (quantized batch GD)
+# ---------------------------------------------------------------------------
+
+_L30_ITERS = 12
+_L30_LR = 10.0
+_L30_NF = 4  # bias + centered-quadratic length + space ratio + alpha ratio
+_L30_Q = "1000000.0"  # micro-unit quantization grid (shared literal)
+
+
+def _l30_z_sql(w: str, f: str) -> str:
+    """Left-associated dot product — association order is part of the
+    cross-engine contract (float addition is not associative)."""
+    expr = f"({w}.w0*{f}.x0)"
+    for j in range(1, _L30_NF):
+        expr = f"({expr}+({w}.w{j}*{f}.x{j}))"
+    return expr
+
+
+def _l30_oracle() -> str:
+    """Unrolled-CTE mirror of the full training loop: w0 = 0 → three
+    gradient/update rounds → score. Every per-row gradient contribution
+    and every weight is quantized to the micro grid in BOTH engines, so
+    the sums are exact integers and the learned weights hash-match."""
+    p = f"(1.0/(1.0+EXP(-({_l30_z_sql('w', 'f')}))))"
+    ctes = [
+        """feats AS MATERIALIZED (
+  SELECT CASE WHEN LENGTH(text) BETWEEN 150 AND 450 THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         ((CAST(LEAST(LENGTH(text), 500) AS DOUBLE) - 300.0) / 200.0)
+           * ((CAST(LEAST(LENGTH(text), 500) AS DOUBLE) - 300.0) / 200.0) AS x1,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS x2,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS x3
+  FROM documents WHERE LENGTH(text) > 0
+)""",
+        "w0_iter AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(_L30_NF))
+        + ")",
+    ]
+    prev = "w0_iter"
+    for t in range(1, _L30_ITERS + 1):
+        sums = ", ".join(
+            f"SUM(CAST(FLOOR((({p} - f.y) * f.x{j}) * {_L30_Q} + 0.5) AS BIGINT))"
+            f" AS s{j}"
+            for j in range(_L30_NF)
+        )
+        # MATERIALIZED: DuckDB inlines plain CTEs, and w{t} referencing
+        # both g{t} and w{t-1} would re-evaluate the chain exponentially
+        ctes.append(
+            f"g{t} AS MATERIALIZED "
+            f"(SELECT COUNT(*) AS n, {sums} FROM feats f CROSS JOIN {prev} w)"
+        )
+        ws = ", ".join(
+            f"FLOOR((w.w{j} - {_L30_LR!r} * ((CAST(g.s{j} AS DOUBLE) / {_L30_Q}) / g.n))"
+            f" * {_L30_Q} + 0.5) / {_L30_Q} AS w{j}"
+            for j in range(_L30_NF)
+        )
+        ctes.append(
+            f"w{t}_iter AS MATERIALIZED "
+            f"(SELECT {ws} FROM g{t} g CROSS JOIN {prev} w)"
+        )
+        prev = f"w{t}_iter"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.y AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN FLOOR({p} * {_L30_Q} + 0.5) / {_L30_Q} >= 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_hi,
+       CAST(SUM(CAST(FLOOR({p} * {_L30_Q} + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_score_1e6
+FROM feats f CROSS JOIN {prev} w
+GROUP BY f.y
+"""
+    )
+
+
+def l30_features(docs: DataFrame) -> DataFrame:
+    """Label + shape features, expressed identically in the DuckDB
+    oracle (exact integer counts divided by the length, so the doubles
+    agree bit-for-bit). The label is a Gopher-style length-band quality
+    gate; the centered-quadratic length feature is what lets a LINEAR
+    model express the band (the classic polynomial-expansion trick),
+    and it keeps the GD well-conditioned — the raw [len, len²] pair is
+    so correlated that plain GD oscillates for tens of rounds."""
+    ln = F.length("text")
+
+    def ratio(pattern: str) -> Column:
+        return (ln - F.length(F.regexp_replace(F.col("text"), pattern, ""))).cast(
+            "double"
+        ) / ln
+
+    q = (F.least(ln, F.lit(500)).cast("double") - 300.0) / 200.0
+    return docs.filter(ln > 0).select(
+        F.when(ln.between(150, 450), 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (q * q).alias("x1"),
+        ratio(" ").alias("x2"),
+        ratio("[A-Za-z]").alias("x3"),
+    )
+
+
+def _l30_z_col(w: list[float]) -> Column:
+    z = F.lit(w[0]) * F.col("x0")
+    for j in range(1, _L30_NF):
+        z = z + F.lit(w[j]) * F.col(f"x{j}")
+    return z
+
+
+def train_quality_logreg(
+    feats: DataFrame, iters: int = _L30_ITERS, lr: float = _L30_LR
+) -> list[float]:
+    """Batch gradient descent where each iteration is ONE map-side-
+    combinable aggregate over the corpus — the exact shape spark.ml uses
+    (treeAggregate of per-row gradients), written as plain Catalyst so
+    the whole loop stays JVM-side and the driver only ever sees a 1-row
+    gradient. Per-row contributions are quantized to integer micro-units
+    before the SUM, making the gradient independent of partition/thread
+    order — the property that lets the oracle replay training exactly.
+    At 100 TB: cache/checkpoint ``feats`` once, then each iteration is a
+    single scan-free pass over the cached columns."""
+    import math
+
+    q = float(_L30_Q)
+    w = [0.0] * _L30_NF
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_l30_z_col(w)))
+        r = p - F.col("y")
+        row = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.floor((r * F.col(f"x{j}")) * q + 0.5).cast("long")).alias(
+                    f"s{j}"
+                )
+                for j in range(_L30_NF)
+            ],
+        ).first()
+        n = row["n"]
+        if not n:  # empty corpus: nothing to learn, weights stay put
+            return w
+        w = [
+            math.floor((w[j] - lr * ((row[f"s{j}"] / q) / n)) * q + 0.5) / q
+            for j in range(_L30_NF)
+        ]
+    return w
+
+
+@query("l30_quality_logreg", oracle=_l30_oracle(), category="pipeline-text")
+def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distillation-style quality classifier trained INSIDE the engine:
+    logistic regression distilling the length-band curation gate into a
+    smooth score, fit by twelve rounds of quantized batch GD, then
+    scored over the corpus — and the DuckDB oracle replays the ENTIRE
+    training loop via unrolled CTEs, so even the learned weights are
+    value-hash-checked. The output is the per-label confusion summary
+    (the model separates the classes — pinned in pytest). Micro-unit
+    gradient quantization is what makes distributed training
+    reproducible at any partitioning — the same discipline this repo
+    uses for money sums, applied to model state."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = l30_features(docs)
+    w = train_quality_logreg(feats)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_l30_z_col(w)))
+    sq = F.floor(p * float(_L30_Q) + 0.5)
+    return feats.groupBy(F.col("y").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(sq.cast("double") / float(_L30_Q) >= 0.5, 1).otherwise(0)
+        ).cast("long").alias("n_pred_hi"),
+        F.sum(sq.cast("long")).alias("sum_score_1e6"),
+    )

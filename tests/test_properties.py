@@ -1897,3 +1897,58 @@ def test_metadata_tables_census(spark, tmp_path):
     LH.expire_snapshots(table, keep_latest=2)
     versions = [r.version for r in LH.table_history(spark, table).collect()]
     assert versions == [3, 4]
+
+
+def test_quality_logreg_matches_numpy_twin(spark):
+    """l30's kernel: the Catalyst GD loop must produce EXACTLY the
+    weights a numpy replica with the same micro-quantization produces
+    (quantized gradients are partition-order independent), and the
+    learned model must actually separate the classes."""
+    import math
+
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.text import (
+        l30_features,
+        train_quality_logreg,
+    )
+
+    texts = [
+        ("x" * 30, "a b c short doc"),
+        ("y" * 60, "mid length " * 20),
+        ("z" * 80, "long " * 120),
+    ]
+    rows = []
+    for i in range(60):
+        base = ["a b", "word " * (10 + 3 * (i % 25)), "t " * (i % 7 + 1)][i % 3]
+        rows.append((i, base + " tail" * (i % 11)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = l30_features(docs)
+    w = train_quality_logreg(feats, iters=5, lr=10.0)
+
+    pdf = feats.toPandas()
+    X = pdf[["x0", "x1", "x2", "x3"]].to_numpy(dtype=float)
+    y = pdf["y"].to_numpy(dtype=float)
+    wn = [0.0] * 4
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-(X @ np.array(wn))))
+        s = np.floor(((p - y)[:, None] * X) * 1e6 + 0.5).sum(axis=0)
+        wn = [
+            math.floor((wn[j] - 10.0 * ((s[j] / 1e6) / len(y))) * 1e6 + 0.5) / 1e6
+            for j in range(4)
+        ]
+    assert w == wn
+    # empty corpus: weights untouched
+    assert train_quality_logreg(feats.filter("y < -1")) == [0.0] * 4
+
+
+def test_quality_logreg_separates_fixture(spark):
+    """On the driver fixture the distilled model must be a real
+    classifier: most in-band docs score high, no out-of-band doc does."""
+    from shadowcat_data_spark import registry
+    from tests.conftest import SF_DIR_T2
+
+    fn = registry.load_all()["l30_quality_logreg"].fn
+    got = {r["label"]: r for r in fn(spark, SF_DIR_T2).collect()}
+    assert got[1.0]["n_pred_hi"] >= 0.8 * got[1.0]["n_docs"]
+    assert got[0.0]["n_pred_hi"] <= 0.05 * got[0.0]["n_docs"]
