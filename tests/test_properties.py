@@ -1090,11 +1090,11 @@ def test_concurrent_merges_both_land(spark, tmp_path):
     real = LH._commit_manifest
     state = {"fired": False}
 
-    def racy(t, version, manifest):
+    def racy(t, version, manifest, **kw):
         if not state["fired"]:
             state["fired"] = True
             LH.merge_partitioned(spark, t, ch_b)  # B steals A's version slot
-        return real(t, version, manifest)
+        return real(t, version, manifest, **kw)
 
     LH._commit_manifest = racy
     try:
