@@ -1270,3 +1270,52 @@ def stream_mor_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T22 — streaming inference with a batch-trained model
+# ---------------------------------------------------------------------------
+
+from ..pipeline.text import _l30_oracle  # noqa: E402  (shared train+score contract)
+
+
+@query("t22_stream_model_score", oracle=_l30_oracle(), category="streaming")
+def stream_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inference: the l30 quality model is trained batch-side
+    (quantized GD — reproducible to the bit), then DEPLOYED into a
+    streaming plan as literal weights — the way a scoring model actually
+    ships to a 100 TB/day ingest stream: the model is part of the query
+    plan (broadcast with it), scoring is stateless per row, and the only
+    state is the tiny per-label aggregate. The streamed confusion
+    summary must hash-match the SAME unrolled-CTE oracle that replays
+    training — batch-trained and stream-served answers are provably the
+    one model."""
+    from ..pipeline.text import (
+        _L30_Q,
+        _l30_z_col,
+        l30_features,
+        train_quality_logreg,
+    )
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_quality_logreg(l30_features(docs))
+
+    ensure_session(spark)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    feats = l30_features(stream)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_l30_z_col(w)))
+    sq = F.floor(p * float(_L30_Q) + 0.5)
+    agg = feats.groupBy(F.col("y").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(sq.cast("double") / float(_L30_Q) >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pred_hi"),
+        F.sum(sq.cast("long")).alias("sum_score_1e6"),
+    )
+    return run_to_memory(agg, "t22_model_scores", "complete")
