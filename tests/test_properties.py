@@ -1263,11 +1263,11 @@ def test_concurrent_plain_merges_both_land(spark, tmp_path):
     real = LH._commit_manifest
     state = {"fired": False}
 
-    def racy(t, version, manifest):
+    def racy(t, version, manifest, **kw):
         if not state["fired"]:
             state["fired"] = True
             LH.merge_snapshot(spark, t, ch_b, "k", ddl)
-        return real(t, version, manifest)
+        return real(t, version, manifest, **kw)
 
     LH._commit_manifest = racy
     try:
@@ -1712,11 +1712,11 @@ def test_mor_concurrent_delete_and_merge_both_land(spark, tmp_path):
     real = LH._commit_manifest
     state = {"fired": False}
 
-    def racy(t, version, manifest):
+    def racy(t, version, manifest, **kw):
         if not state["fired"]:
             state["fired"] = True
             LH.merge_partitioned(spark, t, ch_b)  # B steals the version slot
-        return real(t, version, manifest)
+        return real(t, version, manifest, **kw)
 
     LH._commit_manifest = racy
     try:
