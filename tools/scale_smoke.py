@@ -186,6 +186,12 @@ def main() -> None:
         # rewrites touched buckets) and the WAP staged-append publish
         "m33_mor_materialize",
         "m37_wap_publish",
+        # this session's additions: runtime-filter join pruning (probe
+        # files skipped from the build side's key span) and in-engine
+        # GD training (12 corpus-pass aggregates — the iteration cost is
+        # what must stay flat per pass at scale)
+        "m40_runtime_filter_join",
+        "l30_quality_logreg",
     ]
 
     specs = registry.load_all()
