@@ -49,6 +49,25 @@ def _events_ts_kind(spark: SparkSession, sf_dir: str) -> str:
     return kind
 
 
+def table_stream(
+    spark: SparkSession, sf_dir: str, name: str, schema: str
+) -> DataFrame:
+    """File-stream over ``{sf_dir}/{name}.parquet``, robust to BOTH
+    fixture layouts: the driver ships single parquet FILES (a file
+    stream needs a directory, so glob-filter the parent down to the leaf
+    name), while Spark-written synthetic fixtures (probe dirs, sf1
+    smoke) are DIRECTORIES (stream them directly — a leaf-name glob
+    would silently match nothing and yield a 0-row stream)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over the events parquet. The declared schema mirrors the
     sniffed batch dtype (see ``session.load_table``) so streaming windows /
@@ -60,12 +79,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id long, ts {ts_decl}, user_id long, event_type string, "
         "value double, props string"
     )
-    # file streams need a directory; glob-filter down to the events file
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = table_stream(spark, sf_dir, "events", schema)
     if ts_kind == "bigint":  # raw nanos → truncate to µs (integer DIV: no fp loss)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if ts_kind.startswith("timestamp_ntz"):
@@ -1303,11 +1317,7 @@ def stream_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session(spark)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = table_stream(spark, sf_dir, "documents", schema)
     feats = l30_features(stream)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_l30_z_col(w)))
     sq = F.floor(p * float(_L30_Q) + 0.5)
