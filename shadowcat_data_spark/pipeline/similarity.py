@@ -1258,3 +1258,205 @@ def srp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _scratch(sf_dir, "l3j_srp_index")
     build_srp_index(spark, corpus, "vec_id", "embedding", table)
     return probe_srp_index(spark, table, q, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# L31 — distributed k-means with a full SQL training replay (ML family)
+# ---------------------------------------------------------------------------
+
+_KM_K = 5
+_KM_ITERS = 3
+_KM_Q = "1000000.0"  # micro-unit grid shared with l30 (see SURVEY §2.12)
+
+
+def _km_d2_sql(c: str) -> str:
+    """Quantized squared distance: each per-dimension term is floored to
+    integer micro-units BEFORE the sum, so the distance is an exact
+    BIGINT — independent of summation order in either engine."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(((p.x - {c}.cx) * (p.x - {c}.cx)) * {_KM_Q} + 0.5) "
+        f"AS BIGINT)) AS BIGINT)"
+    )
+
+
+def _km_assign_sql(name: str, cent: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT p.vec_id, c.cluster, {_km_d2_sql('c')} AS d2
+    FROM km_pts p JOIN {cent} c ON p.d = c.d
+    GROUP BY p.vec_id, c.cluster)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+)"""
+
+
+def _km_oracle() -> str:
+    ctes = [
+        f"""km_base AS MATERIALIZED (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) =
+    (SELECT len(embedding) FROM embeddings
+     WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1)
+)""",
+        """km_pts AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM km_base
+)""",
+        f"""km_seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+  FROM km_base QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {_KM_K}
+)""",
+        """km_c0 AS MATERIALIZED (
+  SELECT s.cluster, p.d, p.x AS cx FROM km_seeds s JOIN km_pts p USING (vec_id)
+)""",
+    ]
+    prev = "km_c0"
+    for t in range(1, _KM_ITERS + 1):
+        ctes.append(_km_assign_sql(f"km_a{t}", prev))
+        ctes.append(
+            f"""km_c{t} AS MATERIALIZED (
+  SELECT a.cluster, p.d,
+         (CAST(SUM(CAST(FLOOR(p.x * {_KM_Q} + 0.5) AS BIGINT)) AS DOUBLE)
+            / {_KM_Q}) / COUNT(*) AS cx
+  FROM km_a{t} a JOIN km_pts p USING (vec_id)
+  GROUP BY a.cluster, p.d
+)"""
+        )
+        prev = f"km_c{t}"
+    ctes.append(_km_assign_sql("km_fin", prev))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """,
+km_lbl AS (
+  SELECT f.cluster, b.label, COUNT(*) AS n
+  FROM km_fin f JOIN km_base b USING (vec_id)
+  GROUP BY f.cluster, b.label
+),
+km_top AS (
+  SELECT cluster, label AS top_label FROM km_lbl
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label) = 1
+)
+SELECT f.cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(f.d2) AS BIGINT) AS inertia_micro,
+       t.top_label
+FROM km_fin f JOIN km_top t USING (cluster)
+GROUP BY f.cluster, t.top_label
+"""
+    )
+
+
+def _km_d2_col(emb: Column, vals: list[float]) -> Column:
+    c = F.array(*[F.lit(float(v)) for v in vals])
+    terms = F.zip_with(
+        emb,
+        c,
+        lambda a, b: F.floor(
+            ((a.cast("double") - b) * (a.cast("double") - b)) * float(_KM_Q) + 0.5
+        ).cast("long"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _km_assign_col(centroids: dict[int, list[float]]) -> Column:
+    """argmin(distance) with deterministic tie-break by cluster id: the
+    (d2, cluster) struct array's minimum — lexicographic struct compare
+    mirrors the oracle's ORDER BY d2, cluster."""
+    choices = F.array(
+        *[
+            F.struct(
+                _km_d2_col(F.col("embedding"), vals).alias("d2"),
+                F.lit(k).alias("cluster"),
+            )
+            for k, vals in sorted(centroids.items())
+        ]
+    )
+    return F.array_min(choices)
+
+
+def kmeans_fit(
+    vecs: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
+) -> dict[int, list[float]]:
+    """Distributed Lloyd's: each round assigns every vector to its
+    nearest centroid (centroids ride into the plan as literals — the
+    broadcast model pattern) and reduces per-(cluster, dim) quantized
+    component sums with ONE map-side-combinable aggregate; only
+    k × dim partial sums (KBs) ever reach the driver, at any corpus
+    scale. Distances quantize per-term and means quantize per-component,
+    so the fitted centroids are bit-reproducible under any partitioning
+    — which is what lets the DuckDB oracle replay the whole fit.
+    Clusters that lose all members drop out (both engines agree)."""
+    seeds = vecs.orderBy("vec_id").limit(k).select("embedding").collect()
+    centroids = {
+        i: [float(x) for x in row["embedding"]] for i, row in enumerate(seeds)
+    }
+    q = float(_KM_Q)
+    for _ in range(iters):
+        if not centroids:
+            break
+        best = _km_assign_col(centroids)
+        rows = (
+            vecs.select(best["cluster"].alias("cluster"), "embedding")
+            .select("cluster", F.posexplode("embedding").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * q + 0.5).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        nxt: dict[int, dict[int, float]] = {}
+        for r in rows:
+            nxt.setdefault(r["cluster"], {})[r["d"]] = (r["s"] / q) / r["n"]
+        centroids = {
+            c: [comps[d] for d in sorted(comps)] for c, comps in nxt.items()
+        }
+    return centroids
+
+
+@query("l31_kmeans", oracle=_km_oracle(), category="pipeline-similarity")
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embeddings corpus, trained in-engine and
+    ORACLE-CHECKED end to end: the DuckDB oracle replays seeding, all
+    three assign/update rounds, and the final assignment via unrolled
+    MATERIALIZED CTEs, so cluster sizes, exact quantized inertia, and
+    majority labels hash-match. This is the coarse-quantizer training
+    IVF (l3c) uses, promoted to a first-class verified operator — the
+    third member of the quantized-iteration ML family (SURVEY §2.12)."""
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "label", "embedding")
+    )
+    first = vecs.orderBy("vec_id").limit(1).select(F.size("embedding")).collect()
+    schema = "cluster int, n_points long, inertia_micro long, top_label int"
+    if not first:
+        return spark.createDataFrame([], schema)
+    vecs = vecs.filter(F.size("embedding") == first[0][0])
+    centroids = kmeans_fit(vecs)
+    best = _km_assign_col(centroids)
+    fin = vecs.select(
+        "vec_id",
+        "label",
+        best["cluster"].alias("cluster"),
+        best["d2"].alias("d2"),
+    )
+    lbl = fin.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    top = lbl.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+        ),
+    ).filter("rn = 1").select("cluster", F.col("label").alias("top_label"))
+    return (
+        fin.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("d2").alias("inertia_micro"),
+        )
+        .join(top, "cluster")
+        .select("cluster", "n_points", "inertia_micro", "top_label")
+    )

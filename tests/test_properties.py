@@ -1952,3 +1952,30 @@ def test_quality_logreg_separates_fixture(spark):
     got = {r["label"]: r for r in fn(spark, SF_DIR_T2).collect()}
     assert got[1.0]["n_pred_hi"] >= 0.8 * got[1.0]["n_docs"]
     assert got[0.0]["n_pred_hi"] <= 0.05 * got[0.0]["n_docs"]
+
+
+def test_kmeans_separates_constructed_blobs(spark):
+    """l31's kernel on two tight blobs: the fit must recover them
+    exactly (every point with its blob's seed), inertia must be the tiny
+    within-blob spread, and an empty corpus must fit to nothing."""
+    from shadowcat_data_spark.pipeline.similarity import kmeans_fit, _km_assign_col
+    from pyspark.sql import functions as F
+
+    dim = 8
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0  # even ids near 0, odd near 10
+        rows.append((i, i % 2, [base + (0.01 * (i % 5))] * dim))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    cents = kmeans_fit(vecs, k=2, iters=3)
+    assert set(cents) == {0, 1}
+    # seed 0 = vec_id 0 (blob A), seed 1 = vec_id 1 (blob B)
+    assert abs(cents[0][0]) < 0.1 and abs(cents[1][0] - 10.0) < 0.1
+    got = vecs.select(
+        "vec_id", _km_assign_col(cents)["cluster"].alias("c")
+    ).collect()
+    assert all(r["c"] == r["vec_id"] % 2 for r in got)
+    empty = vecs.filter("vec_id < 0")
+    assert kmeans_fit(empty, k=2, iters=2) == {}
