@@ -752,6 +752,92 @@ def compact_partitioned(
     )
 
 
+def _collect_stage_entries(
+    table: str, stage_rel: str, key: str, version: int
+) -> dict[str, dict]:
+    """Manifest entries (bucket, seq, footer stats) for every parquet
+    file a staged write produced — shared by the hash-salted and the
+    sort-sliced writers."""
+    stage = os.path.join(table, stage_rel)
+    entries: dict[str, dict] = {}
+    for bdir in sorted(os.listdir(stage)):
+        if not bdir.startswith("__bucket="):
+            continue
+        bucket = int(bdir.split("=", 1)[1])
+        for fn in sorted(os.listdir(os.path.join(stage, bdir))):
+            if fn.endswith(".parquet"):
+                rel = os.path.join(stage_rel, bdir, fn)
+                entries[rel] = {
+                    "bucket": bucket,
+                    "seq": version,
+                    **_footer_stats(os.path.join(table, rel), key),
+                }
+    return entries
+
+
+def rewrite_sorted(
+    spark: SparkSession,
+    table: str,
+    sort_col: str,
+    slices_per_bucket: int = 4,
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """Sort-order rewrite (Iceberg's ``rewrite_data_files`` with a sort
+    order): re-cluster every bucket's rows by ``sort_col`` and split
+    each bucket into range SLICES — one file per slice — so the
+    manifest's per-file spans of ``sort_col`` become near-disjoint
+    WITHIN each bucket. That is what makes secondary-column file
+    skipping (m26's contract) bite on a column orthogonal to the
+    partition key: a sort_col range predicate now opens ~1/slices of
+    each bucket's files instead of all of them.
+
+    Mechanics: one ``repartitionByRange(__bucket, sort_col)`` shuffle —
+    range boundaries from a distributed sample, so slices balance even
+    under skew; a boundary partition that straddles two buckets is
+    harmless (``partitionBy`` still routes rows to their bucket dirs).
+    Content-preserving by construction (same rows, new layout — the
+    registered query is oracle-checked); standing MOR deletes are
+    materialized by the rewrite (every file is rewritten with a new
+    seq, so committing an empty delete_files is safe — m33's argument
+    table-wide). Returns (files_before, files_after)."""
+    for _ in range(max_retries + 1):
+        version = current_version(table)
+        man = read_manifest(table, version)
+        part = man["partition"]
+        key, bounds = part["key"], part["bounds"]
+        n_before = len(man["files"])
+        df = _read_files_mor(spark, table, man, man["files"])
+        stage_rel = os.path.join(
+            "data", f"v{version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        n_parts = max((len(bounds) + 1) * max(slices_per_bucket, 1), 1)
+        (
+            df.withColumn("__bucket", _bucket_expr(F.col(key), bounds))
+            .repartitionByRange(n_parts, F.col("__bucket"), F.col(sort_col))
+            .sortWithinPartitions("__bucket", sort_col, key)
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(table, stage_rel))
+        )
+        entries = _collect_stage_entries(table, stage_rel, key, version + 1)
+        manifest = _partitioned_manifest(
+            version + 1,
+            man["schema"],
+            part,
+            entries,
+            prev=man,
+            extra={"delete_files": {}},
+        )
+        try:
+            _commit_manifest(table, version + 1, manifest, operation="rewrite-sort")
+            return n_before, len(entries)
+        except FileExistsError:
+            continue
+    raise CommitConflictError(
+        f"sort rewrite of {table!r} lost {max_retries + 1} optimistic-commit races"
+    )
+
+
 def evolve_schema(table: str, new_schema_ddl: str, max_retries: int = 5) -> int:
     """Widen the table schema across snapshots: a METADATA-ONLY commit —
     same files, new DDL. Historical files simply lack the new columns;
@@ -1753,6 +1839,40 @@ def runtime_pruned_join(
     return probe.join(F.broadcast(build), probe[probe_key] == build[build_key]), len(
         keep
     ), total
+
+
+@query(
+    "m41_sortorder_rewrite",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
+FROM orders WHERE o_totalprice BETWEEN 100000 AND 150000
+""",
+    category="maintenance",
+)
+def sortorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-order rewrite then a SECONDARY-column range read: orders is
+    partitioned on o_orderkey, so per-file o_totalprice spans start out
+    blanketing the whole domain (a price predicate prunes nothing);
+    after ``rewrite_sorted`` range-slices each bucket by price, the
+    same manifest-stats scan opens ~1/slices of the files (strictly
+    fewer — asserted in pytest) and the answer still equals the raw
+    table's range aggregate."""
+    table = _fresh_partitioned_orders(spark, sf_dir, "m41_orders_ptable")
+    rewrite_sorted(spark, table, "o_totalprice", slices_per_bucket=4)
+    df = scan_partitioned(
+        spark, table, key_lo=100000.0, key_hi=150000.0, col="o_totalprice"
+    ).filter(F.col("o_totalprice").between(100000, 150000))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("total"),
+    )
 
 
 _LINEITEM_DDL = "l_orderkey long, l_extendedprice double, l_quantity double"

@@ -1979,3 +1979,36 @@ def test_kmeans_separates_constructed_blobs(spark):
     assert all(r["c"] == r["vec_id"] % 2 for r in got)
     empty = vecs.filter("vec_id < 0")
     assert kmeans_fit(empty, k=2, iters=2) == {}
+
+
+def test_sortorder_rewrite_enables_secondary_pruning(spark, tmp_path):
+    """m41's kernel: before the rewrite a value-column predicate keeps
+    every file (values random w.r.t. the partition key); after
+    range-slicing each bucket by value, the same predicate prunes
+    strictly, content is bit-identical, MOR deletes are folded, and the
+    commit is stamped rewrite-sort."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_mor import delete_mor
+
+    table = str(tmp_path / "pt")
+    ddl = "k long, v double"
+    # v decorrelated from k: every bucket sees the whole v domain
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 1000)) for i in range(1000)], ddl
+    )
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    delete_mor(spark, table, spark.createDataFrame([(7,), (13,)], "k long"))
+    keep_before, total_before = LH.pruned_files(table, 100.0, 200.0, col="v")
+    assert len(keep_before) == total_before  # no slicing: nothing prunes
+    before, after = LH.rewrite_sorted(spark, table, "v", slices_per_bucket=4)
+    assert before == total_before and after > before  # sliced layout
+    keep_after, total_after = LH.pruned_files(table, 100.0, 200.0, col="v")
+    assert len(keep_after) < total_after
+    # content: original minus MOR-deleted keys, deletes folded away
+    got = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert len(got) == 998 and 7 not in got and 13 not in got
+    assert got[8] == float((8 * 37) % 1000)
+    assert not (LH.read_manifest(table).get("delete_files") or {})
+    hist = {r["version"]: r["operation"]
+            for r in LH.table_history(spark, table).collect()}
+    assert hist[LH.current_version(table)] == "rewrite-sort"
