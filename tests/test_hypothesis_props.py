@@ -391,6 +391,7 @@ _SERVICE_OPS = st.lists(
         ),
         st.tuples(st.just("materialize"), st.none()),
         st.tuples(st.just("wap_append"), st.integers(min_value=0, max_value=2)),
+        st.tuples(st.just("rewrite_sort"), st.none()),
     ),
     min_size=2,
     max_size=6,
@@ -473,6 +474,8 @@ def test_lakehouse_service_fuzzer(spark, tmp_path_factory, ops):
             state.update(dict(rows))
         elif kind == "materialize":
             MOR.materialize_deletes(spark, table)
+        elif kind == "rewrite_sort":
+            LH.rewrite_sorted(spark, table, "v", slices_per_bucket=2)
         elif kind == "wap_append":
             fresh = [(next_fresh + i, -2.0) for i in range(arg)]
             next_fresh += arg
