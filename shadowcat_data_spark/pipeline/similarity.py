@@ -1293,9 +1293,13 @@ def _km_oracle() -> str:
     ctes = [
         f"""km_base AS MATERIALIZED (
   SELECT vec_id, label, embedding FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) =
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(embedding) =
     (SELECT len(embedding) FROM embeddings
-     WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1)
+     WHERE embedding IS NOT NULL
+       AND len(list_filter(embedding, x -> x IS NULL)) = 0
+     ORDER BY vec_id LIMIT 1)
 )""",
         """km_pts AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) AS d,
@@ -1428,14 +1432,23 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     third member of the quantized-iteration ML family (SURVEY §2.12)."""
     vecs = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        # element-level nulls would make Spark's fold NULL while SUM in
+        # the oracle skips them — exclude such rows identically up front
+        .filter(
+            F.col("embedding").isNotNull()
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
         .select("vec_id", "label", "embedding")
     )
     first = vecs.orderBy("vec_id").limit(1).select(F.size("embedding")).collect()
     schema = "cluster int, n_points long, inertia_micro long, top_label int"
     if not first:
         return spark.createDataFrame([], schema)
-    vecs = vecs.filter(F.size("embedding") == first[0][0])
+    # 5 full passes (seed, 3 Lloyd rounds, final assignment): materialize
+    # the filtered projection once
+    vecs = vecs.filter(F.size("embedding") == first[0][0]).localCheckpoint(
+        eager=False
+    )
     centroids = kmeans_fit(vecs)
     best = _km_assign_col(centroids)
     fin = vecs.select(

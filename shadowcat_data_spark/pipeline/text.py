@@ -1227,7 +1227,7 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _L30_ITERS = 12
-_L30_LR = 10.0
+_L30_LR = 20.0
 _L30_NF = 4  # bias + centered-quadratic length + space ratio + alpha ratio
 _L30_Q = "1000000.0"  # micro-unit quantization grid (shared literal)
 
@@ -1242,11 +1242,17 @@ def _l30_z_sql(w: str, f: str) -> str:
 
 
 def _l30_oracle() -> str:
-    """Unrolled-CTE mirror of the full training loop: w0 = 0 → three
+    """Unrolled-CTE mirror of the full training loop: w0 = 0 → twelve
     gradient/update rounds → score. Every per-row gradient contribution
     and every weight is quantized to the micro grid in BOTH engines, so
-    the sums are exact integers and the learned weights hash-match."""
-    p = f"(1.0/(1.0+EXP(-({_l30_z_sql('w', 'f')}))))"
+    the sums are exact integers and the learned weights hash-match. The
+    squashing is the RATIONAL logistic 0.5 + z/2(1+|z|), not exp's
+    sigmoid, deliberately: +,-,x,/ and abs are IEEE-correctly-rounded in
+    both engines, so no transcendental libm difference can ever flip a
+    FLOOR boundary — the bit-exact contract holds by arithmetic, not by
+    luck."""
+    z = _l30_z_sql("w", "f")
+    p = f"(0.5 + (0.5 * {z}) / (1.0 + ABS({z})))"
     ctes = [
         """feats AS MATERIALIZED (
   SELECT CASE WHEN LENGTH(text) BETWEEN 150 AND 450 THEN 1.0 ELSE 0.0 END AS y,
@@ -1334,6 +1340,13 @@ def _l30_z_col(w: list[float]) -> Column:
     return z
 
 
+def _l30_p_col(w: list[float]) -> Column:
+    """Rational logistic (matches the oracle exactly — see _l30_oracle):
+    p = 0.5 + z / 2(1 + |z|), IEEE-exact in both engines."""
+    z = _l30_z_col(w)
+    return F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
+
+
 def train_quality_logreg(
     feats: DataFrame, iters: int = _L30_ITERS, lr: float = _L30_LR
 ) -> list[float]:
@@ -1351,8 +1364,7 @@ def train_quality_logreg(
     q = float(_L30_Q)
     w = [0.0] * _L30_NF
     for _ in range(iters):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_l30_z_col(w)))
-        r = p - F.col("y")
+        r = _l30_p_col(w) - F.col("y")
         row = feats.agg(
             F.count(F.lit(1)).alias("n"),
             *[
@@ -1385,10 +1397,10 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible at any partitioning — the same discipline this repo
     uses for money sums, applied to model state."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = l30_features(docs)
+    # the projection feeds 12 gradient passes + scoring: materialize once
+    feats = l30_features(docs).localCheckpoint(eager=False)
     w = train_quality_logreg(feats)
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_l30_z_col(w)))
-    sq = F.floor(p * float(_L30_Q) + 0.5)
+    sq = F.floor(_l30_p_col(w) * float(_L30_Q) + 0.5)
     return feats.groupBy(F.col("y").alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(

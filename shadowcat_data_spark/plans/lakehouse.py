@@ -510,24 +510,11 @@ def _write_bucket_files(
         .mode("overwrite")
         .parquet(stage)
     )
-    entries: dict[str, dict] = {}
-    for bdir in sorted(os.listdir(stage)):
-        if not bdir.startswith("__bucket="):
-            continue
-        bucket = int(bdir.split("=", 1)[1])
-        for fn in sorted(os.listdir(os.path.join(stage, bdir))):
-            if fn.endswith(".parquet"):
-                rel = os.path.join(stage_rel, bdir, fn)
-                entries[rel] = {
-                    "bucket": bucket,
-                    # data sequence number (Iceberg's): which commit wrote
-                    # this file — equality-delete files apply only to data
-                    # files with a strictly smaller seq, so a commit that
-                    # both deletes a key and re-inserts it keeps the new row
-                    "seq": version,
-                    **_footer_stats(os.path.join(table, rel), key),
-                }
-    return entries
+    # data sequence number (Iceberg's): which commit wrote each file —
+    # equality-delete files apply only to data files with a strictly
+    # smaller seq, so a commit that both deletes a key and re-inserts it
+    # keeps the new row
+    return _collect_stage_entries(table, stage_rel, key, version)
 
 
 _STD_MANIFEST_KEYS = {
@@ -1802,10 +1789,13 @@ def runtime_pruned_join(
     never opened.
 
     Pruning bites exactly when the probe table is partitioned/clustered
-    on the join key (this module's tables always are): the range filter
-    handles compact build key spans (a backfill window, a restatement),
-    the bucket-set filter additionally handles scattered-but-few key
-    sets. A build side whose keys blanket every bucket prunes nothing —
+    on the join key: the range filter handles compact build key spans
+    (a backfill window, a restatement), the bucket-set filter
+    additionally handles scattered-but-few key sets. Joining on a
+    NON-partition column is also sound (the range filter then uses that
+    column's own per-file spans — effective after an m41 sort-order
+    rewrite on it); the bucket-set refinement is skipped in that case,
+    since buckets route only the partition key. A build side whose keys blanket every bucket prunes nothing —
     the same contract as Iceberg's runtime filters, and the reason the
     probe predicate is re-applied by the join itself (kept files are a
     superset of matching rows).
@@ -1816,25 +1806,32 @@ def runtime_pruned_join(
     down scan, and the join side is broadcast below, so no shuffle of
     the probe table ever happens on the pruned plan."""
     man = read_manifest(table, version)
+    part_key = (man.get("partition") or {}).get("key")
     bounds = (man.get("partition") or {}).get("bounds", [])
-    row = build.agg(
-        F.min(build_key).alias("lo"),
-        F.max(build_key).alias("hi"),
-        F.collect_set(_bucket_expr(F.col(build_key), bounds)).alias("bks"),
-    ).first()
+    # bucket-set refinement is only sound when the probe column IS the
+    # partition key (buckets route that key and nothing else); for any
+    # other probe column, prune by that column's own manifest spans only
+    on_part_key = probe_key == part_key
+    aggs = [F.min(build_key).alias("lo"), F.max(build_key).alias("hi")]
+    if on_part_key:
+        aggs.append(
+            F.collect_set(_bucket_expr(F.col(build_key), bounds)).alias("bks")
+        )
+    row = build.agg(*aggs).first()
     total = len(man["files"])
     if row["lo"] is None:  # empty build side → empty join, zero files read
         empty = _read_files_mor(spark, table, man, []).limit(0)
         return empty.join(build, empty[probe_key] == build[build_key]), 0, total
-    keep, _ = pruned_files(table, row["lo"], row["hi"], version)
-    buckets = set(row["bks"] or [])
-    stats = man.get("stats", {})
-    keep = [
-        f
-        for f in keep
-        if stats.get(f, {}).get("bucket") is None
-        or stats[f]["bucket"] in buckets
-    ]
+    keep, _ = pruned_files(table, row["lo"], row["hi"], version, col=probe_key)
+    if on_part_key:
+        buckets = set(row["bks"] or [])
+        stats = man.get("stats", {})
+        keep = [
+            f
+            for f in keep
+            if stats.get(f, {}).get("bucket") is None
+            or stats[f]["bucket"] in buckets
+        ]
     probe = _read_files_mor(spark, table, man, keep)
     return probe.join(F.broadcast(build), probe[probe_key] == build[build_key]), len(
         keep

@@ -1306,21 +1306,20 @@ def stream_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one model."""
     from ..pipeline.text import (
         _L30_Q,
-        _l30_z_col,
+        _l30_p_col,
         l30_features,
         train_quality_logreg,
     )
     from ..session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    w = train_quality_logreg(l30_features(docs))
+    w = train_quality_logreg(l30_features(docs).localCheckpoint(eager=False))
 
     ensure_session(spark)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     stream = table_stream(spark, sf_dir, "documents", schema)
     feats = l30_features(stream)
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_l30_z_col(w)))
-    sq = F.floor(p * float(_L30_Q) + 0.5)
+    sq = F.floor(_l30_p_col(w) * float(_L30_Q) + 0.5)
     agg = feats.groupBy(F.col("y").alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(sq.cast("double") / float(_L30_Q) >= 0.5, 1).otherwise(0))

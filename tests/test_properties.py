@@ -1931,7 +1931,8 @@ def test_quality_logreg_matches_numpy_twin(spark):
     y = pdf["y"].to_numpy(dtype=float)
     wn = [0.0] * 4
     for _ in range(5):
-        p = 1.0 / (1.0 + np.exp(-(X @ np.array(wn))))
+        z = X @ np.array(wn)
+        p = 0.5 + (0.5 * z) / (1.0 + np.abs(z))  # rational logistic
         s = np.floor(((p - y)[:, None] * X) * 1e6 + 0.5).sum(axis=0)
         wn = [
             math.floor((wn[j] - 10.0 * ((s[j] / 1e6) / len(y))) * 1e6 + 0.5) / 1e6
