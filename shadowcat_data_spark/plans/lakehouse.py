@@ -1923,3 +1923,90 @@ def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("revenue"),
     )
+
+
+def manifest_row_census(table: str, version: int | None = None) -> int:
+    """Table cardinality from the manifest alone (m29's zero-data-files
+    count) — the statistic the join planner below consumes."""
+    man = read_manifest(table, version)
+    return sum(man["stats"][f]["rows"] for f in man["files"])
+
+
+def join_with_stats(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_col: str,
+    right_col: str,
+    broadcast_rows: int = 100_000,
+) -> tuple[DataFrame, str]:
+    """CBO-lite: choose the join strategy for two snapshot-log tables
+    from MANIFEST STATISTICS alone — the decision Spark's own CBO makes
+    from ANALYZE TABLE stats, which a from-scratch table format must
+    supply itself (Iceberg feeds engines exactly these manifest
+    censuses). If either side's row census is under ``broadcast_rows``,
+    hint-broadcast that side (no shuffle of the big side at all);
+    otherwise leave both sides to the shuffle planner and AQE. The
+    planning cost is metadata-sized at any table size — no data file is
+    opened to decide. Returns (joined DataFrame, 'broadcast'|'shuffle')."""
+    lrows = manifest_row_census(left_table)
+    rrows = manifest_row_census(right_table)
+    left = read_snapshot(spark, left_table)
+    right = read_snapshot(spark, right_table)
+    cond_l, cond_r = left[left_col], right[right_col]
+    if min(lrows, rrows) <= broadcast_rows:
+        if rrows <= lrows:
+            return left.join(F.broadcast(right), cond_l == cond_r), "broadcast"
+        return F.broadcast(left).join(right, cond_l == cond_r), "broadcast"
+    return left.join(right, cond_l == cond_r), "shuffle"
+
+
+_M42_DIM_DDL = "n_nationkey long, n_name string"
+_M42_FACT_DDL = "c_custkey long, c_nationkey long, c_acctbal double"
+
+
+@query(
+    "m42_stats_join_strategy",
+    oracle="""
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_bal,
+       'broadcast' AS strategy
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    category="maintenance",
+)
+def stats_join_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join between two snapshot-log tables where the STRATEGY is
+    chosen from manifest row censuses (no data file opened to plan):
+    the 25-row nation dim broadcasts, the customer fact never shuffles.
+    The emitted strategy column is part of the oracle contract, and the
+    pytest asserts the plan really contains a BroadcastHashJoin — and
+    flips to a shuffle join when the threshold says so."""
+    fact = _scratch(sf_dir, "m42_customer_ptable")
+    shutil.rmtree(fact, ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    create_partitioned(spark, c, fact, _M42_FACT_DDL, "c_custkey", n_buckets=4)
+    dim = _scratch(sf_dir, "m42_nation_table")
+    shutil.rmtree(dim, ignore_errors=True)
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    create_partitioned(spark, n, dim, _M42_DIM_DDL, "n_nationkey", n_buckets=2)
+    joined, strat = join_with_stats(
+        spark, fact, dim, "c_nationkey", "n_nationkey"
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("total_bal"),
+        )
+        .withColumn("strategy", F.lit(strat))
+    )

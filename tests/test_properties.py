@@ -2013,3 +2013,44 @@ def test_sortorder_rewrite_enables_secondary_pruning(spark, tmp_path):
     hist = {r["version"]: r["operation"]
             for r in LH.table_history(spark, table).collect()}
     assert hist[LH.current_version(table)] == "rewrite-sort"
+
+
+def test_stats_join_strategy_picks_plan_from_manifests(spark, tmp_path):
+    """m42's kernel: the manifest row census must drive the physical
+    join strategy — a small side under the threshold yields a
+    BroadcastHashJoin, threshold 0 yields a shuffle join, and both
+    plans return identical rows."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    big = str(tmp_path / "big")
+    small = str(tmp_path / "small")
+    LH.create_partitioned(
+        spark,
+        spark.createDataFrame([(i, i % 5) for i in range(500)], "k long, g long"),
+        big, "k long, g long", "k", n_buckets=4,
+    )
+    LH.create_partitioned(
+        spark,
+        spark.createDataFrame([(g, f"g{g}") for g in range(5)], "g long, name string"),
+        small, "g long, name string", "g", n_buckets=2,
+    )
+    assert LH.manifest_row_census(big) == 500
+    assert LH.manifest_row_census(small) == 5
+    # with auto-broadcast OFF, only the manifest-driven HINT can yield a
+    # broadcast plan — isolates our decision from Spark's own size stats
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        jb, sb = LH.join_with_stats(spark, big, small, "g", "g")
+        assert sb == "broadcast"
+        plan_b = jb._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_b
+        js, ss = LH.join_with_stats(spark, big, small, "g", "g", broadcast_rows=0)
+        assert ss == "shuffle"
+        plan_s = js._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_s
+        rows_b = sorted((r["k"], r["name"]) for r in jb.collect())
+        rows_s = sorted((r["k"], r["name"]) for r in js.collect())
+        assert rows_b == rows_s and len(rows_b) == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
