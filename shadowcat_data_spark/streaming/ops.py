@@ -1328,3 +1328,60 @@ def stream_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(sq.cast("long")).alias("sum_score_1e6"),
     )
     return run_to_memory(agg, "t22_model_scores", "complete")
+
+
+# ---------------------------------------------------------------------------
+# T23 — online retrieval: streaming probes of the persisted ANN index
+# ---------------------------------------------------------------------------
+
+from ..pipeline.similarity import _srp_probe_oracle  # noqa: E402
+
+
+@query("t23_stream_index_probe", oracle=_srp_probe_oracle(), category="streaming")
+def stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online retrieval against the lakehouse-backed ANN index: query
+    vectors arrive as four real micro-batches; each trigger buckets its
+    queries with the fixed SRP planes and probes ONLY the matching
+    bucket files of the PERSISTED index table — per-trigger cost is
+    O(|batch| × bucket), the index is never rebuilt or rescanned, and
+    results append as they stream (each query's top-k is final the
+    moment its batch commits, so ordering across triggers is free).
+    The accumulated answers must hash-match the SAME oracle as the
+    batch probe (l3j): streamed serving and batch search are provably
+    the one index. This is the serving half of the build/probe split —
+    t22's broadcast-model pattern applied to retrieval state too big to
+    broadcast, which is exactly when the bucket-routed lakehouse read
+    is the right plan."""
+    from ..pipeline.similarity import _ann_corpus, build_srp_index, probe_srp_index
+    from ..sources.io import _scratch
+
+    corpus, q = _ann_corpus(spark, sf_dir)
+    table = _scratch(sf_dir, "t23_srp_index")
+    shutil.rmtree(table, ignore_errors=True)
+    build_srp_index(spark, corpus, "vec_id", "embedding", table)
+
+    src = _scratch(sf_dir, "t23_queries")
+    q.select("vec_id", "embedding").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    out_dir = _scratch(sf_dir, "t23_results")
+    out_schema = "qid long, cid long, cos double"
+    spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(out_dir)
+
+    def probe_batch(batch: DataFrame, batch_id: int) -> None:
+        res = probe_srp_index(
+            batch.sparkSession, table, batch, "vec_id", "embedding", k=5
+        )
+        res.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    handle = stream.writeStream.foreachBatch(probe_batch).start()
+    try:
+        handle.processAllAvailable()
+    finally:
+        handle.stop()
+    return spark.read.schema(out_schema).parquet(out_dir)
