@@ -1241,6 +1241,84 @@ def _l30_z_sql(w: str, f: str) -> str:
     return expr
 
 
+def _l30_p_sql() -> str:
+    z = _l30_z_sql("w", "f")
+    return f"(0.5 + (0.5 * {z}) / (1.0 + ABS({z})))"
+
+
+_L30_FEATS_CTE = """feats AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN LENGTH(text) BETWEEN 150 AND 450 THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         ((CAST(LEAST(LENGTH(text), 500) AS DOUBLE) - 300.0) / 200.0)
+           * ((CAST(LEAST(LENGTH(text), 500) AS DOUBLE) - 300.0) / 200.0) AS x1,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS x2,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS x3
+  FROM documents WHERE LENGTH(text) > 0
+)"""
+
+
+def _l30_train_ctes(
+    prefix: str, start: str | None, iters: int, grad_where: str = ""
+) -> tuple[list[str], str]:
+    """Unrolled training-round CTE pairs: gradient aggregate + weight
+    update, starting from CTE ``start`` (None → fresh zeros). The
+    optional ``grad_where`` restricts which feats rows the GRADIENT sees
+    (the training corpus) without touching the shared feats CTE —
+    scoring can still run over everything."""
+    p = _l30_p_sql()
+    ctes: list[str] = []
+    if start is None:
+        start = f"{prefix}w0"
+        ctes.append(
+            f"{start} AS (SELECT "
+            + ", ".join(f"0.0 AS w{j}" for j in range(_L30_NF))
+            + ")"
+        )
+    prev = start
+    where = f" WHERE {grad_where}" if grad_where else ""
+    for t in range(1, iters + 1):
+        sums = ", ".join(
+            f"SUM(CAST(FLOOR((({p} - f.y) * f.x{j}) * {_L30_Q} + 0.5) AS BIGINT))"
+            f" AS s{j}"
+            for j in range(_L30_NF)
+        )
+        # MATERIALIZED: DuckDB inlines plain CTEs, and w{t} referencing
+        # both g{t} and w{t-1} would re-evaluate the chain exponentially
+        ctes.append(
+            f"{prefix}g{t} AS MATERIALIZED "
+            f"(SELECT COUNT(*) AS n, {sums} FROM feats f CROSS JOIN {prev} w{where})"
+        )
+        ws = ", ".join(
+            f"FLOOR((w.w{j} - {_L30_LR!r} * ((CAST(g.s{j} AS DOUBLE) / {_L30_Q}) / g.n))"
+            f" * {_L30_Q} + 0.5) / {_L30_Q} AS w{j}"
+            for j in range(_L30_NF)
+        )
+        ctes.append(
+            f"{prefix}w{t} AS MATERIALIZED "
+            f"(SELECT {ws} FROM {prefix}g{t} g CROSS JOIN {prev} w)"
+        )
+        prev = f"{prefix}w{t}"
+    return ctes, prev
+
+
+def _l30_score_sql(wname: str, extra_select: str = "") -> str:
+    """Per-label confusion summary of feats scored with the ``wname``
+    weight row; ``extra_select`` prepends constant columns (e.g. a model
+    version tag)."""
+    p = _l30_p_sql()
+    return f"""SELECT {extra_select}f.y AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN FLOOR({p} * {_L30_Q} + 0.5) / {_L30_Q} >= 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_hi,
+       CAST(SUM(CAST(FLOOR({p} * {_L30_Q} + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_score_1e6
+FROM feats f CROSS JOIN {wname} w
+GROUP BY f.y"""
+
+
 def _l30_oracle() -> str:
     """Unrolled-CTE mirror of the full training loop: w0 = 0 → twelve
     gradient/update rounds → score. Every per-row gradient contribution
@@ -1251,60 +1329,12 @@ def _l30_oracle() -> str:
     both engines, so no transcendental libm difference can ever flip a
     FLOOR boundary — the bit-exact contract holds by arithmetic, not by
     luck."""
-    z = _l30_z_sql("w", "f")
-    p = f"(0.5 + (0.5 * {z}) / (1.0 + ABS({z})))"
-    ctes = [
-        """feats AS MATERIALIZED (
-  SELECT CASE WHEN LENGTH(text) BETWEEN 150 AND 450 THEN 1.0 ELSE 0.0 END AS y,
-         1.0 AS x0,
-         ((CAST(LEAST(LENGTH(text), 500) AS DOUBLE) - 300.0) / 200.0)
-           * ((CAST(LEAST(LENGTH(text), 500) AS DOUBLE) - 300.0) / 200.0) AS x1,
-         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')) AS DOUBLE)
-           / LENGTH(text) AS x2,
-         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-           / LENGTH(text) AS x3
-  FROM documents WHERE LENGTH(text) > 0
-)""",
-        "w0_iter AS (SELECT "
-        + ", ".join(f"0.0 AS w{j}" for j in range(_L30_NF))
-        + ")",
-    ]
-    prev = "w0_iter"
-    for t in range(1, _L30_ITERS + 1):
-        sums = ", ".join(
-            f"SUM(CAST(FLOOR((({p} - f.y) * f.x{j}) * {_L30_Q} + 0.5) AS BIGINT))"
-            f" AS s{j}"
-            for j in range(_L30_NF)
-        )
-        # MATERIALIZED: DuckDB inlines plain CTEs, and w{t} referencing
-        # both g{t} and w{t-1} would re-evaluate the chain exponentially
-        ctes.append(
-            f"g{t} AS MATERIALIZED "
-            f"(SELECT COUNT(*) AS n, {sums} FROM feats f CROSS JOIN {prev} w)"
-        )
-        ws = ", ".join(
-            f"FLOOR((w.w{j} - {_L30_LR!r} * ((CAST(g.s{j} AS DOUBLE) / {_L30_Q}) / g.n))"
-            f" * {_L30_Q} + 0.5) / {_L30_Q} AS w{j}"
-            for j in range(_L30_NF)
-        )
-        ctes.append(
-            f"w{t}_iter AS MATERIALIZED "
-            f"(SELECT {ws} FROM g{t} g CROSS JOIN {prev} w)"
-        )
-        prev = f"w{t}_iter"
+    train, final = _l30_train_ctes("", None, _L30_ITERS)
     return (
         "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT f.y AS label,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN FLOOR({p} * {_L30_Q} + 0.5) / {_L30_Q} >= 0.5
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_hi,
-       CAST(SUM(CAST(FLOOR({p} * {_L30_Q} + 0.5) AS BIGINT)) AS BIGINT)
-         AS sum_score_1e6
-FROM feats f CROSS JOIN {prev} w
-GROUP BY f.y
-"""
+        + ",\n".join([_L30_FEATS_CTE, *train])
+        + "\n"
+        + _l30_score_sql(final)
     )
 
 
@@ -1325,6 +1355,7 @@ def l30_features(docs: DataFrame) -> DataFrame:
 
     q = (F.least(ln, F.lit(500)).cast("double") - 300.0) / 200.0
     return docs.filter(ln > 0).select(
+        "doc_id",
         F.when(ln.between(150, 450), 1.0).otherwise(0.0).alias("y"),
         F.lit(1.0).alias("x0"),
         (q * q).alias("x1"),
@@ -1348,7 +1379,10 @@ def _l30_p_col(w: list[float]) -> Column:
 
 
 def train_quality_logreg(
-    feats: DataFrame, iters: int = _L30_ITERS, lr: float = _L30_LR
+    feats: DataFrame,
+    iters: int = _L30_ITERS,
+    lr: float = _L30_LR,
+    w_init: list[float] | None = None,
 ) -> list[float]:
     """Batch gradient descent where each iteration is ONE map-side-
     combinable aggregate over the corpus — the exact shape spark.ml uses
@@ -1362,7 +1396,7 @@ def train_quality_logreg(
     import math
 
     q = float(_L30_Q)
-    w = [0.0] * _L30_NF
+    w = list(w_init) if w_init is not None else [0.0] * _L30_NF
     for _ in range(iters):
         r = _l30_p_col(w) - F.col("y")
         row = feats.agg(
@@ -1408,3 +1442,89 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_pred_hi"),
         F.sum(sq.cast("long")).alias("sum_score_1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M43 — model registry: versioned weights in the lakehouse, warm-start
+# retrain, time-travel scoring (composes the L30 trainer + snapshot log)
+# ---------------------------------------------------------------------------
+
+
+def _m43_oracle() -> str:
+    v1, w1 = _l30_train_ctes("v1_", None, _L30_ITERS, grad_where="f.doc_id % 4 <> 0")
+    v2, w2 = _l30_train_ctes("v2_", w1, 4)
+    return (
+        "WITH "
+        + ",\n".join([_L30_FEATS_CTE, *v1, *v2])
+        + "\n"
+        + _l30_score_sql(w1, extra_select="1 AS model_version, ")
+        + "\nUNION ALL\n"
+        + _l30_score_sql(w2, extra_select="2 AS model_version, ")
+    )
+
+
+@query("m43_model_versioning", oracle=_m43_oracle(), category="maintenance")
+def model_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model registry on the snapshot log: v1 weights are trained on the
+    base corpus (doc_id % 4 <> 0) and COMMITTED as a tiny snapshot-log
+    table; after the held-out quarter 'arrives', v2 warm-starts from the
+    committed v1 weights for four more rounds over the full corpus and
+    lands as a MERGE commit. Scoring then DEPLOYS each model by reading
+    its weights back from the table at its version (time travel = model
+    rollback for free, the same mechanism as m18/m36) — and the oracle
+    replays BOTH trainings (12 base rounds, then 4 warm-start rounds)
+    via unrolled CTEs, so every weight that ever lived in the registry
+    is value-hash-checked. Warm-start cost is O(delta rounds), not a
+    from-scratch refit — the online-learning shape for a corpus that
+    grows daily."""
+    import shutil
+
+    from ..plans.lakehouse import commit_snapshot, merge_snapshot, read_snapshot
+    from ..sources.io import _scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = l30_features(docs).localCheckpoint(eager=False)
+    w1 = train_quality_logreg(feats.filter(F.col("doc_id") % 4 != 0))
+
+    table = _scratch(sf_dir, "m43_model_table")
+    shutil.rmtree(table, ignore_errors=True)
+    ddl = "j int, w double"
+    commit_snapshot(
+        spark.createDataFrame(list(enumerate(w1)), ddl), table, ddl
+    )
+    w2 = train_quality_logreg(feats, iters=4, w_init=w1)
+    merge_snapshot(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(j, "U", 1, wj) for j, wj in enumerate(w2)],
+            "j int, op string, seq int, w double",
+        ),
+        "j",
+        ddl,
+    )
+
+    def deployed(version: int) -> list[float]:
+        rows = read_snapshot(spark, table, version=version).collect()
+        return [r["w"] for r in sorted(rows, key=lambda r: r["j"])]
+
+    out = None
+    for ver in (1, 2):
+        sq = F.floor(_l30_p_col(deployed(ver)) * float(_L30_Q) + 0.5)
+        part = (
+            feats.groupBy(F.col("y").alias("label"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    F.when(
+                        sq.cast("double") / float(_L30_Q) >= 0.5, 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_pred_hi"),
+                F.sum(sq.cast("long")).alias("sum_score_1e6"),
+            )
+            .select(F.lit(ver).alias("model_version"), "*")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
