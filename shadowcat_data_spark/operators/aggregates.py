@@ -793,3 +793,77 @@ def grouping_id_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A23 — mergeable histogram quantiles (deterministic sketch, exact oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a23_histogram_quantile",
+    oracle="""
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST((MIN(CASE WHEN cum >= 0.5 * n THEN bin END) + 1) * 10.0 AS DOUBLE) AS p50,
+       CAST((MIN(CASE WHEN cum >= 0.9 * n THEN bin END) + 1) * 10.0 AS DOUBLE) AS p90,
+       CAST((MIN(CASE WHEN cum >= 0.99 * n THEN bin END) + 1) * 10.0 AS DOUBLE) AS p99
+FROM t GROUP BY event_type
+""",
+    category="aggregate",
+)
+def histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantiles — the DETERMINISTIC mergeable
+    quantile sketch. Contrast with a4 (approx_percentile): that sketch
+    is engine-internal so only a tolerance check is possible; this one's
+    state is (bin → count), exactly associative integer partials, so
+    partial histograms combine map-side, merge across partitions/days/
+    tables in any order with NO error, and the quantile (upper edge of
+    the first bin where the cumulative count crosses q·n) is reproduced
+    bit-for-bit by the SQL oracle. Error is bounded by bin width by
+    construction — the knob a 100 TB pipeline tunes, not a sketch
+    internals gamble. One narrow shuffle on (event_type, bin); the bin
+    domain (~50 rows/group) makes the window stage metadata-sized."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10.0).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = b.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(W.partitionBy("event_type").orderBy("bin")).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def pq(q: float, name: str):
+        return (
+            (
+                F.min(F.when(F.col("cum") >= F.lit(q) * F.col("n"), F.col("bin")))
+                + 1
+            )
+            * 10.0
+        ).cast("double").alias(name)
+
+    return t.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        pq(0.5, "p50"),
+        pq(0.9, "p90"),
+        pq(0.99, "p99"),
+    )

@@ -2054,3 +2054,43 @@ def test_stats_join_strategy_picks_plan_from_manifests(spark, tmp_path):
         assert rows_b == rows_s and len(rows_b) == 500
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_histogram_quantile_merge_and_bound(spark):
+    """a23's sketch contract: partial histograms from disjoint slices
+    merge (integer add) to exactly the full histogram's answer, and the
+    estimate sits within one bin width above the true quantile."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "t", float(i % 97)) for i in range(2000)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    def hist(df):
+        return (
+            df.groupBy("event_type", F.floor(F.col("value") / 10.0).cast("long").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    full = {(r["bin"]): r["c"] for r in hist(ev).collect()}
+    h1 = hist(ev.filter("event_id % 2 = 0"))
+    h2 = hist(ev.filter("event_id % 2 = 1"))
+    merged = {
+        r["bin"]: r["c"]
+        for r in h1.unionByName(h2)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert merged == full
+    # estimate vs truth: upper edge of the crossing bin
+    import numpy as np
+
+    vals = np.array([v for _, _, v in rows])
+    true_p90 = np.quantile(vals, 0.9)
+    cum, n = 0, len(vals)
+    for b in sorted(full):
+        cum += full[b]
+        if cum >= 0.9 * n:
+            est = (b + 1) * 10.0
+            break
+    assert true_p90 <= est <= true_p90 + 10.0
