@@ -391,3 +391,55 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bytes math isn't SQL-expressible)."""
     media = media_table(spark, sf_dir)
     return media.mapInPandas(resize_media_batch, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MM dedup — exact content-hash dedup of binary media payloads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_dedup_exact",
+    oracle="""
+SELECT sha256(sha256(text)) AS payload_sha,
+       CAST(2 AS BIGINT) AS n_copies,
+       doc_id AS canonical_id,
+       CAST(1 AS BIGINT) AS canonical_batch
+FROM documents WHERE doc_id < 50
+""",
+    category="pipeline-multimodal",
+)
+def mm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup for BINARY media — the multimodal twin of l1: the
+    same media directory is ingested twice (the double-ingest every
+    production pipeline eventually does), payloads are keyed by
+    sha2(content) computed from the actual file BYTES, and each group
+    collapses to its earliest (batch, id) copy. The oracle recomputes
+    every payload hash from the SOURCE documents (the fixture's media
+    payload is derived from text), so the whole binary path — file
+    bytes → JVM sha2 → group → canonical pick — is value-checked, not
+    just counted. At 100 TB: sha2 streams per file on executors (bytes
+    never shuffle — only the 32-byte digest + id do), and the groupBy
+    key is the digest, so dedup cost is O(corpus) scan + a digest-sized
+    shuffle regardless of media size. Near-dup tiers (perceptual hash →
+    band join, mirroring l2b's shape) plug in behind the same digest
+    grouping; the decode stubs in this module are where a pHash kernel
+    would land."""
+    media_dir = _ensure_media_fixture(spark, sf_dir)
+    bf = spark.read.format("binaryFile").load(media_dir)
+    mid = F.regexp_extract(F.col("path"), r"media_(\d+)\.bin$", 1).cast("long")
+    one = bf.select(
+        mid.alias("media_id"),
+        F.sha2(F.col("content"), 256).alias("payload_sha"),
+        F.lit(1).cast("long").alias("batch"),
+    )
+    two = one.withColumn("batch", F.lit(2).cast("long"))
+    return (
+        one.unionByName(two)
+        .groupBy("payload_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+            F.min("batch").alias("canonical_batch"),
+        )
+    )
