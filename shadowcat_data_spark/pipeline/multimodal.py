@@ -401,11 +401,15 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_dedup_exact",
     oracle="""
-SELECT sha256(sha256(text)) AS payload_sha,
-       CAST(2 AS BIGINT) AS n_copies,
-       doc_id AS canonical_id,
+WITH m AS (
+  SELECT doc_id, sha256(sha256(text)) AS payload_sha
+  FROM documents WHERE doc_id < 50
+)
+SELECT payload_sha,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS canonical_id,
        CAST(1 AS BIGINT) AS canonical_batch
-FROM documents WHERE doc_id < 50
+FROM m GROUP BY payload_sha
 """,
     category="pipeline-multimodal",
 )
