@@ -881,3 +881,70 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         F.broadcast(right), left["k"].eqNullSafe(right["rk"]), "inner"
     ).select("o_orderkey", "label")
+
+
+# ---------------------------------------------------------------------------
+# J18 — dynamic partition pruning (Spark-native DPP over a Hive layout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j18_dynamic_partition_pruning",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank
+  FROM orders
+)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
+FROM orders o JOIN dim d USING (o_orderpriority)
+WHERE d.prio_rank <= 2
+GROUP BY o.o_orderpriority
+""",
+    category="join",
+)
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE dynamic partition pruning, the engine-built-in twin
+    of m40's manifest-level runtime filter: the fact table is laid out
+    as Hive partitions on o_orderpriority, the dim side carries a
+    selective non-partition filter, and Catalyst injects a
+    ``dynamicpruning`` subquery into the fact scan's PartitionFilters —
+    whole partition DIRECTORIES are skipped at runtime using the dim's
+    actual rows, before any fact file is opened (plan-asserted in
+    pytest). At 100 TB this is the free 5×-50× on every star join whose
+    fact is partitioned on the join key; the write below plays the role
+    of the already-partitioned warehouse table."""
+    import shutil
+
+    from ..sources.io import _scratch
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    scratch = _scratch(sf_dir, "j18_orders_part")
+    shutil.rmtree(scratch, ignore_errors=True)
+    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(scratch)
+    fact = spark.read.parquet(scratch)
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "prio_rank", F.substring("o_orderpriority", 1, 1).cast("int")
+        )
+        .filter(F.col("prio_rank") <= 2)
+    )
+    return (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("total"),
+        )
+    )

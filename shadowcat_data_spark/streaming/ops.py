@@ -1385,3 +1385,78 @@ def stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         handle.stop()
     return spark.read.schema(out_schema).parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# T24 — streaming histogram quantiles (mergeable sketch state in the stream)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t24_stream_histogram_quantile",
+    oracle="""
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST((MIN(CASE WHEN cum >= 0.5 * n THEN bin END) + 1) * 10.0 AS DOUBLE) AS p50,
+       CAST((MIN(CASE WHEN cum >= 0.9 * n THEN bin END) + 1) * 10.0 AS DOUBLE) AS p90,
+       CAST((MIN(CASE WHEN cum >= 0.99 * n THEN bin END) + 1) * 10.0 AS DOUBLE) AS p99
+FROM t GROUP BY event_type
+""",
+    category="streaming",
+)
+def stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile monitoring on a stream done the way it scales: the
+    STREAM maintains only the mergeable histogram state — a (event_type,
+    bin) → count aggregate whose integer partials the state store merges
+    exactly, ~50 rows per group regardless of throughput — and the
+    quantile extraction (cumulative crossing) runs as a stateless batch
+    select over the sink. Streaming a true percentile would need every
+    raw value in state; streaming the a23 sketch needs the bin census
+    and nothing else, and the answer is IDENTICAL to the batch operator
+    (same oracle, bit for bit). Late data folds into its bin exactly —
+    histogram merge is commutative, so the converged state is
+    trigger-count independent."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10.0).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = run_to_memory(agg, "t24_hist", "complete")
+    from pyspark.sql import Window as W
+
+    t = hist.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(W.partitionBy("event_type").orderBy("bin")).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def pq(q: float, name: str):
+        return (
+            (
+                F.min(F.when(F.col("cum") >= F.lit(q) * F.col("n"), F.col("bin")))
+                + 1
+            )
+            * 10.0
+        ).cast("double").alias(name)
+
+    return t.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        pq(0.5, "p50"),
+        pq(0.9, "p90"),
+        pq(0.99, "p99"),
+    )

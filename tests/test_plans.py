@@ -420,3 +420,14 @@ def test_pagerank_plan_constant_across_iterations(spark):
             A._PR_ITERS = orig
 
     assert plan_lines(2) == plan_lines(6)
+
+
+def test_j18_plan_has_dynamic_partition_pruning(spark):
+    """j18's point is the PLAN: the fact scan's partition filters must
+    carry a runtime dynamicpruning subquery fed by the filtered dim."""
+    from shadowcat_data_spark import registry
+    from tests.conftest import SF_DIR
+
+    df = registry.load_all()["j18_dynamic_partition_pruning"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
