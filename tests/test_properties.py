@@ -111,17 +111,92 @@ def test_jdbc_stub_raises_cleanly(spark):
         jdbc_source(spark, "jdbc:postgresql://nowhere/db", "t", "id")
 
 
-def test_decode_stub_partitioning_invariant(spark):
-    """Fake media features must not depend on partitioning (mapInPandas
+def test_image_decode_partitioning_invariant(spark):
+    """Real PPM decode stats must not depend on partitioning (mapInPandas
     batch boundaries are an implementation detail)."""
-    from shadowcat_data_spark.pipeline.multimodal import decode_media, media_table
+    from shadowcat_data_spark.pipeline.multimodal import (
+        DECODE_SCHEMA,
+        _decode_stats,
+        _image_frames,
+        _per_image_kernel,
+    )
 
-    m = media_table(spark, SF_DIR)
-    a = decode_media(m.repartition(1)).select("media_id", "feature").toPandas()
-    b = decode_media(m.repartition(7)).select("media_id", "feature").toPandas()
-    a = a.sort_values("media_id").reset_index(drop=True)
-    b = b.sort_values("media_id").reset_index(drop=True)
-    assert all((x == y).all() for x, y in zip(a["feature"], b["feature"]))
+    frames = _image_frames(spark, SF_DIR)
+    kernel = _per_image_kernel(
+        _decode_stats, ["width", "height", "r_sum", "g_sum", "b_sum"]
+    )
+    a = sorted(frames.repartition(1).mapInPandas(kernel, DECODE_SCHEMA).collect())
+    b = sorted(frames.repartition(7).mapInPandas(kernel, DECODE_SCHEMA).collect())
+    assert a == b and len(a) > 0
+
+
+def test_ppm_codec_roundtrip_and_parser_robustness():
+    """encode→decode is the identity; the parser handles comments, CRLF-ish
+    whitespace runs, and rejects the malformed payloads a crawl produces."""
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    assert (decode_ppm(encode_ppm(px, comment="hello # world")) == px).all()
+    # hand-built header: multiple comments, tabs/CR whitespace between tokens
+    body = px.tobytes()
+    buf = b"P6\t# one\n#two\n 9 \r\n# three\n5\t255\n" + body
+    assert (decode_ppm(buf) == px).all()
+    for bad in (
+        b"",
+        b"P5\n9 5\n255\n" + body,  # wrong magic (PGM)
+        b"\x89PNG\r\n\x1a\n",  # PNG magic → clean error, not a crash
+        b"P6\n9 5\n65535\n" + body * 2,  # 16-bit samples unsupported
+        b"P6\n9 5\n255\n" + body[:-1],  # truncated pixels
+        b"P6\n# unterminated comment",
+        b"P6\nnine 5\n255\n" + body,  # non-numeric dimension
+    ):
+        with _pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_resize_kernels_match_loop_reference():
+    """Vectorized NN/box/bilinear kernels == the obvious nested-loop
+    reference implementations on random images (independent arithmetic:
+    meshgrid/reduceat/ix_ gathers vs per-pixel loops)."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.multimodal import (
+        resize_bilinear,
+        resize_box,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h, dw, dh in [(8, 8, 8, 8), (16, 14, 8, 8), (13, 9, 4, 6), (9, 11, 3, 5)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        nn = np.zeros((dh, dw, 3), np.int64)
+        box = np.zeros((dh, dw, 3), np.int64)
+        bl = np.zeros((dh, dw, 3), np.float64)
+        for Y in range(dh):
+            for X in range(dw):
+                nn[Y, X] = px[(Y * h) // dh, (X * w) // dw]
+                b = px[
+                    (Y * h) // dh : ((Y + 1) * h) // dh,
+                    (X * w) // dw : ((X + 1) * w) // dw,
+                ].astype(np.int64)
+                box[Y, X] = b.sum(axis=(0, 1)) // (b.shape[0] * b.shape[1])
+                sx = min(max((X + 0.5) * w / dw - 0.5, 0.0), w - 1)
+                sy = min(max((Y + 0.5) * h / dh - 0.5, 0.0), h - 1)
+                x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+                x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+                fx, fy = sx - x0, sy - y0
+                a = px.astype(np.float64)
+                bl[Y, X] = (1 - fy) * ((1 - fx) * a[y0, x0] + fx * a[y0, x1]) + fy * (
+                    (1 - fx) * a[y1, x0] + fx * a[y1, x1]
+                )
+        assert (resize_nearest(px, dw, dh) == nn).all()
+        assert (resize_box(px, dw, dh) == box).all()
+        assert np.allclose(resize_bilinear(px, dw, dh), bl, rtol=0, atol=1e-9)
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
@@ -639,23 +714,24 @@ def test_triangle_count_on_constructed_graphs(spark):
 
 
 def test_mm_resize_partitioning_invariant(spark):
-    """The resize kernel is per-row deterministic: 1-partition and
-    7-partition runs must produce identical rows."""
+    """The real resize kernels are per-row deterministic: 1-partition and
+    7-partition runs must produce identical rows, and the output dims are
+    the fixed dst grid."""
     from shadowcat_data_spark.pipeline.multimodal import (
-        RESIZED_SCHEMA,
-        media_table,
-        resize_media_batch,
+        RESIZE_SCHEMA,
+        _image_frames,
+        _per_image_kernel,
+        _resize_stats,
+        _RESIZE_FIELDS,
+        resize_box,
     )
 
-    media = media_table(spark, SF_DIR).limit(60)
-    one = sorted(
-        media.coalesce(1).mapInPandas(resize_media_batch, RESIZED_SCHEMA).collect()
-    )
-    many = sorted(
-        media.repartition(7).mapInPandas(resize_media_batch, RESIZED_SCHEMA).collect()
-    )
-    assert one == many
-    assert all(r.dst_width == 64 and len(r.resized_digest) == 64 for r in one)
+    frames = _image_frames(spark, SF_DIR)
+    kernel = _per_image_kernel(_resize_stats(resize_box), _RESIZE_FIELDS)
+    one = sorted(frames.coalesce(1).mapInPandas(kernel, RESIZE_SCHEMA).collect())
+    many = sorted(frames.repartition(7).mapInPandas(kernel, RESIZE_SCHEMA).collect())
+    assert one == many and len(one) > 0
+    assert all(r.dst_width == 8 and r.dst_height == 8 for r in one)
 
 
 def test_max_df_bounds_postings_without_touching_sizes(spark):
@@ -771,26 +847,34 @@ def test_minhash_survives_short_docs(spark):
     assert (out.jaccard[(out.d1 == 4) & (out.d2 == 5)] == 1.0).all()
 
 
-def test_resize_keeps_empty_payload_rows():
-    """The Arrow resize kernel's one-row-per-input contract must hold for
-    zero-length payloads (the normal failure mode of a real media ingest):
-    the row survives with the digest of zero bytes."""
-    import hashlib
-
+def test_corrupt_payloads_quarantine_as_null_rows():
+    """The Arrow kernel's one-row-per-input contract must hold for corrupt
+    payloads (the normal failure mode of a real media crawl): undecodable
+    rows survive with null stats instead of failing the job, and decodable
+    rows in the same batch still get real values."""
+    import numpy as np
     import pandas as pd
 
-    from shadowcat_data_spark.pipeline.multimodal import resize_media_batch
+    from shadowcat_data_spark.pipeline.multimodal import (
+        _decode_stats,
+        _per_image_kernel,
+        encode_ppm,
+    )
 
+    px = np.full((2, 3, 3), 10, dtype=np.uint8)
     pdf = pd.DataFrame(
         {
-            "media_id": [1, 2],
-            "content": [b"", b"abcdef"],
-            "meta": [{"width": 0, "height": 0}, {"width": 4, "height": 4}],
+            "media_id": [1, 2, 3],
+            "content": [b"", b"\x89PNG\r\n\x1a\n", encode_ppm(px)],
         }
     )
-    (out,) = list(resize_media_batch(iter([pdf])))
-    assert len(out) == 2
-    assert out.resized_digest[0] == hashlib.sha256(b"").hexdigest()
+    kernel = _per_image_kernel(
+        _decode_stats, ["width", "height", "r_sum", "g_sum", "b_sum"]
+    )
+    (out,) = list(kernel(iter([pdf])))
+    assert len(out) == 3
+    assert pd.isna(out.width[0]) and pd.isna(out.r_sum[1])
+    assert (out.width[2], out.height[2], out.r_sum[2]) == (3, 2, 60)
 
 
 def test_cosine_family_survives_zero_vectors(spark):
@@ -1217,6 +1301,55 @@ def test_ann_probe_never_trains(spark, tmp_path, monkeypatch):
         spark, table, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5
     )
     assert out.count() > 0
+
+
+def test_knn_graph_recall_and_self_exclusion(spark, tmp_path):
+    """The all-pairs kNN-graph (l3k): every indexed vector gets exactly k
+    neighbors (no self-edges), and recall against brute-force all-pairs
+    cosine truth beats the random-candidate floor by a wide margin."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.similarity import build_ann_index, knn_graph
+
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    table = str(tmp_path / "annidx")
+    build_ann_index(spark, e, "vec_id", "embedding", table)
+    out = knn_graph(spark, table, k=3).toPandas()
+    assert (out.qid != out.cid).all(), "self-edge in the kNN graph"
+    assert (out.groupby("qid").size() == 3).all()
+    assert out.qid.nunique() == 200
+    # brute-force truth
+    pdf = e.toPandas().sort_values("vec_id")
+    M = np.array([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cos = (M / norms) @ (M / norms).T
+    np.fill_diagonal(cos, -np.inf)
+    true_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in np.argsort(-cos[i])[:3]
+    }
+    got_pairs = {(r.qid, r.cid) for r in out.itertuples()}
+    recall = len(true_pairs & got_pairs) / len(true_pairs)
+    assert recall >= 0.2, f"kNN-graph recall collapsed: {recall}"
+
+
+def test_knn_graph_never_trains(spark, tmp_path, monkeypatch):
+    """l3k's graph plan runs purely against the committed index — the
+    trainer must never be invoked after build (same contract as l3h)."""
+    from shadowcat_data_spark.pipeline import similarity as SIM
+
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 100)
+    table = str(tmp_path / "annidx")
+    SIM.build_ann_index(spark, e, "vec_id", "embedding", table)
+
+    def boom(*a, **k):
+        raise AssertionError("kNN-graph path invoked the k-means trainer")
+
+    monkeypatch.setattr(SIM, "_kmeans_centroids", boom)
+    assert SIM.knn_graph(spark, table, k=2).count() == 200
 
 
 def test_ann_refresh_appends_without_rewrite(spark, tmp_path):

@@ -68,7 +68,11 @@ ALLOW = {
     "u5_udtf_chunking": {"BatchEvalPython"},
     "mm_decode_features": {"MapInPandas"},
     "mm_frame_sample": {"MapInPandas"},
-    "mm_resize": {"MapInPandas"},  # stubbed pixel kernel, same contract
+    # real pixel kernels (round 5): PPM decode + NN/box/bilinear resize —
+    # the Arrow-batched Python stage IS the codec path, map-side only
+    "mm_resize": {"MapInPandas"},
+    "mm_resize_box": {"MapInPandas"},
+    "mm_resize_bilinear": {"MapInPandas"},
     "t6_stateful_per_key": {"FlatMapGroupsInPandas", "ArrowEvalPython"},
     # one-row scalar-aggregate broadcast (quota / percentile bounds): the
     # build side is a single row at any scale — constant-cost apply
