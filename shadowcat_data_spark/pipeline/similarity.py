@@ -1261,6 +1261,75 @@ def srp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3k — all-pairs embedding kNN-graph through the persisted index
+# (r04 verdict "What's missing" #2: corpus↔corpus top-k neighbors — the
+# retrieval shape behind global semantic dedup and cluster balancing)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    spark: SparkSession, table: str, k: int, n_probe: int = 2
+) -> DataFrame:
+    """Approximate kNN-GRAPH over the stored corpus itself: every indexed
+    vector is routed to its ``n_probe`` nearest centroids (plan literals
+    from the manifest — no training jobs anywhere in this plan), candidates
+    are generated by an EQUI-JOIN on the cluster id between the routed
+    corpus and the stored assignments, and each vector keeps its top-k
+    exact-cosine neighbors, self excluded. A vector's own cluster is by
+    construction among its probes (it was assigned to the nearest
+    centroid), so same-cluster neighbors — the bulk of true top-k mass —
+    are always candidates.
+
+    Scale shape: unlike the query-batch probe (l3h), NEITHER side is
+    broadcastable — both are the corpus — so the join is an explicit
+    shuffle-hash on the cluster key (``hint("shuffle_hash")``: no sort,
+    build side = the stored assignments). Candidate volume is
+    Σ_c |c| · |probes into c| ≈ (n_probe/n_clusters)·N² instead of N²;
+    with the standard IVF sizing n_clusters ≈ √N each cluster holds ~√N
+    rows, so per-partition candidate blocks stay ~N — linear work per
+    vector, bounded memory per task. The fixture index keeps 8 clusters
+    (its corpus is tiny); the sizing rule, not the constant, is the
+    contract. The final top-k window partitions by vector id — fine-
+    grained, no skew regardless of cluster fan-in."""
+    from ..plans.lakehouse import read_manifest, read_snapshot
+
+    man = read_manifest(table)
+    centroids = man.get("centroids") or []
+    empty = spark.createDataFrame([], "qid long, cid long, cos double")
+    if not centroids or not man["files"]:
+        return empty
+    stored = read_snapshot(spark, table)
+    routed = _nearest_clusters(
+        stored.select(F.col("cid").alias("qid"), F.col("ce").alias("qe")),
+        centroids,
+        n_probe,
+    )
+    scored = (
+        stored.hint("shuffle_hash")
+        .join(routed, "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", _cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+@query("l3k_knn_graph", category="pipeline-similarity")
+def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbor graph of the whole indexed corpus via the persisted
+    l3g index (built on miss, reused when fresh — same idempotence as
+    l3h). Rows-only: k-means cluster structure is engine-specific; the
+    graph's recall against brute-force all-pairs truth and the train-free
+    probe plan are pytest-pinned (mirroring l3h's contract)."""
+    table = _ensure_ann_index(spark, sf_dir)
+    return knn_graph(spark, table, k=3).orderBy("qid", "cid")
+
+
+# ---------------------------------------------------------------------------
 # L31 — distributed k-means with a full SQL training replay (ML family)
 # ---------------------------------------------------------------------------
 
