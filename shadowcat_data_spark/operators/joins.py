@@ -893,7 +893,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH dim AS (
   SELECT DISTINCT o_orderpriority,
-         CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank
+         TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank
   FROM orders
 )
 SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -926,12 +926,18 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = _scratch(sf_dir, "j18_orders_part")
     shutil.rmtree(scratch, ignore_errors=True)
     o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(scratch)
-    fact = spark.read.parquet(scratch)
+    # explicit schema: an EMPTY staged layout (zero-row orders) has no
+    # files to infer from — inference would throw UNABLE_TO_INFER_SCHEMA;
+    # partition discovery still runs, so DPP is unaffected (plan-asserted)
+    fact = spark.read.schema(o.schema).parquet(scratch)
     dim = (
         o.select("o_orderpriority")
         .distinct()
+        # try_cast: NULL / '' / non-numeric priorities yield a NULL rank
+        # (dropped by the <= filter) instead of an ANSI cast error —
+        # mirrored by TRY_CAST in the oracle
         .withColumn(
-            "prio_rank", F.substring("o_orderpriority", 1, 1).cast("int")
+            "prio_rank", F.substring("o_orderpriority", 1, 1).try_cast("int")
         )
         .filter(F.col("prio_rank") <= 2)
     )
