@@ -44,9 +44,9 @@ def test_entry_smoke(spark):
 
 def test_bench_queries_all_registered():
     """A rename in the registry must not silently break bench.py."""
-    from bench import BENCH_QUERIES
+    from bench import BENCH_QUERIES, EXTRA_QUERIES
 
-    missing = [q for q in BENCH_QUERIES if q not in SPECS]
+    missing = [q for q in BENCH_QUERIES + EXTRA_QUERIES if q not in SPECS]
     assert not missing, f"bench references unregistered queries: {missing}"
 
 

@@ -1,18 +1,20 @@
-"""sf1 scale smoke (VERDICT r02 item 6): synthesize ~10× the sf0.1 fixtures,
-run the 12 headline bench queries, and assert the task-level scale
+"""sf1 / sf10 scale smoke (VERDICT r02 item 6; sf10 tier = VERDICT r04 #2):
+synthesize 10× / 100× the sf0.1 fixtures, run the headline queries (sf1)
+or the heavy machinery families (sf10), and assert the task-level scale
 invariants the sf0.1 bench cannot see — no large stage collapsing to a
 single task (packing/partitioning cliff) and bounded peak task time
 (skew cliff).
 
-Synthesis: each table is 10 disjoint replicas of its sf0.1 self, with every
-key column offset by copy_i * 10_000_000. Offsetting keeps each replica's
-join graph closed, so query result sizes scale ~linearly (duplicating keys
-verbatim would square join fan-outs instead). Timestamps are untouched —
-10× the events per time window is exactly what a bigger deployment looks
-like. Output is resharded to SHARDS files per table so scans start from a
-multi-file layout, not the single-file fixture.
+Synthesis: each table is COPIES disjoint replicas of its sf0.1 self, with
+every key column offset by copy_i * 10_000_000. Offsetting keeps each
+replica's join graph closed, so query result sizes scale ~linearly
+(duplicating keys verbatim would square join fan-outs instead). Timestamps
+are untouched — more events per time window is exactly what a bigger
+deployment looks like. Output is resharded to SHARDS files per table so
+scans start from a multi-file layout, not the single-file fixture.
 
-Run:  python tools/scale_smoke.py            # synthesizes if needed, runs smoke
+Run:  python tools/scale_smoke.py            # sf1: synthesizes if needed
+      python tools/scale_smoke.py --sf10     # sf10: ~60M-row lineitem tier
       python tools/scale_smoke.py --resynth  # force re-synthesis
 Prints one JSON line (queries, per-query max task seconds, violations) and
 exits non-zero on an invariant violation.
@@ -31,11 +33,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 
 SRC_SF = "/root/testdata/sf0.1"
-OUT_DIR = os.path.join(tempfile.gettempdir(), "shadowcat_io", "sf1_smoke")
-EVENTLOG_DIR = os.path.join(tempfile.gettempdir(), "shadowcat_io", "sf1_eventlog")
-COPIES = 10
+SF10 = "--sf10" in sys.argv
+TIER = "sf10" if SF10 else "sf1"
+OUT_DIR = os.path.join(tempfile.gettempdir(), "shadowcat_io", f"{TIER}_smoke")
+EVENTLOG_DIR = os.path.join(
+    tempfile.gettempdir(), "shadowcat_io", f"{TIER}_eventlog"
+)
+COPIES = 100 if SF10 else 10
 OFFSET = 10_000_000
-SHARDS = 32
+SHARDS = 64 if SF10 else 32
+
+# sf10 runs the heavy machinery families only (bounded dedup, persisted
+# ANN, lakehouse write paths + CDF, graph, plus two relational anchors):
+# the full 12-query headline set stays the sf1 tier's job — at 100× the
+# point is finding packing/skew cliffs in exactly the operators whose
+# candidate generation or routing could go quadratic, not re-timing scans.
+SF10_QUERIES = [
+    "a1_pricing_summary",      # scan+agg anchor (60M-row lineitem)
+    "j6_star_join",            # join anchor
+    "l1_exact_dedup",          # digest shuffle at 100-way dup density
+    "l2b_minhash_lsh",         # LSH bands: every doc now has 99 true dups
+    "l28_semantic_dedup",      # SRP bucket self-join at 100-dup density
+    "l3g_ann_index_build",     # IVF train+persist over 100× vectors
+    "l3h_ann_index_probe",     # probe the committed index
+    "l3k_knn_graph",           # corpus↔corpus top-k through the index
+    "m20_partitioned_merge",   # bucket-routed COW MERGE write path
+    "m24_change_data_feed",    # CDF diff at 100× change volume
+    "m28_cdf_replay",          # CDC replay of the change stream
+    "graph_triangle_count",    # degree-ordered wedge join
+    "graph_label_propagation", # iterative per-round shuffle discipline
+]
 
 # every int64 key-domain column per table (offset per copy so each replica's
 # join graph stays closed and disjoint from the others)
@@ -132,9 +159,9 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(effective_cpus()))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("sf1-scale-smoke")
+        .appName(f"{TIER}-scale-smoke")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", "48g" if SF10 else "24g")
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{EVENTLOG_DIR}")
@@ -196,7 +223,8 @@ def main() -> None:
 
     specs = registry.load_all()
     times: dict[str, float] = {}
-    for name in bench.BENCH_QUERIES + extra:
+    names = SF10_QUERIES if SF10 else bench.BENCH_QUERIES + extra
+    for name in names:
         fn = specs[name].fn
         t0 = time.perf_counter()
         fn(spark, OUT_DIR).write.format("noop").mode("overwrite").save()
@@ -207,11 +235,11 @@ def main() -> None:
     stages, violations = parse_eventlog()
     worst = sorted(stages.values(), key=lambda s: -s["max_task_s"])[:5]
     out = {
-        "metric": "sf1_scale_smoke_total",
+        "metric": f"{TIER}_scale_smoke_total",
         "value": round(sum(times.values()), 2),
         "unit": "sec",
         "queries": times,
-        "sf": 1.0,
+        "sf": 10.0 if SF10 else 1.0,
         "n_stages": len(stages),
         "peak_task_s": max((s["max_task_s"] for s in stages.values()), default=0.0),
         "worst_stages": worst,
