@@ -730,6 +730,210 @@ def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm_audio_decode — REAL PCM/WAV parsing (the audio twin of the PPM path)
+# ---------------------------------------------------------------------------
+
+_AUD_N = 50
+_AUD_FIXTURE_TAG = "wav-v1"
+
+
+def _aud_geometry(doc_id: int) -> tuple[int, int, int]:
+    """(n_samples, n_channels, sample_rate) for one synthetic clip."""
+    return 64 + doc_id % 33, 1 + doc_id % 2, 8000 + (doc_id % 3) * 4000
+
+
+def _aud_samples(doc_id: int, n_samples: int, n_channels: int) -> np.ndarray:
+    """(n_samples, n_channels) int16 PCM. Closed-form integer sample values
+    — same trick as ``_img_pixels``: any per-channel sum or energy the
+    decoder produces is recomputable by the SQL oracle."""
+    i, ch = np.meshgrid(np.arange(n_samples), np.arange(n_channels), indexing="ij")
+    return (((doc_id * 7 + ch * 13 + i * 31) % 4001) - 2000).astype(np.int16)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Serialize (n_samples, n_channels) int16 PCM as a canonical RIFF/WAVE
+    file (fmt + data chunks, little-endian)."""
+    import struct
+
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"expected (n, ch) int16 samples, got {samples.shape} {samples.dtype}")
+    n, ch = samples.shape
+    data = samples.tobytes()  # row-major → interleaved frames, the WAV layout
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
+    """REAL RIFF/WAVE parser: validates the RIFF envelope, WALKS the chunk
+    list (skipping unknown chunks — real encoders emit LIST/INFO/fact
+    chunks, with odd-size padding per the spec), requires a PCM 16-bit
+    ``fmt `` chunk before ``data``, and reinterprets the payload as an
+    (n_samples, n_channels) int16 array. Returns (sample_rate, samples).
+    Raises ``ValueError`` on anything malformed — kernels quarantine, same
+    contract as ``decode_ppm``."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_info = 12, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk: want {size}, have {len(body)}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported encoding (fmt={audio_fmt}, bits={bits}); PCM16 only")
+            if ch <= 0:
+                raise ValueError("zero channels")
+            fmt_info = (ch, rate)
+        elif cid == b"data":
+            if fmt_info is None:
+                raise ValueError("data chunk before fmt chunk")
+            ch, rate = fmt_info
+            if size % (2 * ch):
+                raise ValueError("data size not a whole number of frames")
+            return rate, np.frombuffer(body, dtype="<i2").reshape(-1, ch)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned (spec padding)
+    raise ValueError("no data chunk found")
+
+
+def _ensure_audio_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One ``clip_<doc_id>.wav`` per document with doc_id < 50 — same
+    manifest idempotence as the image fixture."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.io import _scratch
+
+    aud_dir = _scratch(sf_dir, "audio_files")
+    manifest = aud_dir.rstrip("/") + ".manifest"
+    ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AUD_N)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    tag = (
+        _AUD_FIXTURE_TAG
+        + ":"
+        + _hashlib.sha256(",".join(map(str, ids)).encode()).hexdigest()
+    )
+    try:
+        with open(manifest) as f:
+            if f.read() == tag:
+                return aud_dir
+    except FileNotFoundError:
+        pass
+    _shutil.rmtree(aud_dir, ignore_errors=True)
+    _os.makedirs(aud_dir, exist_ok=True)
+    for doc_id in ids:
+        ns, nc, rate = _aud_geometry(doc_id)
+        payload = encode_wav(_aud_samples(doc_id, ns, nc), rate)
+        with open(_os.path.join(aud_dir, f"clip_{doc_id}.wav"), "wb") as f:
+            f.write(payload)
+    with open(manifest, "w") as f:
+        f.write(tag)
+    return aud_dir
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("c0_sum", T.LongType()),
+        T.StructField("c1_sum", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def _audio_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: real WAV parse → per-clip channel sums + total
+    energy (Σ s², the integer core of RMS loudness). One row per input
+    row; undecodable clips quarantine with null stats."""
+    cols = ["n_channels", "n_samples", "sample_rate", "c0_sum", "c1_sum", "energy"]
+    for pdf in batches:
+        out: dict[str, list] = {"media_id": []}
+        for c in cols:
+            out[c] = []
+        for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            out["media_id"].append(int(media_id))
+            try:
+                rate, s = decode_wav(bytes(content))
+                s64 = s.astype(np.int64)
+                vals = (
+                    s.shape[1],
+                    s.shape[0],
+                    rate,
+                    int(s64[:, 0].sum()),
+                    int(s64[:, 1].sum()) if s.shape[1] > 1 else None,
+                    int((s64 * s64).sum()),
+                )
+            except ValueError:
+                vals = (None,) * len(cols)
+            for c, v in zip(cols, vals):
+                out[c].append(v)
+        yield pd.DataFrame(out)
+
+
+_AUD_S_SQL = "((doc_id*7 + ch.ch*13 + i.i*31) % 4001) - 2000"
+
+
+@query(
+    "mm_audio_decode",
+    oracle=f"""
+WITH clips AS (
+  SELECT doc_id, 64 + doc_id % 33 AS ns, 1 + doc_id % 2 AS nc,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id AS media_id,
+       CAST(nc AS INTEGER) AS n_channels,
+       CAST(ns AS INTEGER) AS n_samples,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(SUM(CASE WHEN ch.ch=0 THEN {_AUD_S_SQL} END) AS BIGINT) AS c0_sum,
+       CAST(SUM(CASE WHEN ch.ch=1 THEN {_AUD_S_SQL} END) AS BIGINT) AS c1_sum,
+       CAST(SUM(({_AUD_S_SQL}) * ({_AUD_S_SQL})) AS BIGINT) AS energy
+FROM clips
+CROSS JOIN UNNEST(generate_series(0, ns - 1)) AS i(i)
+CROSS JOIN UNNEST(generate_series(0, nc - 1)) AS ch(ch)
+GROUP BY doc_id, ns, nc, rate
+""",
+    category="pipeline-multimodal",
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: binaryFile-ingested PCM/WAV clips parsed with a
+    genuine RIFF chunk walker (unknown chunks skipped, word-alignment
+    honored, PCM16 validated), then per-clip channel sums + Σ s² energy.
+    The samples are closed-form integers, so the whole path — chunk walk,
+    interleave/deinterleave, int16 sign handling — is hash-checked against
+    a SQL oracle (mono clips prove NULL c1 semantics on both engines).
+    Compressed audio (MP3/FLAC) is the same external-lib gate as JPEG:
+    a clean ValueError today, a pyav branch in the same kernel when the
+    lib exists. Scale shape identical to mm_decode_features: map-side
+    decode, 7 scalars per clip shuffle."""
+    aud_dir = _ensure_audio_fixture(spark, sf_dir)
+    frames = spark.read.format("binaryFile").load(aud_dir).select(
+        F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("media_id"),
+        "content",
+    )
+    return frames.mapInPandas(_audio_kernel, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # MM dedup — exact content-hash dedup of binary media payloads
 # ---------------------------------------------------------------------------
 

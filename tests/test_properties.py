@@ -159,6 +159,52 @@ def test_ppm_codec_roundtrip_and_parser_robustness():
             decode_ppm(bad)
 
 
+def test_wav_codec_roundtrip_and_chunk_walker():
+    """encode→decode identity for mono and stereo; the chunk walker skips
+    unknown chunks with spec word-alignment; malformed payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    for ch in (1, 2):
+        s = rng.randint(-32768, 32768, size=(37, ch)).astype(np.int16)
+        rate, back = decode_wav(encode_wav(s, 16000))
+        assert rate == 16000 and (back == s).all()
+    # hand-built file: LIST chunk with ODD size (padding byte) before fmt,
+    # plus a trailing unknown chunk after data would be unreachable — walker
+    # must skip LIST and land on fmt/data correctly
+    s = np.arange(12, dtype=np.int16).reshape(6, 2)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    data = s.tobytes()
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, back = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate == 8000 and (back == s).all()
+    for bad in (
+        b"",
+        b"RIFX" + b"\x00" * 20,  # wrong endian magic
+        b"RIFF" + struct.pack("<I", 4) + b"AIFF",  # not WAVE
+        # data before fmt
+        b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"data" + struct.pack("<I", 0),
+        # float32 encoding (fmt=3) rejected
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE" + b"fmt "
+        + struct.pack("<I", 16) + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32),
+        # truncated data chunk
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+        + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", 100) + b"\x01\x02",
+    ):
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
 def test_resize_kernels_match_loop_reference():
     """Vectorized NN/box/bilinear kernels == the obvious nested-loop
     reference implementations on random images (independent arithmetic:
