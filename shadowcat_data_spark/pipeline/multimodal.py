@@ -730,6 +730,96 @@ def mm_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm_phash_neardup — perceptual-hash near-dup over REAL decoded pixels
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash_hi", T.LongType()),
+        T.StructField("phash_lo", T.LongType()),
+    ]
+)
+
+
+def dhash64(px: np.ndarray) -> tuple[int, int]:
+    """REAL difference-hash (dHash): NN-resize the image to 9×8, integer
+    BT.601 grayscale ((299r + 587g + 114b) // 1000), one bit per adjacent
+    horizontal pair (right brighter → 1), packed row-major into 64 bits.
+    Returned as (hi, lo) 32-bit halves so both engines stay in signed
+    BIGINT territory. Every step is integer arithmetic, which is what lets
+    the registered query hash-match a SQL oracle — the property no
+    library pHash offers."""
+    r = resize_nearest(px, 9, 8).astype(np.int64)
+    gray = (r[:, :, 0] * 299 + r[:, :, 1] * 587 + r[:, :, 2] * 114) // 1000
+    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+    k = np.arange(64).reshape(8, 8)
+    lo = int((bits * ((k < 32) * (1 << (k % 32)))).sum())
+    hi = int((bits * ((k >= 32) * (1 << np.maximum(k - 32, 0)))).sum())
+    return hi, lo
+
+
+def _phash_stats(px: np.ndarray) -> tuple:
+    return dhash64(px)
+
+
+_PHASH_GRAY_SQL = (
+    "(((doc_id*5 + ((x.x*w)//9)*3 + ((y.y*h)//8)*7) % 256) * 299"
+    " + ((doc_id*5 + ((x.x*w)//9)*3 + ((y.y*h)//8)*7 + 11) % 256) * 587"
+    " + ((doc_id*5 + ((x.x*w)//9)*3 + ((y.y*h)//8)*7 + 22) % 256) * 114) // 1000"
+)
+
+
+@query(
+    "mm_phash_neardup",
+    oracle=f"""{_IMGS_CTE},
+g AS (
+  SELECT doc_id, x.x, y.y, {_PHASH_GRAY_SQL} AS gray
+  FROM imgs
+  CROSS JOIN UNNEST(generate_series(0, 8)) AS x(x)
+  CROSS JOIN UNNEST(generate_series(0, 7)) AS y(y)
+),
+bits AS (
+  SELECT a.doc_id, a.x, a.y, CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN y*8+x >= 32 THEN CAST(bit AS BIGINT) << (y*8+x-32) ELSE 0 END) AS BIGINT) AS phash_hi,
+    CAST(SUM(CASE WHEN y*8+x < 32 THEN CAST(bit AS BIGINT) << (y*8+x) ELSE 0 END) AS BIGINT) AS phash_lo
+  FROM bits GROUP BY doc_id
+)
+SELECT phash_hi, phash_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(doc_id) AS canonical_id
+FROM hashes GROUP BY phash_hi, phash_lo
+""",
+    category="pipeline-multimodal",
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup for images — the tier mm_dedup_exact's docstring
+    promised once decode became real: dHash each decoded image (resize →
+    grayscale → gradient bits, genuine pixel arithmetic in the kernel),
+    then group by the 64-bit hash; visually-identical-up-to-scale images
+    collapse into one group (the synthetic corpus yields a 25-member
+    family plus smaller ones — the gradient pattern is scale-invariant
+    until mod-256 wraps differ). Everything is integer math, so the full
+    path — decode, resize, grayscale weights, bit packing — hash-matches
+    the SQL oracle. At 100 TB this is exactly l2b's shape with images:
+    map-side kernel emits 2 longs/image, dedup shuffles digests only;
+    Hamming-ball matching (band the 64 bits, equi-join bands) bolts on
+    behind the same columns."""
+    decoded = _image_frames(spark, sf_dir).mapInPandas(
+        _per_image_kernel(_phash_stats, ["phash_hi", "phash_lo"]), PHASH_SCHEMA
+    )
+    return decoded.groupBy("phash_hi", "phash_lo").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("media_id").alias("canonical_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # mm_audio_decode — REAL PCM/WAV parsing (the audio twin of the PPM path)
 # ---------------------------------------------------------------------------
 

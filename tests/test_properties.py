@@ -159,7 +159,37 @@ def test_ppm_codec_roundtrip_and_parser_robustness():
             decode_ppm(bad)
 
 
-def test_wav_codec_roundtrip_and_chunk_walker():
+def test_dhash_matches_loop_reference_and_detects_twins():
+    """dhash64 == an independent per-bit loop on random images; a 2×
+    nearest-neighbor upscale of an image keeps its hash (the near-dup the
+    operator exists to catch) while an inverted copy flips it."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.multimodal import dhash64, resize_nearest
+
+    rng = np.random.RandomState(13)
+    for _ in range(4):
+        h_, w_ = rng.randint(8, 20, size=2)
+        px = rng.randint(0, 256, size=(h_, w_, 3), dtype=np.uint8)
+        gray = np.zeros((8, 9), np.int64)
+        for Y in range(8):
+            for X in range(9):
+                p = px[(Y * h_) // 8, (X * w_) // 9].astype(np.int64)
+                gray[Y, X] = (p[0] * 299 + p[1] * 587 + p[2] * 114) // 1000
+        hi = lo = 0
+        for Y in range(8):
+            for X in range(8):
+                if gray[Y, X + 1] > gray[Y, X]:
+                    k = Y * 8 + X
+                    if k < 32:
+                        lo |= 1 << k
+                    else:
+                        hi |= 1 << (k - 32)
+        assert dhash64(px) == (hi, lo)
+    base = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    up = resize_nearest(base, 32, 32)  # same picture, 2× the pixels
+    assert dhash64(base) == dhash64(np.ascontiguousarray(up))
+    assert dhash64(base) != dhash64(255 - base)
     """encode→decode identity for mono and stereo; the chunk walker skips
     unknown chunks with spec word-alignment; malformed payloads raise."""
     import struct

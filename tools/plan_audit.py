@@ -74,6 +74,7 @@ ALLOW = {
     "mm_resize_box": {"MapInPandas"},
     "mm_resize_bilinear": {"MapInPandas"},
     "mm_audio_decode": {"MapInPandas"},
+    "mm_phash_neardup": {"MapInPandas"},
     "t6_stateful_per_key": {"FlatMapGroupsInPandas", "ArrowEvalPython"},
     # one-row scalar-aggregate broadcast (quota / percentile bounds): the
     # build side is a single row at any scale — constant-cost apply
