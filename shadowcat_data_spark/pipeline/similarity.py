@@ -231,24 +231,68 @@ def _kmeans_centroids(
     return centroids
 
 
-def _assign_nearest(df: DataFrame, vec: str, centroids: list[list[float]]) -> DataFrame:
-    """Add __cluster = argmin_k ||v - c_k||² (ties → lowest cluster id)."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    _to_double(F.col(vec)),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
+_MAX_LITERAL_CENTROIDS = 32  # above this, plan-literal folding would blow
+# up the expression tree (k × dim literals); switch to the data-side path
+
+
+def _centroids_cell(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Attach the centroid matrix as DATA (one broadcast single-row cross
+    join, column ``__cents: array<array<double>>``) instead of folding
+    k×dim literals into the plan — constant plan size at any k, which is
+    what lets the coarse quantizer grow with √N (round-5 sf10 fix)."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame([(centroids,)], "__cents array<array<double>>")
+    return df.crossJoin(F.broadcast(cdf))
+
+
+def _d2(vec_col, cent_col):
+    return F.aggregate(
+        F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    return df.withColumn(
-        "__cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _assign_nearest(df: DataFrame, vec: str, centroids: list[list[float]]) -> DataFrame:
+    """Add __cluster = argmin_k ||v - c_k||² (ties → lowest cluster id).
+    k ≤ 32 folds centroids as plan literals (fixture plans unchanged);
+    larger k scans a broadcast centroid-matrix cell with one higher-order
+    aggregate — same argmin, O(1) plan size."""
+    if len(centroids) <= _MAX_LITERAL_CENTROIDS:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        _to_double(F.col(vec)),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+        return df.withColumn(
+            "__cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    v = _to_double(F.col(vec))
+    init = F.struct(
+        F.lit(float("inf")).alias("d"),
+        F.lit(0).cast("int").alias("best"),
+        F.lit(0).cast("int").alias("i"),
+    )
+    # strict < keeps the FIRST (lowest) cluster on ties — identical to the
+    # literal path's array_position(min) semantics
+    step = lambda acc, c: F.struct(  # noqa: E731
+        F.least(_d2(v, c), acc["d"]).alias("d"),
+        F.when(_d2(v, c) < acc["d"], acc["i"]).otherwise(acc["best"]).alias("best"),
+        (acc["i"] + F.lit(1).cast("int")).alias("i"),
+    )
+    return (
+        _centroids_cell(df, centroids)
+        .withColumn("__cluster", F.aggregate("__cents", init, step)["best"])
+        .drop("__cents")
     )
 
 
@@ -820,6 +864,37 @@ def _sem_planes() -> list[list[float]]:
     return _SEM_PLANES
 
 
+_SEM_TARGET_BUCKET_ROWS = 75  # hold Σ bucket² work ≈ linear: rows/bucket const
+
+
+def _sem_n_bits(n_rows: int) -> int:
+    """Corpus-adaptive SRP bit count: enough bits that the EXPECTED bucket
+    population stays ≈ _SEM_TARGET_BUCKET_ROWS, floored at the 6 bits the
+    inlined oracle planes use. At every driver fixture scale (≤2000
+    vectors) this returns exactly 6, so the hash-checked oracle is
+    untouched; the growth only engages beyond fixture scale — the sf10
+    smoke caught the fixed-6-bit cliff this rule removes (bucket sizes
+    grew 100× → Σ bucket² went quadratic)."""
+    import math
+
+    if n_rows <= 0:
+        return 6
+    return max(6, math.ceil(math.log2(max(n_rows / _SEM_TARGET_BUCKET_ROWS, 1.0))))
+
+
+def _sem_planes_n(n_bits: int) -> list[list[float]]:
+    """First 6 planes = the shared oracle planes (one source of truth);
+    additional bits extend them with a second fixed seed — deterministic
+    at any corpus size, and a 6-bit bucket is always a prefix of the
+    wider bucket (plane i keeps bit position i)."""
+    base = _sem_planes()
+    if n_bits <= len(base):
+        return base
+    dim = len(base[0])
+    rng = np.random.RandomState(_PLANE_SEED + 7919)
+    return base + rng.standard_normal((n_bits - len(base), dim)).tolist()
+
+
 def _sem_bucket_sql(e_col: str) -> str:
     """DuckDB expression computing the SAME 6-bit SRP bucket as
     ``_srp_bucket`` — the plane constants are inlined from the one shared
@@ -835,7 +910,13 @@ def _sem_bucket_sql(e_col: str) -> str:
     return " + ".join(bits)
 
 
-def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str, tau: float) -> DataFrame:
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    n_planes: int | None = None,
+) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster embeddings, then drop any
     vector whose cosine to a LOWER-id vector in the same cluster is ≥ tau
     (keep-first within each ε-ball). The cluster stage here is a
@@ -845,12 +926,18 @@ def semantic_dedup(corpus: DataFrame, id_col: str, vec_col: str, tau: float) -> 
 
     Scale shape: bucketing is one narrow projection (no shuffle); the
     pairwise stage is a self-equi-join on the cluster id, so cost is
-    Σ bucket², never corpus² — at 100 TB you grow the bit count with
-    log₂(corpus) to hold bucket sizes constant (6 bits fits the test
-    fixture's 500-2k vectors), and AQE skew-join splits any hot bucket.
-    The keep-rule needs only lower-id neighbors, not the transitive dup
-    closure, so one join round suffices — no iteration."""
-    planes = _sem_planes()
+    Σ bucket², never corpus² — and as of round 5 the bit count actually
+    GROWS with log₂(corpus) by default (``n_planes=None`` → one count()
+    job → ``_sem_n_bits``), holding bucket populations ≈ constant. The
+    round-5 sf10 smoke measured the fixed-6-bit version going quadratic
+    at 200k vectors (every bucket 100× denser); at all driver fixture
+    scales the adaptive rule still yields exactly 6 bits, so the inlined-
+    plane oracle is unaffected. AQE skew-join splits any residual hot
+    bucket. The keep-rule needs only lower-id neighbors, not the
+    transitive dup closure, so one join round suffices — no iteration."""
+    if n_planes is None:
+        n_planes = _sem_n_bits(corpus.count())
+    planes = _sem_planes_n(n_planes)
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         _to_double(F.col(vec_col)).alias("e"),
@@ -909,13 +996,31 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_INDEX_DDL = "cid long, cluster long, ce array<double>"
 
 
+_ANN_ADAPTIVE_MIN_ROWS = 4096  # below this, 8 coarse clusters suffice
+
+
+def _ann_n_clusters(n_rows: int) -> int:
+    """IVF coarse-quantizer sizing: 8 clusters up to ~4k vectors (the
+    driver fixtures — keeps every registered plan/census/recall test
+    byte-stable), √N beyond (the FAISS guidance: √N clusters of √N rows
+    each, so probe candidate sets and per-task memory stay ~√N). The
+    round-5 sf10 smoke measured why: 200k vectors in 8 fixed clusters
+    put 25k rows in every probed cluster and sent the kNN-graph to ~10B
+    candidate pairs; √N sizing cuts that to ~180M."""
+    import math
+
+    if n_rows <= _ANN_ADAPTIVE_MIN_ROWS:
+        return 8
+    return math.ceil(math.sqrt(n_rows))
+
+
 def build_ann_index(
     spark: SparkSession,
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     table: str,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
 ) -> int:
     """Train the IVF coarse quantizer ONCE and persist the whole index as
     a snapshot-log table: assignments (cid, cluster, vector) PARTITIONED
@@ -926,7 +1031,10 @@ def build_ann_index(
     table metadata). Probes then run against the committed snapshot with
     zero training jobs, and refreshes append to it incrementally — the
     build/probe split every repeated-query pipeline needs, same shape as
-    FAISS's train()/add()/search() but as lake tables."""
+    FAISS's train()/add()/search() but as lake tables. ``n_clusters=None``
+    → ``_ann_n_clusters`` (√N beyond fixture scale)."""
+    if n_clusters is None:
+        n_clusters = _ann_n_clusters(corpus.count())
     centroids = _kmeans_centroids(corpus, vec_col, n_clusters)
     if centroids:
         assigned = _assign_nearest(corpus, vec_col, centroids).select(
@@ -958,26 +1066,39 @@ def build_ann_index(
 
 def _nearest_clusters(q: DataFrame, centroids: list[list[float]], n_probe: int) -> DataFrame:
     """(qid, qe, cluster): each query row exploded to its n_probe nearest
-    centroids — centroid literals folded into the plan, no training."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qe"),
-                        F.array(*[F.lit(float(x)) for x in cen]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).cast("long").alias("cl"),
-            )
-            for i, cen in enumerate(centroids)
-        ]
+    centroids. Small k folds centroid literals into the plan (no training,
+    no extra job); large k maps the broadcast centroid-matrix cell to
+    (d, cl) structs and sorts — same output, O(1) plan size."""
+    if len(centroids) <= _MAX_LITERAL_CENTROIDS:
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qe"),
+                            F.array(*[F.lit(float(x)) for x in cen]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).cast("long").alias("cl"),
+                )
+                for i, cen in enumerate(centroids)
+            ]
+        )
+        return q.withColumn(
+            "__probes", F.slice(F.array_sort(dists), 1, n_probe)
+        ).select("qid", "qe", F.explode(F.col("__probes.cl")).alias("cluster"))
+    # data-side path: zip each centroid with its index, score, sort, slice
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c, i: F.struct(_d2(F.col("qe"), c).alias("d"), i.cast("long").alias("cl")),
     )
-    return q.withColumn("__probes", F.slice(F.array_sort(dists), 1, n_probe)).select(
-        "qid", "qe", F.explode(F.col("__probes.cl")).alias("cluster")
+    return (
+        _centroids_cell(q, centroids)
+        .withColumn("__probes", F.slice(F.array_sort(scored), 1, n_probe))
+        .select("qid", "qe", F.explode(F.col("__probes.cl")).alias("cluster"))
     )
 
 

@@ -859,6 +859,40 @@ def test_semantic_dedup_drops_injected_duplicates(spark):
     assert firsts.kept.all(), "bucket-lowest id was dropped"
 
 
+def test_sem_adaptive_planes_rule_and_prefix(spark):
+    """The adaptive SRP sizing must return exactly 6 bits at every driver
+    fixture scale (the inlined-plane oracle depends on it), grow
+    logarithmically beyond, and wider buckets must refine — never
+    reshuffle — the 6-bit bucketing (prefix property). Exact twins still
+    collapse at any width."""
+    from shadowcat_data_spark.pipeline.similarity import (
+        _SEM_TAU,
+        _sem_n_bits,
+        _sem_planes_n,
+        _srp_bucket,
+        semantic_dedup,
+    )
+
+    for n in (0, 1, 40, 500, 2000, 4800):
+        assert _sem_n_bits(n) == 6, f"oracle scale {n} must keep 6 bits"
+    assert _sem_n_bits(200_000) == 12
+    assert _sem_n_bits(20_000_000) == 19  # ceil(log2(20M/75))
+    assert _sem_planes_n(9)[:6] == _sem_planes_n(6)
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 150)
+    b6 = _srp_bucket(F.col("embedding"), _sem_planes_n(6))
+    b9 = _srp_bucket(F.col("embedding"), _sem_planes_n(9))
+    bad = e.select(((b9.bitwiseAND(F.lit(63))) != b6).alias("diff")).filter("diff")
+    assert bad.count() == 0, "wide bucket is not a refinement of the 6-bit bucket"
+    twins = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = semantic_dedup(
+        e.unionByName(twins), "vec_id", "embedding", _SEM_TAU, n_planes=9
+    ).toPandas()
+    injected = out[out.vec_id >= 100000]
+    assert len(injected) == 5 and not injected.kept.any()
+
+
 def test_label_propagation_is_deterministic_and_conserves_nodes(spark):
     """graph_label_propagation: the census must cover every node exactly once
     (Σ size = |nodes|), every community label must be a real node id, and a
@@ -1377,6 +1411,44 @@ def test_ann_probe_never_trains(spark, tmp_path, monkeypatch):
         spark, table, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5
     )
     assert out.count() > 0
+
+
+def test_large_k_assignment_paths_match_numpy(spark):
+    """k > 32 switches _assign_nearest/_nearest_clusters from plan-literal
+    centroids to the broadcast data-cell path — both must equal numpy
+    argmin / top-n_probe exactly (ties → lowest cluster, both stages)."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.similarity import (
+        _ann_n_clusters,
+        _assign_nearest,
+        _nearest_clusters,
+    )
+
+    assert _ann_n_clusters(500) == 8 and _ann_n_clusters(2000) == 8
+    assert _ann_n_clusters(200_000) == 448  # ceil(sqrt)
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 120)
+    pdf = e.toPandas().sort_values("vec_id").reset_index(drop=True)
+    M = np.array([np.asarray(v, np.float64) for v in pdf.embedding])
+    cents = [list(map(float, row)) for row in M[:40]]  # 40 > literal cap
+    d2 = ((M[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
+    got = {
+        r["vec_id"]: r["__cluster"]
+        for r in _assign_nearest(e, "embedding", cents)
+        .select("vec_id", "__cluster")
+        .collect()
+    }
+    for i, vid in enumerate(pdf.vec_id):
+        assert got[vid] == int(d2[i].argmin())
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+    )
+    routed = _nearest_clusters(q, cents, 3).select("qid", "cluster").toPandas()
+    byq = routed.groupby("qid")["cluster"].apply(list).to_dict()
+    for i, vid in enumerate(pdf.vec_id):
+        order = np.lexsort((np.arange(40), d2[i]))[:3]
+        assert sorted(byq[vid]) == sorted(int(x) for x in order), f"qid {vid}"
 
 
 def test_knn_graph_recall_and_self_exclusion(spark, tmp_path):
