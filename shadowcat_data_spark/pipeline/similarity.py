@@ -1032,10 +1032,30 @@ def build_ann_index(
     zero training jobs, and refreshes append to it incrementally — the
     build/probe split every repeated-query pipeline needs, same shape as
     FAISS's train()/add()/search() but as lake tables. ``n_clusters=None``
-    → ``_ann_n_clusters`` (√N beyond fixture scale)."""
+    → ``_ann_n_clusters`` (√N beyond fixture scale); past fixture scale
+    the quantizer trains on a deterministic ~50·k-row hash sample (the
+    FAISS train-on-sample rule — Lloyd's converges on the sample's
+    distribution, and the full corpus is only touched by the single
+    assignment pass), and the corpus is repartitioned to the session's
+    parallelism first, because the assignment stage is COMPUTE-bound
+    (k·dim flops/row) and would otherwise inherit however few partitions
+    the scan produced — the round-5 sf10 smoke measured a 400s build and
+    a 4-task stall exactly here."""
+    train = corpus
     if n_clusters is None:
-        n_clusters = _ann_n_clusters(corpus.count())
-    centroids = _kmeans_centroids(corpus, vec_col, n_clusters)
+        n = corpus.count()
+        n_clusters = _ann_n_clusters(n)
+        if n > _ANN_ADAPTIVE_MIN_ROWS:
+            corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
+            target = 50 * n_clusters
+            if n > 2 * target:
+                m = n // target
+                train = corpus.filter(
+                    F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(m)) == 0
+                )
+            else:
+                train = corpus
+    centroids = _kmeans_centroids(train, vec_col, n_clusters)
     if centroids:
         assigned = _assign_nearest(corpus, vec_col, centroids).select(
             F.col(id_col).cast("long").alias("cid"),
@@ -1420,6 +1440,12 @@ def knn_graph(
     if not centroids or not man["files"]:
         return empty
     stored = read_snapshot(spark, table)
+    if len(centroids) > _MAX_LITERAL_CENTROIDS:
+        # routing is COMPUTE-bound (k·dim flops per row) while the index
+        # scan is only ~MBs — without an explicit repartition the whole
+        # routing stage inherits the scan's few input splits and stalls
+        # on a handful of cores (measured: the sf10 smoke sat at 4 tasks)
+        stored = stored.repartition(spark.sparkContext.defaultParallelism)
     routed = _nearest_clusters(
         stored.select(F.col("cid").alias("qid"), F.col("ce").alias("qe")),
         centroids,
