@@ -1422,16 +1422,25 @@ def knn_graph(
     are always candidates.
 
     Scale shape: unlike the query-batch probe (l3h), NEITHER side is
-    broadcastable — both are the corpus — so the join is an explicit
-    shuffle-hash on the cluster key (``hint("shuffle_hash")``: no sort,
-    build side = the stored assignments). Candidate volume is
-    Σ_c |c| · |probes into c| ≈ (n_probe/n_clusters)·N² instead of N²;
-    with the standard IVF sizing n_clusters ≈ √N each cluster holds ~√N
-    rows, so per-partition candidate blocks stay ~N — linear work per
-    vector, bounded memory per task. The fixture index keeps 8 clusters
-    (its corpus is tiny); the sizing rule, not the constant, is the
-    contract. The final top-k window partitions by vector id — fine-
-    grained, no skew regardless of cluster fan-in."""
+    broadcastable — both are the corpus — so candidates are generated by
+    cogrouping members and probes PER CLUSTER and scoring each cluster's
+    block with one numpy GEMM (normalize → Q̂·M̂ᵀ), per-probe top-k inside
+    the kernel, then a global window merges the ≤ n_probe·k candidates
+    per vector. The first sf10 run scored pairs with the expression-tree
+    cosine instead: higher-order functions never enter codegen, and 180M
+    interpreted zip_with/aggregate evals pinned 22 tasks for 15+ minutes
+    — the blocked-GEMM kernel does the same 23 GFLOP in seconds, which
+    is why l3d uses it too. Candidate volume is Σ_c |c|·|probes into c|
+    ≈ (n_probe/n_clusters)·N²; with the √N sizing rule each cluster
+    holds ~√N rows so every cogroup block is ~√N×√N — bounded kernel
+    memory at any corpus size. Routing is repartitioned to session
+    parallelism past the literal-centroid cap (the scan is MBs but the
+    routing math is k·dim flops/row — measured 4-task stall otherwise).
+    Per-cluster top-k then global top-k is exact: a stored vector
+    belongs to exactly one cluster, so candidate sets across probed
+    clusters are disjoint."""
+    import pandas as pd
+
     from ..plans.lakehouse import read_manifest, read_snapshot
 
     man = read_manifest(table)
@@ -1441,21 +1450,46 @@ def knn_graph(
         return empty
     stored = read_snapshot(spark, table)
     if len(centroids) > _MAX_LITERAL_CENTROIDS:
-        # routing is COMPUTE-bound (k·dim flops per row) while the index
-        # scan is only ~MBs — without an explicit repartition the whole
-        # routing stage inherits the scan's few input splits and stalls
-        # on a handful of cores (measured: the sf10 smoke sat at 4 tasks)
         stored = stored.repartition(spark.sparkContext.defaultParallelism)
     routed = _nearest_clusters(
         stored.select(F.col("cid").alias("qid"), F.col("ce").alias("qe")),
         centroids,
         n_probe,
     )
+
+    def score_cluster(key, members: pd.DataFrame, probes: pd.DataFrame) -> pd.DataFrame:
+        out = {"qid": [], "cid": [], "cos": []}
+        if len(members) and len(probes):
+            M = np.array([np.asarray(v, np.float64) for v in members["ce"]])
+            Q = np.array([np.asarray(v, np.float64) for v in probes["qe"]])
+
+            def unit(A):
+                n = np.linalg.norm(A, axis=1, keepdims=True)
+                n[n == 0] = 1.0  # zero-norm → cos 0, the house convention
+                return A / n
+
+            cos = unit(Q) @ unit(M).T
+            cids = members["cid"].to_numpy()
+            qids = probes["qid"].to_numpy()
+            # ties broken by LOWER cid (lexsort minor key), self masked out
+            order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
+            for i in range(cos.shape[0]):
+                taken = 0
+                for j in order[i]:
+                    if taken >= k:
+                        break
+                    if cids[j] == qids[i]:
+                        continue
+                    out["qid"].append(int(qids[i]))
+                    out["cid"].append(int(cids[j]))
+                    out["cos"].append(float(cos[i, j]))
+                    taken += 1
+        return pd.DataFrame(out)
+
     scored = (
-        stored.hint("shuffle_hash")
-        .join(routed, "cluster")
-        .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", _cosine(F.col("qe"), F.col("ce")).alias("cos"))
+        stored.groupBy("cluster")
+        .cogroup(routed.groupBy("cluster"))
+        .applyInPandas(score_cluster, "qid long, cid long, cos double")
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (

@@ -75,6 +75,10 @@ ALLOW = {
     "mm_resize_bilinear": {"MapInPandas"},
     "mm_audio_decode": {"MapInPandas"},
     "mm_phash_neardup": {"MapInPandas"},
+    # corpus↔corpus kNN graph: per-cluster blocked-GEMM scoring — the
+    # vectorized Python stage IS the scale path (interpreted HOF cosine
+    # measured 100x slower at sf10); same justification as l3d
+    "l3k_knn_graph": {"FlatMapCoGroupsInPandas"},
     "t6_stateful_per_key": {"FlatMapGroupsInPandas", "ArrowEvalPython"},
     # one-row scalar-aggregate broadcast (quota / percentile bounds): the
     # build side is a single row at any scale — constant-cost apply
@@ -102,6 +106,7 @@ FLAGS = (
     "ArrowEvalPython",
     "CartesianProduct",
     "BroadcastNestedLoopJoin",
+    "FlatMapCoGroupsInPandas",
     "FlatMapGroupsInPandas",
     "MapInPandas",
     "MapInArrow",
