@@ -14,9 +14,19 @@ each query into an equi-join probe on (bucket) — sub-linear per query.
 
 from __future__ import annotations
 
-import numpy as np
+from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    Window as W,
+    functions as F,
+    types as T,
+)
 
 from ..registry import query
 from ..session import load_table
@@ -235,29 +245,11 @@ _MAX_LITERAL_CENTROIDS = 32  # above this, plan-literal folding would blow
 # up the expression tree (k × dim literals); switch to the data-side path
 
 
-def _centroids_cell(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Attach the centroid matrix as DATA (one broadcast single-row cross
-    join, column ``__cents: array<array<double>>``) instead of folding
-    k×dim literals into the plan — constant plan size at any k, which is
-    what lets the coarse quantizer grow with √N (round-5 sf10 fix)."""
-    spark = df.sparkSession
-    cdf = spark.createDataFrame([(centroids,)], "__cents array<array<double>>")
-    return df.crossJoin(F.broadcast(cdf))
-
-
-def _d2(vec_col, cent_col):
-    return F.aggregate(
-        F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign_nearest(df: DataFrame, vec: str, centroids: list[list[float]]) -> DataFrame:
     """Add __cluster = argmin_k ||v - c_k||² (ties → lowest cluster id).
     k ≤ 32 folds centroids as plan literals (fixture plans unchanged);
-    larger k scans a broadcast centroid-matrix cell with one higher-order
-    aggregate — same argmin, O(1) plan size."""
+    larger k runs an Arrow-batched numpy GEMM kernel — same argmin,
+    O(1) plan size, vectorized distance math."""
     if len(centroids) <= _MAX_LITERAL_CENTROIDS:
         dists = F.array(
             *[
@@ -276,24 +268,36 @@ def _assign_nearest(df: DataFrame, vec: str, centroids: list[list[float]]) -> Da
         return df.withColumn(
             "__cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
-    v = _to_double(F.col(vec))
-    init = F.struct(
-        F.lit(float("inf")).alias("d"),
-        F.lit(0).cast("int").alias("best"),
-        F.lit(0).cast("int").alias("i"),
+    # large k: Arrow-batched GEMM kernel. Higher-order-function distance
+    # expressions never enter whole-stage codegen — the sf10 smoke
+    # measured 150 s tasks interpreting 446-centroid argmins row by row —
+    # while the expanded-form ‖v‖²−2vCᵀ+‖c‖² matmul does the same block
+    # in milliseconds (the l3d/l3k pattern). argmin takes the FIRST
+    # minimum, matching the literal path's lowest-cluster tie rule.
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("__cluster", T.IntegerType())]
     )
-    # strict < keeps the FIRST (lowest) cluster on ties — identical to the
-    # literal path's array_position(min) semantics
-    step = lambda acc, c: F.struct(  # noqa: E731
-        F.least(_d2(v, c), acc["d"]).alias("d"),
-        F.when(_d2(v, c) < acc["d"], acc["i"]).otherwise(acc["best"]).alias("best"),
-        (acc["i"] + F.lit(1).cast("int")).alias("i"),
-    )
-    return (
-        _centroids_cell(df, centroids)
-        .withColumn("__cluster", F.aggregate("__cents", init, step)["best"])
-        .drop("__cents")
-    )
+
+    def assign(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                valid = np.array([v is not None for v in pdf[vec]])
+                clusters = np.full(len(pdf), None, dtype=object)
+                if valid.any():
+                    V = np.array(
+                        [np.asarray(v, np.float64) for v in pdf[vec][valid]]
+                    )
+                    d2 = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+                    clusters[valid] = d2.argmin(axis=1).astype(np.int32)
+                pdf["__cluster"] = clusters
+            else:
+                pdf["__cluster"] = pd.Series([], dtype=object)
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def ivf_topk(
@@ -1110,15 +1114,29 @@ def _nearest_clusters(q: DataFrame, centroids: list[list[float]], n_probe: int) 
         return q.withColumn(
             "__probes", F.slice(F.array_sort(dists), 1, n_probe)
         ).select("qid", "qe", F.explode(F.col("__probes.cl")).alias("cluster"))
-    # data-side path: zip each centroid with its index, score, sort, slice
-    scored = F.transform(
-        F.col("__cents"),
-        lambda c, i: F.struct(_d2(F.col("qe"), c).alias("d"), i.cast("long").alias("cl")),
-    )
-    return (
-        _centroids_cell(q, centroids)
-        .withColumn("__probes", F.slice(F.array_sort(scored), 1, n_probe))
-        .select("qid", "qe", F.explode(F.col("__probes.cl")).alias("cluster"))
+    # large k: same GEMM kernel as _assign_nearest, keeping the n_probe
+    # smallest distances per row. Stable argsort → equal distances keep
+    # the lower cluster id, matching the struct-sort (d, cl) tie rule.
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    take = min(n_probe, len(centroids))
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"qid": [], "qe": [], "cluster": []}
+            if len(pdf):
+                Q = np.array([np.asarray(v, np.float64) for v in pdf["qe"]])
+                d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + c2[None, :]
+                probes = np.argsort(d2, axis=1, kind="stable")[:, :take]
+                for i, (qid, qe) in enumerate(zip(pdf["qid"], pdf["qe"])):
+                    for cl in probes[i]:
+                        out["qid"].append(int(qid))
+                        out["qe"].append(qe)
+                        out["cluster"].append(int(cl))
+            yield pd.DataFrame(out)
+
+    return q.mapInPandas(
+        route, "qid long, qe array<double>, cluster long"
     )
 
 
@@ -1439,8 +1457,6 @@ def knn_graph(
     Per-cluster top-k then global top-k is exact: a stored vector
     belongs to exactly one cluster, so candidate sets across probed
     clusters are disjoint."""
-    import pandas as pd
-
     from ..plans.lakehouse import read_manifest, read_snapshot
 
     man = read_manifest(table)

@@ -1431,7 +1431,11 @@ def test_large_k_assignment_paths_match_numpy(spark):
     pdf = e.toPandas().sort_values("vec_id").reset_index(drop=True)
     M = np.array([np.asarray(v, np.float64) for v in pdf.embedding])
     cents = [list(map(float, row)) for row in M[:40]]  # 40 > literal cap
-    d2 = ((M[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
+    # same expanded form the kernel computes — the test checks the Spark
+    # plumbing (Arrow batches, batching boundaries, tie rule), and the
+    # formula is shared so FP near-ties cannot produce false failures
+    C = np.array(cents)
+    d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + (C * C).sum(1)[None, :]
     got = {
         r["vec_id"]: r["__cluster"]
         for r in _assign_nearest(e, "embedding", cents)
