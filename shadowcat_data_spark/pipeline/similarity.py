@@ -1456,7 +1456,11 @@ def knn_graph(
     routing math is k·dim flops/row — measured 4-task stall otherwise).
     Per-cluster top-k then global top-k is exact: a stored vector
     belongs to exactly one cluster, so candidate sets across probed
-    clusters are disjoint."""
+    clusters are disjoint. Tie handling: within the argpartition window
+    ties rank by lower cid; WHICH equally-scored candidates enter the
+    window at the partition boundary is positional — deterministic
+    (members are cid-sorted first, so reruns and repartitionings agree)
+    but not globally lowest-cid, the standard ANN top-k relaxation."""
     from ..plans.lakehouse import read_manifest, read_snapshot
 
     man = read_manifest(table)
@@ -1473,34 +1477,60 @@ def knn_graph(
         n_probe,
     )
 
+    _CHUNK = 2048  # probe rows per GEMM block: caps the cos matrix at
+    # chunk × |cluster| cells even in a skewed cluster (the sf10 smoke
+    # hit a 14k-probe × 6.9k-member group — a 795 MB matrix and a full
+    # per-row sort cost 157 s; chunked argpartition does it in seconds)
+
     def score_cluster(key, members: pd.DataFrame, probes: pd.DataFrame) -> pd.DataFrame:
-        out = {"qid": [], "cid": [], "cos": []}
-        if len(members) and len(probes):
-            M = np.array([np.asarray(v, np.float64) for v in members["ce"]])
-            Q = np.array([np.asarray(v, np.float64) for v in probes["qe"]])
+        empty_pdf = pd.DataFrame({"qid": [], "cid": [], "cos": []})
+        if not len(members) or not len(probes):
+            return empty_pdf
+        # deterministic base order: group-row arrival order depends on the
+        # shuffle, and argpartition's boundary-tie choice is positional
+        members = members.sort_values("cid")
+        M = np.array([np.asarray(v, np.float64) for v in members["ce"]])
+        cids = members["cid"].to_numpy()
 
-            def unit(A):
-                n = np.linalg.norm(A, axis=1, keepdims=True)
-                n[n == 0] = 1.0  # zero-norm → cos 0, the house convention
-                return A / n
+        def unit(A):
+            n = np.linalg.norm(A, axis=1, keepdims=True)
+            n[n == 0] = 1.0  # zero-norm → cos 0, the house convention
+            return A / n
 
-            cos = unit(Q) @ unit(M).T
-            cids = members["cid"].to_numpy()
-            qids = probes["qid"].to_numpy()
-            # ties broken by LOWER cid (lexsort minor key), self masked out
-            order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos), axis=1)
-            for i in range(cos.shape[0]):
-                taken = 0
-                for j in order[i]:
-                    if taken >= k:
-                        break
-                    if cids[j] == qids[i]:
-                        continue
-                    out["qid"].append(int(qids[i]))
-                    out["cid"].append(int(cids[j]))
-                    out["cos"].append(float(cos[i, j]))
-                    taken += 1
-        return pd.DataFrame(out)
+        Mh = unit(M).T
+        m = len(cids)
+        kk = min(k + 1, m)  # +1 absorbs the (single) self candidate
+        frames = []
+        for lo in range(0, len(probes), _CHUNK):
+            chunk = probes.iloc[lo : lo + _CHUNK]
+            qids = chunk["qid"].to_numpy()
+            cos = unit(
+                np.array([np.asarray(v, np.float64) for v in chunk["qe"]])
+            ) @ Mh
+            # top-kk per row WITHOUT a full sort (argpartition is O(m));
+            # then rank only the kk survivors by (-cos, cid)
+            if kk < m:
+                part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(m), cos.shape).copy()
+            cosk = np.take_along_axis(cos, part, axis=1)
+            cidk = cids[part]
+            cosk[cidk == qids[:, None]] = -np.inf  # self-exclusion
+            width = min(k, kk)
+            order = np.lexsort((cidk, -cosk), axis=1)[:, :width]
+            selc = np.take_along_axis(cosk, order, axis=1).ravel()
+            seli = np.take_along_axis(cidk, order, axis=1).ravel()
+            keep = selc > -np.inf
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids, width)[keep],
+                        "cid": seli[keep],
+                        "cos": selc[keep],
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else empty_pdf
 
     scored = (
         stored.groupBy("cluster")
