@@ -60,6 +60,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.plans.lakehouse",
     "shadowcat_data_spark.plans.lakehouse_mor",
     "shadowcat_data_spark.plans.lakehouse_wap",
+    "shadowcat_data_spark.plans.lakehouse_zorder",
 ]
 
 _loaded = False

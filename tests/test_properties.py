@@ -2379,3 +2379,111 @@ def test_histogram_quantile_merge_and_bound(spark):
             est = (b + 1) * 10.0
             break
     assert true_p90 <= est <= true_p90 + 10.0
+
+
+def test_zorder_rewrite_prunes_both_axes(spark, tmp_path):
+    """m44's kernel: after a z-order rewrite on (x, y), manifest spans
+    must prune files on EITHER column alone and on the 2-D box — a
+    linear sort can only ever buy one axis — while the table content is
+    byte-for-byte the same rows."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_zorder import (
+        pruned_files_box,
+        rewrite_zorder,
+        scan_box,
+    )
+
+    table = str(tmp_path / "zt")
+    ddl = "k long, x long, y long"
+    # x and y decorrelated from k and from each other: every file's span
+    # blankets both domains before the rewrite
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000, (i * 91) % 1000) for i in range(4000)], ddl
+    )
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4)
+    for col in ("x", "y"):
+        keep, total = pruned_files_box(table, {col: (100, 200)})
+        assert len(keep) == total  # nothing prunes pre-rewrite
+    before, after = rewrite_zorder(spark, table, ["x", "y"], bits=3,
+                                   slices_per_bucket=4)
+    assert before == 4 and after > before
+    keep_x, total = pruned_files_box(table, {"x": (100, 200)})
+    keep_y, _ = pruned_files_box(table, {"y": (100, 200)})
+    keep_box, _ = pruned_files_box(table, {"x": (100, 200), "y": (100, 200)})
+    assert len(keep_x) < total and len(keep_y) < total
+    assert len(keep_box) <= min(len(keep_x), len(keep_y))
+    got = sorted(
+        (r.k, r.x, r.y)
+        for r in scan_box(spark, table, {"x": (100, 200), "y": (100, 200)})
+        .filter("x BETWEEN 100 AND 200 AND y BETWEEN 100 AND 200")
+        .collect()
+    )
+    want = sorted(
+        (i, (i * 37) % 1000, (i * 91) % 1000)
+        for i in range(4000)
+        if 100 <= (i * 37) % 1000 <= 200 and 100 <= (i * 91) % 1000 <= 200
+    )
+    assert got == want
+    # content preserved table-wide
+    assert LH.read_snapshot(spark, table).count() == 4000
+    hist = {r["version"]: r["operation"]
+            for r in LH.table_history(spark, table).collect()}
+    assert hist[LH.current_version(table)] == "rewrite-zorder"
+
+
+def test_bloom_skipping_no_false_negatives_metadata_only(spark, tmp_path):
+    """m45's kernel: the bloom maintenance commit must touch ZERO data
+    bytes (metadata-only), a point lookup must keep strictly fewer
+    files with zero false negatives, and an absent key must read almost
+    nothing."""
+    import os
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_zorder import (
+        add_bloom_filters,
+        pruned_files_bloom,
+        scan_point,
+    )
+
+    table = str(tmp_path / "bt")
+    ddl = "k long, u long"
+    # u: high-cardinality ids scattered across every file
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 50021) for i in range(4000)], ddl
+    )
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4,
+                          files_per_bucket=4)
+    man = LH.read_manifest(table)
+    sig_before = {
+        f: (os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)))
+        for f in man["files"]
+    }
+    add_bloom_filters(spark, table, "u")
+    sig_after = {
+        f: (os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)))
+        for f in LH.read_manifest(table)["files"]
+    }
+    assert sig_after == sig_before  # data files untouched
+    probes = [(7 * 7919) % 50021, (1234 * 7919) % 50021]
+    keep, total = pruned_files_bloom(spark, table, "u", probes)
+    assert total == 16 and 0 < len(keep) < total
+    got = sorted(
+        (r.k, r.u)
+        for r in scan_point(spark, table, "u", probes)
+        .filter(F.col("u").isin(probes)).collect()
+    )
+    want = sorted(
+        (i, (i * 7919) % 50021) for i in range(4000)
+        if (i * 7919) % 50021 in set(probes)
+    )
+    assert got == want  # no false negatives
+    # absent key: bloom keeps only false-positive files (≤ ~1% rate each)
+    keep_absent, _ = pruned_files_bloom(spark, table, "u", [50022 + 17])
+    assert len(keep_absent) <= total // 4
+    assert scan_point(spark, table, "u", [50022 + 17]).filter(
+        F.col("u") == 50022 + 17
+    ).count() == 0
+    # un-probed (empty) value list keeps nothing
+    assert pruned_files_bloom(spark, table, "u", [])[0] == []
