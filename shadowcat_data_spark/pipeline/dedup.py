@@ -367,7 +367,21 @@ def hashed_shingles(
     probabilistic (this path is rows-only + recall-tested, not oracled).
     Duplicates kept: ``min``/``collect_set`` are duplicate-insensitive.
     """
-    tok_df = df.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+    sh = shingle_hash_array(df, id_col, text_col, k)
+    return sh.select(id_col, F.explode("sh").alias("tok"))
+
+
+def shingle_hash_array(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """One row per doc with the array of its k-token shingle hashes —
+    the un-exploded form of :func:`hashed_shingles`, and the input to the
+    row-wise MinHash kernel (shingles of a doc never leave their row).
+    NULL-text docs are dropped, exactly as ``explode`` drops them on the
+    exploded path."""
+    tok_df = df.where(F.col(text_col).isNotNull()).select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    )
     n = F.size(F.col("__toks"))
     full = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -378,8 +392,9 @@ def hashed_shingles(
     # CASE short-circuits per row, so the k-gram lambda never evaluates for
     # short docs; identical short docs still collide with Jaccard 1.
     short = F.array(F.xxhash64(F.concat_ws(" ", F.col("__toks"))))
-    sh = F.when(n >= k, full).otherwise(short)
-    return tok_df.select(id_col, F.explode(sh).alias("tok"))
+    return tok_df.select(
+        id_col, F.when(n >= k, full).otherwise(short).alias("sh")
+    )
 
 
 def _km_minhash_cols(pre_hashed: bool = False) -> list[Column]:
@@ -394,18 +409,51 @@ def _km_minhash_cols(pre_hashed: bool = False) -> list[Column]:
     return [F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(N_HASHES)]
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, tokenizer=hashed_shingles
+def _rowwise_minhash(
+    df: DataFrame, id_col: str, text_col: str, with_toks: bool = False
 ) -> DataFrame:
-    """N_HASHES-permutation MinHash signature per doc (over k-token shingles).
+    """N_HASHES-permutation MinHash signature per doc computed ENTIRELY
+    within each doc's row — no explode, no hash aggregate, no shuffle.
 
-    min per derived hash is a plain partial-aggregable min → one explode +
-    one groupBy, no UDF.
-    """
-    tok = tokenizer(df, id_col, text_col)
-    return tok.groupBy(id_col).agg(
-        *_km_minhash_cols(pre_hashed=tokenizer is hashed_shingles)
+    A doc's shingles are born as an array in its own row, so min per
+    permutation is ``array_min`` over a per-row ``transform``, and the
+    verify token set is ``array_distinct`` — bit-identical values to the
+    old explode+groupBy formulation (same Kirsch–Mitzenmacher h1+i·h2
+    over the same shingle multiset) with the 33-buffer aggregate hash
+    map and its exchange deleted. The sf10 probe put that aggregate at
+    1739 task-seconds of l2b's 165 s wall (the single largest stage);
+    the row-wise kernel re-reads the same parquet and does only the hash
+    arithmetic. The (h1, h2) struct array is projected ONCE in a lower
+    select; CollapseProject keeps non-cheap lambda projections with
+    multiply-referenced outputs uncollapsed, so the 32 ``array_min``
+    consumers reuse the materialized array instead of re-hashing 32×
+    (plan-asserted in pytest: exactly one xxhash64-of-seed-1 site)."""
+    sh = shingle_hash_array(df, id_col, text_col)
+    hs = sh.select(
+        id_col,
+        *([F.array_distinct("sh").alias("toks")] if with_toks else []),
+        F.transform(
+            "sh",
+            lambda t: F.struct(
+                t.bitwiseAND(F.lit(_MASK32)).alias("h1"),
+                F.xxhash64(F.lit(1), t).bitwiseAND(F.lit(_MASK32)).alias("h2"),
+            ),
+        ).alias("hs"),
     )
+    mins = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda s: s["h1"] + F.lit(i) * s["h2"])
+        ).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    keep = [id_col, "toks"] if with_toks else [id_col]
+    return hs.select(*keep, *mins)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N_HASHES-permutation MinHash signature per doc (over k-token
+    shingles), via the row-wise kernel (see :func:`_rowwise_minhash`)."""
+    return _rowwise_minhash(df, id_col, text_col)
 
 
 def lsh_candidate_pairs(
@@ -487,24 +535,32 @@ def minhash_near_dups(
 ) -> DataFrame:
     """LSH candidates verified with exact (shingle-hash) Jaccard ≥ threshold.
 
-    Signatures and per-doc token sets come from ONE combined groupBy over
-    the tokenized corpus, materialized once (``localCheckpoint``; persist
-    to MEMORY_AND_DISK / durable checkpoint on a cluster). Measured: the
-    three consumers (banding, verify-s1, verify-s2) prune different
-    columns, which makes their agg subtrees non-identical, so Catalyst's
-    ReusedExchange does NOT fire and an unmaterialized plan re-tokenizes
-    the full corpus three times — the dominant cost at any real scale. The default
-    tokenizer is :func:`hashed_shingles` (int64 shingle ids — no shingle
-    strings built, narrow shuffles, long-typed ``array_intersect``); the
-    candidate ``.distinct()`` stays BEFORE the verify join because a pair
-    colliding in several bands would otherwise be verified several times
-    (measured: dedup-after-verify is slower, not faster).
+    Signatures and per-doc token sets come from ONE row-wise projection
+    over the corpus (:func:`_rowwise_minhash` — no explode, no aggregate,
+    no shuffle; the r05 sf10 probe measured the old explode+groupBy
+    formulation as l2b's single largest stage at 1739 task-seconds),
+    materialized once (``localCheckpoint``; persist to MEMORY_AND_DISK /
+    durable checkpoint on a cluster). Measured: the three consumers
+    (banding, verify-s1, verify-s2) prune different columns, which makes
+    their subtrees non-identical, so Catalyst's reuse does NOT fire and
+    an unmaterialized plan re-tokenizes the full corpus three times — the
+    dominant cost at any real scale. The default tokenizer is
+    :func:`hashed_shingles` (int64 shingle ids — no shingle strings
+    built, narrow shuffles, long-typed ``array_intersect``); a custom
+    exploded tokenizer falls back to the groupBy path. The candidate
+    ``.distinct()`` stays BEFORE the verify join because a pair colliding
+    in several bands would otherwise be verified several times (measured:
+    dedup-after-verify is slower, not faster).
     """
-    tok = tokenizer(df, id_col, text_col)
-    combined = tok.groupBy(id_col).agg(
-        F.collect_set("tok").alias("toks"),
-        *_km_minhash_cols(pre_hashed=tokenizer is hashed_shingles),
-    ).localCheckpoint(eager=False)
+    if tokenizer is hashed_shingles:
+        combined = _rowwise_minhash(df, id_col, text_col, with_toks=True)
+    else:  # custom tokenizer: tokens arrive exploded — aggregate path
+        tok = tokenizer(df, id_col, text_col)
+        combined = tok.groupBy(id_col).agg(
+            F.collect_set("tok").alias("toks"),
+            *_km_minhash_cols(pre_hashed=False),
+        )
+    combined = combined.localCheckpoint(eager=False)
     # eager=False: the checkpoint RDD is shared by all three consumers, so
     # one action computes the agg subtree once and caches it mid-job — an
     # eager checkpoint does the same work but pays an extra blocking job

@@ -957,6 +957,55 @@ def test_minhash_survives_short_docs(spark):
     assert (out.jaccard[(out.d1 == 4) & (out.d2 == 5)] == 1.0).all()
 
 
+def test_rowwise_minhash_equals_aggregate_kernel(spark):
+    """The row-wise MinHash kernel (array_min over per-row transforms — no
+    explode, no hash aggregate) must be BIT-IDENTICAL to the explode+groupBy
+    formulation it replaced: same Kirsch–Mitzenmacher h1+i*h2 over the same
+    shingle multiset, and the same distinct-token verify set (order-free)."""
+    from shadowcat_data_spark.pipeline.dedup import (
+        _km_minhash_cols,
+        _rowwise_minhash,
+        hashed_shingles,
+    )
+
+    corpus = _dup_corpus(spark)
+    new = (
+        _rowwise_minhash(corpus, "doc_id", "text", with_toks=True)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    tok = hashed_shingles(corpus, "doc_id", "text")
+    old = (
+        tok.groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("toks"), *_km_minhash_cols(pre_hashed=True))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(new.index) == list(old.index)
+    hcols = [c for c in new.columns if c.startswith("h")]
+    for c in hcols:
+        assert (new[c] == old[c]).all(), f"signature column {c} diverged"
+    for i in new.index:
+        assert set(new.toks[i]) == set(old.toks[i]), f"toks diverged for doc {i}"
+
+
+def test_rowwise_minhash_single_hash_site(spark):
+    """The (h1, h2) struct array must be materialized ONCE: CollapseProject
+    must NOT inline the lambda projection into its 32 array_min consumers
+    (which would re-hash every shingle 32x). Pinned by counting
+    xxhash64(1, ...) sites in the optimized plan of a single-source input
+    (a union input legitimately repeats the site once per leg — the
+    invariant is sites-per-scan-leaf, so the test uses one leaf)."""
+    from shadowcat_data_spark.pipeline.dedup import _rowwise_minhash
+
+    corpus = load_table(spark, SF_DIR, "documents").limit(100)
+    plan = _rowwise_minhash(corpus, "doc_id", "text")._jdf.queryExecution().optimizedPlan().toString()
+    n_seeded = plan.count("xxhash64(1,")
+    assert n_seeded == 1, f"expected 1 seeded-hash site, plan has {n_seeded}:\n{plan}"
+
+
 def test_corrupt_payloads_quarantine_as_null_rows():
     """The Arrow kernel's one-row-per-input contract must hold for corrupt
     payloads (the normal failure mode of a real media crawl): undecodable
