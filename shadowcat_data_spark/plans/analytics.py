@@ -1189,8 +1189,7 @@ def _lpa_oracle(iters: int) -> str:
 )""")
     return f"""
 WITH pairs AS (
-  SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS s,
-                  'C' || CAST(o.o_custkey AS VARCHAR) AS c
+  SELECT DISTINCT 2 * l.l_suppkey AS s, 2 * o.o_custkey + 1 AS c
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), edges AS (
   SELECT s AS src, c AS dst FROM pairs UNION ALL SELECT c, s FROM pairs
@@ -1199,8 +1198,11 @@ WITH pairs AS (
 ), it0 AS (
   SELECT node, node AS label FROM nodes
 ), {", ".join(its)}
-SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size,
-       MIN(node) AS min_node
+SELECT CASE WHEN label % 2 = 0 THEN 'S' || CAST(label // 2 AS VARCHAR)
+            ELSE 'C' || CAST(label // 2 AS VARCHAR) END AS community,
+       CAST(COUNT(*) AS BIGINT) AS size,
+       CASE WHEN MIN(node) % 2 = 0 THEN 'S' || CAST(MIN(node) // 2 AS VARCHAR)
+            ELSE 'C' || CAST(MIN(node) // 2 AS VARCHAR) END AS min_node
 FROM it{iters} GROUP BY label
 """
 
@@ -1213,6 +1215,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest label — that tie rule plus the fixed iteration count makes the
     algorithm fully deterministic (classic async LPA is order-dependent and
     ungradeable), so the oracle can unroll the same rounds as CTEs.
+
+    Nodes are encoded as LONGS (2·suppkey for suppliers, 2·custkey+1 for
+    customers; the 'S…'/'C…' strings are formatted only in the final
+    census, mirrored in the oracle) — the checkpointed edge list the
+    rounds re-read shrank 15.2 GiB → ~4 GiB at sf10 and every round's
+    join/agg shuffles longs instead of strings. The tie-break therefore
+    orders by numeric id, not string collation — any total order is an
+    equally valid LPA determinizer, and engine and oracle share it.
 
     Per iteration: one join of edges to current labels + one
     groupBy(node, label) count (partial-aggregable) + one per-node
@@ -1230,8 +1240,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+            (F.lit(2) * F.col("l_suppkey")).alias("s"),
+            (F.lit(2) * F.col("o_custkey") + F.lit(1)).alias("c"),
         )
         .distinct()
     )
@@ -1239,8 +1249,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     labels = label_propagation(edges, _LPA_ITERS)
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node")
+
+    def _fmt(col: Column) -> Column:
+        # node ids are non-negative, so >> 1 is exact integer halving
+        return F.concat(
+            F.when(col % 2 == 0, F.lit("S")).otherwise(F.lit("C")),
+            F.shiftright(col, 1).cast("string"),
+        )
+
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node_id")
+    ).select(
+        _fmt(F.col("label")).alias("community"),
+        "size",
+        _fmt(F.col("min_node_id")).alias("min_node"),
     )
 
 
@@ -1250,21 +1272,42 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
     rounds of most-frequent-neighbor-label with smallest-label tie-break.
     Graph-agnostic and property-tested on constructed graphs (two cliques
     joined by a bridge must converge to two communities)."""
+    if iters < 1:
+        raise ValueError("label_propagation needs iters >= 1")
     edges = edges.localCheckpoint(eager=True)  # reused every round
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(iters):
-        counted = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        w = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label"))
+    labels = None
+    for it in range(iters):
+        if it == 0:
+            # Round 1 propagates the IDENTITY labeling (label = node), so
+            # the join against it0 is a no-op: each edge contributes its
+            # own src as the label. Skipping the join also skips
+            # materializing the distinct node list — one full-edge join
+            # and one distinct-shuffle less.
+            counted = edges.select(
+                F.col("dst").alias("node"), F.col("src").alias("label")
+            ).groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        else:
+            counted = (
+                edges.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+        # Most-frequent label, smallest-label tie-break, as ONE hash
+        # aggregate: min_by over the struct (-cnt, label) is (max cnt,
+        # then min label) — identical pick to the row_number() formulation
+        # it replaced, but partial-aggregable (map-side combine shrinks a
+        # hub node's candidate labels before the shuffle) and sort-free
+        # (the window variant shuffled AND sorted every (node,label) row
+        # per round; measured at sf10 this kernel was the 165 s tail of
+        # the smoke). The struct key is unique per group row (label is a
+        # group key), so the a19 undefined-on-ties caveat cannot bite.
         labels = (
-            counted.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
+            counted.groupBy("node")
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("label")
+            )
             .localCheckpoint(eager=True)
         )
     return labels
