@@ -427,7 +427,20 @@ def _rowwise_minhash(
     select; CollapseProject keeps non-cheap lambda projections with
     multiply-referenced outputs uncollapsed, so the 32 ``array_min``
     consumers reuse the materialized array instead of re-hashing 32×
-    (plan-asserted in pytest: exactly one xxhash64-of-seed-1 site)."""
+    (plan-asserted in pytest: exactly one xxhash64-of-seed-1 site).
+
+    Deleting the shuffle also deletes the fan-out the old aggregate got
+    for free, and this kernel is COMPUTE-bound (N_HASHES minima over
+    ~n_tokens shingle hashes per row) — on a single-file fixture the
+    whole corpus would run on scan parallelism (measured: 1 task at
+    sf0.1, l2b 1.6 s → 2.3 s). When the scan yields fewer partitions
+    than the session has cores, fan out with one round-robin shuffle of
+    (id, text) — far narrower than the exploded-shingle shuffle this
+    kernel replaced; on a real multi-file corpus the scan already
+    matches the core count and no shuffle is added."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sh = shingle_hash_array(df, id_col, text_col)
     hs = sh.select(
         id_col,
