@@ -46,6 +46,20 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism when the scan
+    yields fewer partitions — compute-bound vector kernels (SRP bucketing,
+    PQ encode/ADC) otherwise inherit a single-file fixture's 1-few scan
+    partitions and run serially (measured: l3e 18 s on 1 task at sf0.1).
+    On a real multi-file corpus the scan already matches the core count
+    and no shuffle is added; when it is added it moves (id, vector) rows
+    once — much less than one of the kernel's own expression trees."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _cosine(a: Column, b: Column) -> Column:
     """Cosine similarity with the zero-norm convention cos(x, 0) := 0.
 
@@ -180,7 +194,7 @@ def ann_lsh_topk(
         _to_double(F.col(vec)).alias("qe"),
         F.explode(srp_buckets(F.col(vec), tables)).alias("tb"),
     ).select("qid", "qe", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    c = corpus.select(
+    c = _fan_out(corpus).select(
         F.col(c_id).alias("cid"),
         _to_double(F.col(vec)).alias("ce"),
         F.explode(srp_buckets(F.col(vec), tables)).alias("tb"),
@@ -552,69 +566,43 @@ def blocked_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_train(
     corpus, vec: str, m: int, sub: int, n_codes: int, iters: int = 3
 ) -> list[list[list[float]]]:
-    """Train all m subspace codebooks JOINTLY: one shuffle per Lloyd
-    iteration, not one k-means run per subspace.
+    """Train all m subspace codebooks on a BOUNDED sample, driver-side.
 
-    Two scale rules baked in: (1) quantizers train on a BOUNDED sample
-    materialized once (``localCheckpoint``), so training cost is
-    independent of corpus size — FAISS trains on a sample for the same
-    reason; (2) each iteration assigns every row's m codes in one
-    projection, posexplodes to (subspace, cluster, dim, value) and takes
-    ONE grouped mean — m*(iters+1) sequential jobs collapse to iters+2,
-    and only the m×n_codes×sub centroid matrix (KBs) ever reaches the
-    driver."""
-    train = (
-        corpus.select(_to_double(F.col(vec)).alias("__tv"))
+    FAISS's rule, taken literally: quantizers train on a fixed-size
+    sample (4096 rows here — ≤2 MB at dim 64, a bounded driver transfer
+    like every other trained-model family), so training cost is
+    independent of corpus size; only the resulting m×n_codes×sub
+    codebook matrix (KBs) matters downstream, where it becomes plan
+    literals. The first formulation ran Lloyd's as Spark expressions
+    over the sample — m×n_codes nested higher-order aggregates per
+    iteration — and Catalyst spent 15.5 s ANALYZING those trees at any
+    scale (measured r05, sf0.1: the whole 18 s of l3e was plan-build,
+    3 s was execution). numpy Lloyd's on the same sample is exact, uses
+    the same seeding (sort by first coordinate, first n_codes) and the
+    same first-minimum/keep-empty-cluster rules, and costs milliseconds.
+    """
+    rows = (
+        corpus.where(F.col(vec).isNotNull())
+        .select(_to_double(F.col(vec)).alias("__tv"))
         .limit(4096)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    seed_rows = train.orderBy(F.col("__tv").getItem(0)).limit(n_codes).collect()
-    codebooks = [
-        [[float(x) for x in r["__tv"][j * sub : (j + 1) * sub]] for r in seed_rows]
-        for j in range(m)
-    ]
-    for _ in range(iters):
-        assign_cols = []
-        for j, cb in enumerate(codebooks):
-            dists = F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(F.col("__tv"), j * sub + 1, sub),
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for c in cb
-                ]
-            )
-            assign_cols.append(
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int")
-                .alias(f"__c{j}")
-            )
-        assigned = train.select("__tv", *assign_cols)
-        ex = assigned.select(
-            F.posexplode("__tv").alias("pos", "v"),
-            F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("cs"),
-        )
-        stats = (
-            ex.select(
-                F.expr(f"pos div {sub}").cast("int").alias("sp"),
-                (F.col("pos") % sub).cast("int").alias("d"),
-                F.element_at("cs", F.expr(f"pos div {sub}").cast("int") + 1).alias("cl"),
-                "v",
-            )
-            .groupBy("sp", "cl", "d")
-            .agg(F.avg("v").alias("c"))
-            .collect()
-        )
-        new = [[list(c) for c in cb] for cb in codebooks]
-        for r in stats:
-            new[r["sp"]][r["cl"]][r["d"]] = r["c"]
-        codebooks = new
+    if not rows:  # all-null vector column: zero codebooks, never crash
+        return [[[0.0] * sub for _ in range(n_codes)] for _ in range(m)]
+    X = np.array([r["__tv"] for r in rows], dtype=np.float64)
+    X = X[np.argsort(X[:, 0], kind="stable")]
+    codebooks = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[:n_codes].copy()
+        for _ in range(iters):
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+            a = d2.argmin(axis=1)  # first minimum on ties, like array_position
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():  # empty cluster keeps its old centroid
+                    C[c] = S[mask].mean(axis=0)
+        codebooks.append([[float(x) for x in c] for c in C])
     return codebooks
 
 
@@ -667,41 +655,100 @@ def pq_topk(
     sub = dim // m
     codebooks = _pq_train(corpus, vec, m, sub, n_codes)
 
-    # encode corpus: m code columns (small ints), true vector dropped
-    enc = corpus.select(F.col(c_id).alias("cid"), _to_double(F.col(vec)).alias("ce"))
-    for j, cb in enumerate(codebooks):
-        enc = (
-            _assign_nearest(
-                enc.withColumn("__sv", F.slice(F.col("ce"), j * sub + 1, sub)),
-                "__sv",
-                cb,
-            )
-            .withColumnRenamed("__cluster", f"code{j}")
-            .drop("__sv")
-        )
-    codes = enc.select("cid", *[f"code{j}" for j in range(m)])
+    # encode corpus: m code columns (small ints), true vector dropped.
+    # ONE Arrow-batched GEMM kernel assigns all m subspace codes per batch
+    # (the _assign_nearest large-k pattern) — the literal-expression
+    # formulation chained m 16-way aggregate trees whose Catalyst analysis
+    # dwarfed the actual math at every scale. Fan out first: the kernel is
+    # compute-bound and would otherwise inherit a single-file fixture's
+    # scan parallelism.
+    corpus = _fan_out(corpus)
+    CBS = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    code_schema = T.StructType(
+        [T.StructField("cid", T.LongType())]
+        + [T.StructField(f"code{j}", T.IntegerType()) for j in range(m)]
+    )
+
+    def encode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"cid": pdf["cid"]}
+            if len(pdf):
+                # null vectors get null codes (the literal path's NULL
+                # propagation), so they rank last instead of crashing
+                valid = np.array([v is not None for v in pdf["ce"]])
+                cols = {j: np.full(len(pdf), None, dtype=object) for j in range(m)}
+                if valid.any():
+                    V = np.array(
+                        [np.asarray(v, np.float64) for v in pdf["ce"][valid]]
+                    )
+                    for j, C in enumerate(CBS):
+                        S = V[:, j * sub : (j + 1) * sub]
+                        d2 = (
+                            (S * S).sum(1)[:, None]
+                            - 2.0 * (S @ C.T)
+                            + (C * C).sum(1)[None, :]
+                        )
+                        cols[j][valid] = d2.argmin(axis=1).astype(np.int32)
+                for j in range(m):
+                    out[f"code{j}"] = cols[j]
+            else:
+                for j in range(m):
+                    out[f"code{j}"] = pd.Series([], dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    codes = corpus.select(
+        F.col(c_id).alias("cid"), _to_double(F.col(vec)).alias("ce")
+    ).mapInPandas(encode, code_schema)
     # per-code squared norms, a literal lookup table per subspace
     norm_luts = [
         F.array(*[F.lit(float(sum(x * x for x in c))) for c in cb])
         for cb in codebooks
     ]
 
-    # query side: LUT_j[c] = <q_sub_j, codebook_j[c]> computed once per query
-    q = queries.select(F.col(q_id).alias("qid"), _to_double(F.col(vec)).alias("qe"))
-    for j, cb in enumerate(codebooks):
-        q = q.withColumn(
-            f"__lut{j}",
-            F.array(
-                *[
-                    _dot(
-                        F.slice(F.col("qe"), j * sub + 1, sub),
-                        F.array(*[F.lit(float(x)) for x in c]),
+    # query side: LUT_j[c] = <q_sub_j, codebook_j[c]> computed once per
+    # query, in the same Arrow GEMM shape as the encode kernel (the
+    # literal-expression LUT was another m×n_codes aggregate tree whose
+    # analysis cost, not math, dominated)
+    lut_schema = T.StructType(
+        [T.StructField("qid", T.LongType())]
+        + [
+            T.StructField(f"__lut{j}", T.ArrayType(T.DoubleType()))
+            for j in range(m)
+        ]
+        + [T.StructField("__qn", T.DoubleType())]
+    )
+
+    def build_luts(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"qid": pdf["qid"]}
+            if len(pdf):
+                valid = np.array([v is not None for v in pdf["qe"]])
+                luts = {j: np.full(len(pdf), None, dtype=object) for j in range(m)}
+                qn = np.full(len(pdf), None, dtype=object)
+                if valid.any():
+                    V = np.array(
+                        [np.asarray(v, np.float64) for v in pdf["qe"][valid]]
                     )
-                    for c in cb
-                ]
-            ),
-        )
-    q = q.withColumn("__qn", _norm(F.col("qe"))).drop("qe")
+                    qn[valid] = np.sqrt((V * V).sum(1))
+                    for j, C in enumerate(CBS):
+                        L = V[:, j * sub : (j + 1) * sub] @ C.T
+                        # 1-D object wrapper: a bare 2-D assign would try
+                        # to broadcast into the boolean mask
+                        rows = np.empty(len(L), dtype=object)
+                        rows[:] = [r.tolist() for r in L]
+                        luts[j][valid] = rows
+                for j in range(m):
+                    out[f"__lut{j}"] = luts[j]
+                out["__qn"] = qn
+            else:
+                for j in range(m):
+                    out[f"__lut{j}"] = pd.Series([], dtype=object)
+                out["__qn"] = pd.Series([], dtype=np.float64)
+            yield pd.DataFrame(out)
+
+    q = queries.select(
+        F.col(q_id).alias("qid"), _to_double(F.col(vec)).alias("qe")
+    ).mapInPandas(build_luts, lut_schema)
 
     # ADC scan: approx cos = Σ_j LUT_j[code_j] / (||q|| * sqrt(Σ_j ||cb_j[code_j]||²))
     approx_dot = sum(
