@@ -170,13 +170,50 @@ def _srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def srp_buckets(vec: Column, tables: list[list[list[float]]]) -> Column:
-    """Array of (table, bucket) structs — one per LSH table."""
-    return F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), _srp_bucket(vec, planes).alias("bucket"))
-            for t, planes in enumerate(tables)
+def _srp_bucket_rows(df: DataFrame, id_col: str, vec: str) -> DataFrame:
+    """(id, vec-as-double, tbl, bucket) — all N_TABLES SRP buckets per
+    vector computed in ONE Arrow GEMM batch (sign bits of V·Pᵗ packed per
+    table), then posexploded. The expression formulation evaluated
+    N_TABLES×BITS_PER_TABLE interpreted higher-order dot-folds per row
+    and its Catalyst analysis dominated l3b's wall at every scale; this
+    kernel moves each vector over Arrow once and does the 48 dots as one
+    matmul. Rows-only tier: the oracle-checked SRP paths (l28/l3j) keep
+    the expression form whose fold order their inlined SQL mirrors. Null
+    vectors produce no bucket rows (they can never verify as neighbors)."""
+    planes = np.asarray(_hyperplanes(64), dtype=np.float64)  # [tbl][bit][dim]
+    n_tables, n_bits, _ = planes.shape
+    P = planes.reshape(n_tables * n_bits, -1)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))[None, None, :]
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ve", T.ArrayType(T.DoubleType())),
+            T.StructField("buckets", T.ArrayType(T.LongType())),
         ]
+    )
+
+    def bucketize(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"id": pdf["id"], "ve": pdf["ve"]}
+            bks = np.full(len(pdf), None, dtype=object)
+            if len(pdf):
+                valid = np.array([v is not None for v in pdf["ve"]])
+                if valid.any():
+                    V = np.array([np.asarray(v, np.float64) for v in pdf["ve"][valid]])
+                    bits = (V @ P.T > 0).reshape(len(V), n_tables, n_bits)
+                    buckets = (bits * weights).sum(axis=2)  # [row][tbl]
+                    rows = np.empty(len(V), dtype=object)
+                    rows[:] = [b.tolist() for b in buckets]
+                    bks[valid] = rows
+            out["buckets"] = bks
+            yield pd.DataFrame(out)
+
+    bucketed = df.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec)).alias("ve")
+    ).mapInPandas(bucketize, schema)
+    return bucketed.select(
+        "id", "ve", F.posexplode("buckets").alias("tbl", "bucket")
     )
 
 
@@ -188,17 +225,12 @@ def ann_lsh_topk(
     More tables → higher recall, linear candidate cost; recall is
     property-tested against brute force. At scale the corpus side's
     (tbl, bucket) index is computed once and reused across query batches."""
-    tables = _hyperplanes(64)
-    q = queries.select(
-        F.col(q_id).alias("qid"),
-        _to_double(F.col(vec)).alias("qe"),
-        F.explode(srp_buckets(F.col(vec), tables)).alias("tb"),
-    ).select("qid", "qe", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    c = _fan_out(corpus).select(
-        F.col(c_id).alias("cid"),
-        _to_double(F.col(vec)).alias("ce"),
-        F.explode(srp_buckets(F.col(vec), tables)).alias("tb"),
-    ).select("cid", "ce", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    q = _srp_bucket_rows(queries, q_id, vec).select(
+        F.col("id").alias("qid"), F.col("ve").alias("qe"), "tbl", "bucket"
+    )
+    c = _srp_bucket_rows(_fan_out(corpus), c_id, vec).select(
+        F.col("id").alias("cid"), F.col("ve").alias("ce"), "tbl", "bucket"
+    )
     cands = q.join(c, ["tbl", "bucket"]).select("qid", "qe", "cid", "ce").distinct()
     scored = cands.select(
         "qid",
