@@ -65,10 +65,25 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism when the scan
+    yields fewer partitions — the gram/shingle builders below do their
+    heavy per-row array work IN the scan stage (before any shuffle), so a
+    single-file fixture would run them serially. One (id, text) shuffle is
+    far cheaper than serializing the tokenize; on a real multi-file corpus
+    the scan already matches the core count and nothing is added.
+    Result-neutral: every consumer aggregates or joins downstream."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) pairs, one row per distinct token per doc."""
     return (
-        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        _fan_out(df)
+        .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
     )
@@ -90,7 +105,7 @@ def shingle_rows(
     """
     # materialize the token array in its own projection: inlining the split()
     # into the lambda would re-tokenize the document once per shingle
-    tok_df = df.select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
+    tok_df = _fan_out(df).select(id_col, F.split(F.col(text_col), " ").alias("__toks"))
     shingle_seq = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(F.col("__toks")) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, k)),
@@ -122,7 +137,9 @@ def distinct_chargrams(
     # lambda would re-split the document once per gram (the shingle_rows
     # trap), putting the O(len²) right back
     src = F.col(text_col)
-    cp_df = df.select(id_col, F.length(src).alias("__len"), F.split(src, "").alias("__cps"))
+    cp_df = _fan_out(df).select(
+        id_col, F.length(src).alias("__len"), F.split(src, "").alias("__cps")
+    )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.col("__len") - (n - 1), F.lit(1))),
         lambda i: F.concat_ws("", F.slice(F.col("__cps"), i, n)),
@@ -438,10 +455,7 @@ def _rowwise_minhash(
     (id, text) — far narrower than the exploded-shingle shuffle this
     kernel replaced; on a real multi-file corpus the scan already
     matches the core count and no shuffle is added."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    sh = shingle_hash_array(df, id_col, text_col)
+    sh = shingle_hash_array(_fan_out(df), id_col, text_col)
     hs = sh.select(
         id_col,
         *([F.array_distinct("sh").alias("toks")] if with_toks else []),

@@ -89,8 +89,13 @@ ALLOW = {
     "l3d_blocked_gemm_topk": {"MapInPandas"},
     # PQ ADC scan: the tiny query+LUT side (m*n_codes floats per query row)
     # broadcasts across corpus partitions — BNLJ with a KB-sized build side
-    # is the intended map-side scan, same justification as l3_cosine_topk
-    "l3e_pq_ann": {"BroadcastNestedLoopJoin"},
+    # is the intended map-side scan, same justification as l3_cosine_topk.
+    # MapInPandas (round 5): the PQ encode + query-LUT GEMM kernels — the
+    # literal-expression forms spent 15 s in Catalyst analysis per run
+    "l3e_pq_ann": {"BroadcastNestedLoopJoin", "MapInPandas"},
+    # SRP bucketing (round 5): one Arrow GEMM packs all table sign-bits per
+    # vector batch — the 48 interpreted dot-folds it replaces dominated wall
+    "l3b_ann_lsh": {"MapInPandas"},
     # int8 scan: broadcast quantized query side over the corpus — same
     # intended map-side scan as l3_cosine_topk, with 4x narrower rows
     "l3f_int8_topk": {"BroadcastNestedLoopJoin"},
