@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import query
-from ..session import load_table
+from ..session import fan_out as _fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # L1 — exact dedup by normalized content hash
@@ -63,20 +63,6 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Shared tokenization
 # ---------------------------------------------------------------------------
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's parallelism when the scan
-    yields fewer partitions — the gram/shingle builders below do their
-    heavy per-row array work IN the scan stage (before any shuffle), so a
-    single-file fixture would run them serially. One (id, text) shuffle is
-    far cheaper than serializing the tokenize; on a real multi-file corpus
-    the scan already matches the core count and nothing is added.
-    Result-neutral: every consumer aggregates or joins downstream."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
 
 
 def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -394,10 +380,13 @@ def shingle_hash_array(
     """One row per doc with the array of its k-token shingle hashes —
     the un-exploded form of :func:`hashed_shingles`, and the input to the
     row-wise MinHash kernel (shingles of a doc never leave their row).
-    NULL-text docs are dropped, exactly as ``explode`` drops them on the
-    exploded path."""
-    tok_df = df.where(F.col(text_col).isNotNull()).select(
-        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    NULL text is treated as the empty string, matching the pre-row-wise
+    explode+groupBy kernel exactly (there, ``concat_ws(' ', NULL)`` → ''
+    gave every NULL-text doc the single empty-shingle hash, so NULL-text
+    docs pair with each other and with ''-text docs at Jaccard 1)."""
+    tok_df = df.select(
+        id_col,
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
     )
     n = F.size(F.col("__toks"))
     full = F.transform(
@@ -479,7 +468,13 @@ def _rowwise_minhash(
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """N_HASHES-permutation MinHash signature per doc (over k-token
-    shingles), via the row-wise kernel (see :func:`_rowwise_minhash`)."""
+    shingles), via the row-wise kernel (see :func:`_rowwise_minhash`).
+
+    One signature row per INPUT row: ids are assumed unique (they are
+    dedup keys). The pre-row-wise groupBy incidentally merged duplicate-id
+    rows' shingle sets into one signature; rows sharing an id now get
+    independent signatures — exact-dedup (l1) or keyed dedup (o5) first
+    if the corpus can carry duplicate ids."""
     return _rowwise_minhash(df, id_col, text_col)
 
 

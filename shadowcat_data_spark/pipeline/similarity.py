@@ -29,7 +29,7 @@ from pyspark.sql import (
 )
 
 from ..registry import query
-from ..session import load_table
+from ..session import fan_out as _fan_out, load_table
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -44,20 +44,6 @@ def _to_double(col: Column) -> Column:
 
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's parallelism when the scan
-    yields fewer partitions — compute-bound vector kernels (SRP bucketing,
-    PQ encode/ADC) otherwise inherit a single-file fixture's 1-few scan
-    partitions and run serially (measured: l3e 18 s on 1 task at sf0.1).
-    On a real multi-file corpus the scan already matches the core count
-    and no shuffle is added; when it is added it moves (id, vector) rows
-    once — much less than one of the kernel's own expression trees."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
 
 
 def _cosine(a: Column, b: Column) -> Column:
@@ -185,9 +171,12 @@ def _srp_bucket_rows(df: DataFrame, id_col: str, vec: str) -> DataFrame:
     P = planes.reshape(n_tables * n_bits, -1)
     weights = (1 << np.arange(n_bits, dtype=np.int64))[None, None, :]
 
+    # id keeps its INPUT type — the expression form was id-type-generic
+    # and the Arrow kernel must not narrow that contract
+    id_type = df.select(F.col(id_col)).schema[0].dataType
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", id_type),
             T.StructField("ve", T.ArrayType(T.DoubleType())),
             T.StructField("buckets", T.ArrayType(T.LongType())),
         ]
@@ -258,42 +247,71 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_centroids(
-    corpus: DataFrame, vec: str, k: int, iters: int = 3, sample_rows: int = 4096
-) -> list[list[float]]:
-    """Deterministic Lloyd's k-means on a BOUNDED sample, driver-side.
+# driver-side quantizer training is allowed up to this many sample rows
+# (≤8 MB at dim 64); a k large enough to need more trains distributed
+_MAX_DRIVER_TRAIN_ROWS = 16384
 
-    The coarse quantizer follows the FAISS train-on-sample rule end to
-    end: callers already hash-sample past fixture scale, and this kernel
-    caps the training set at ``sample_rows`` (≤2 MB at dim 64) and runs
-    Lloyd's in numpy — same seeding (sort by first coordinate, first k),
-    same first-minimum tie rule and keep-empty-cluster semantics as the
-    DataFrame formulation it replaces, which spent its wall on per-
-    iteration Catalyst analysis + full-corpus passes (3 jobs × plan
-    build for k×dim literal trees). Quantizer quality is a recall knob,
-    not a correctness contract — every consumer is a rows-only ANN tier
-    with recall property tests. Only the k×dim centroid matrix (KBs) is
-    retained; the full corpus is touched exclusively by the single
-    downstream assignment pass."""
-    rows = (
-        corpus.where(F.col(vec).isNotNull())
-        .select(_to_double(F.col(vec)).alias("__tv"))
-        .limit(sample_rows)
-        .collect()
-    )
-    if not rows:  # empty corpus: no quantizer to train
+
+def _kmeans_centroids(
+    corpus: DataFrame, vec: str, k: int, iters: int = 3
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the coarse quantizer.
+
+    Small/medium k (50·k sample fits the driver budget): FAISS's
+    train-on-sample rule taken literally — collect a HASH-ordered sample
+    of max(4096, 50·k) rows (``xxhash64`` over the vector, so the sample
+    is partitioning-independent and immune to a z-ordered/sorted layout
+    feeding a spatially-correlated prefix) and run Lloyd's in numpy: same
+    first-minimum tie rule and keep-empty-cluster semantics as the
+    DataFrame formulation this replaced, which spent its wall on
+    per-iteration Catalyst analysis (measured r05: 15 s plan-build, 3 s
+    math). Large k: the distributed loop — per-iteration GEMM assignment
+    (``_assign_nearest``, O(1) plan size past 32 centroids) + one grouped
+    mean; only k×dim floats reach the driver per round. Quantizer quality
+    is a recall knob, not a correctness contract — every consumer is a
+    rows-only ANN tier with recall property tests."""
+    target = max(4096, 50 * k)
+    if target <= _MAX_DRIVER_TRAIN_ROWS:
+        rows = (
+            corpus.where(F.col(vec).isNotNull())
+            .select(_to_double(F.col(vec)).alias("__tv"))
+            .orderBy(F.xxhash64(F.col(vec)))
+            .limit(target)
+            .collect()
+        )
+        if not rows:  # empty corpus: no quantizer to train
+            return []
+        X = np.array([r["__tv"] for r in rows], dtype=np.float64)
+        X = X[np.argsort(X[:, 0], kind="stable")]
+        C = X[:k].copy()
+        for _ in range(iters):
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+            a = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mask = a == c
+                if mask.any():  # empty cluster keeps its old centroid
+                    C[c] = X[mask].mean(axis=0)
+        return [[float(x) for x in c] for c in C]
+
+    # large k: distributed Lloyd's over whatever sample the caller passed
+    seeds = corpus.orderBy(F.col(vec).getItem(0)).limit(k).select(vec).collect()
+    centroids = [[float(x) for x in r[0]] for r in seeds if r[0] is not None]
+    if not centroids:
         return []
-    X = np.array([r["__tv"] for r in rows], dtype=np.float64)
-    X = X[np.argsort(X[:, 0], kind="stable")]
-    C = X[:k].copy()
     for _ in range(iters):
-        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
-        a = d2.argmin(axis=1)
-        for c in range(len(C)):
-            mask = a == c
-            if mask.any():  # empty cluster keeps its old centroid
-                C[c] = X[mask].mean(axis=0)
-    return [[float(x) for x in c] for c in C]
+        assigned = _assign_nearest(corpus, vec, centroids).select(
+            F.col("__cluster"), F.posexplode(_to_double(F.col(vec))).alias("dim", "v")
+        )
+        rows = (
+            assigned.groupBy("__cluster", "dim")
+            .agg(F.avg("v").alias("c"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["__cluster"]][r["dim"]] = r["c"]
+        centroids = new
+    return centroids
 
 
 _MAX_LITERAL_CENTROIDS = 32  # above this, plan-literal folding would blow
@@ -678,8 +696,10 @@ def pq_topk(
     set. At 100 TB you compose this with the IVF router (l3c) so the ADC
     scan touches only probed buckets — the two operators are deliberately
     the same (qid, cid, cos) shape to chain."""
-    first = corpus.select(vec).first()
-    if first is None:  # empty corpus: nothing to train on or search
+    # sniff the dimension from the first NON-NULL vector: a null first row
+    # would crash len() here and make the all-null training guard dead code
+    first = corpus.where(F.col(vec).isNotNull()).select(vec).first()
+    if first is None:  # empty or all-null corpus: nothing to train/search
         return (
             queries.select(F.col(q_id).alias("qid"))
             .withColumn("cid", F.lit(None).cast("long"))
@@ -705,8 +725,11 @@ def pq_topk(
     # scan parallelism.
     corpus = _fan_out(corpus)
     CBS = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    # ids keep their INPUT types — the expression form was id-type-generic
+    cid_type = corpus.select(F.col(c_id)).schema[0].dataType
+    qid_type = queries.select(F.col(q_id)).schema[0].dataType
     code_schema = T.StructType(
-        [T.StructField("cid", T.LongType())]
+        [T.StructField("cid", cid_type)]
         + [T.StructField(f"code{j}", T.IntegerType()) for j in range(m)]
     )
 
@@ -751,7 +774,7 @@ def pq_topk(
     # literal-expression LUT was another m×n_codes aggregate tree whose
     # analysis cost, not math, dominated)
     lut_schema = T.StructType(
-        [T.StructField("qid", T.LongType())]
+        [T.StructField("qid", qid_type)]
         + [
             T.StructField(f"__lut{j}", T.ArrayType(T.DoubleType()))
             for j in range(m)

@@ -1282,10 +1282,16 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
             # the join against it0 is a no-op: each edge contributes its
             # own src as the label. Skipping the join also skips
             # materializing the distinct node list — one full-edge join
-            # and one distinct-shuffle less.
-            counted = edges.select(
-                F.col("dst").alias("node"), F.col("src").alias("label")
-            ).groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+            # and one distinct-shuffle less. NULL-src edges must still be
+            # dropped here: the join they replace never matched them (a
+            # NULL key matches nothing), and the oracle's JOIN keeps that
+            # semantic in every round.
+            counted = (
+                edges.where(F.col("src").isNotNull())
+                .select(F.col("dst").alias("node"), F.col("src").alias("label"))
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
         else:
             counted = (
                 edges.join(labels.withColumnRenamed("node", "src"), "src")

@@ -270,7 +270,11 @@ def add_bloom_filters(
         man = read_manifest(table, version)
         files = man["files"]
         if not files:
-            raise ValueError(f"{table!r} has no data files to index")
+            # zero-file table: nothing to index and nothing to prune — the
+            # maintenance service correctly does nothing (same contract as
+            # auto-OPTIMIZE on empty input); the probe side conservatively
+            # keeps all (zero) files when no bloom params exist
+            return version
         df = (
             spark.read.schema(man["schema"])
             .parquet(*[os.path.join(table, f) for f in files])

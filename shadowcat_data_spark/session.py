@@ -157,3 +157,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism when the scan
+    yields fewer partitions — for COMPUTE-bound kernels whose heavy per-row
+    math runs BEFORE any shuffle (tokenizers, vector GEMM encodes, row-wise
+    MinHash), a single-file fixture otherwise serializes the whole stage
+    (measured round 5: 1 task at sf0.1). One narrow (id, payload) shuffle
+    is far cheaper than the serialized compute; on a real multi-file corpus
+    the scan already matches the core count and this is a no-op.
+    Result-neutral by contract: callers must aggregate/join downstream."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df

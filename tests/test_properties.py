@@ -948,6 +948,8 @@ def test_minhash_survives_short_docs(spark):
         (5, "tiny doc"),
         (6, "a full length document with plenty of tokens to shingle"),
         (7, "a full length document with plenty of tokens to shingle"),
+        (8, None),
+        (9, None),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = minhash_near_dups(df, "doc_id", "text", threshold=0.5).toPandas()
@@ -955,6 +957,10 @@ def test_minhash_survives_short_docs(spark):
     assert (4, 5) in pairs, "identical 2-token docs missed"
     assert (6, 7) in pairs, "identical long docs missed"
     assert (out.jaccard[(out.d1 == 4) & (out.d2 == 5)] == 1.0).all()
+    # NULL text ≡ empty text (the pre-row-wise kernel's semantics, kept):
+    # the two null docs pair with each other and with doc 1 ("")
+    assert (8, 9) in pairs, "null-text docs must pair as empty docs"
+    assert (1, 8) in pairs, "null-text doc must pair with ''-text doc"
 
 
 def test_rowwise_minhash_equals_aggregate_kernel(spark):
@@ -1004,6 +1010,25 @@ def test_rowwise_minhash_single_hash_site(spark):
     plan = _rowwise_minhash(corpus, "doc_id", "text")._jdf.queryExecution().optimizedPlan().toString()
     n_seeded = plan.count("xxhash64(1,")
     assert n_seeded == 1, f"expected 1 seeded-hash site, plan has {n_seeded}:\n{plan}"
+
+
+def test_ann_kernels_keep_generic_id_types(spark):
+    """The Arrow kernels must not narrow the id-type-generic contract the
+    expression forms had: string ids flow through SRP bucketing and the
+    PQ encode/LUT schemas unchanged."""
+    from shadowcat_data_spark.pipeline.similarity import ann_lsh_topk, pq_topk
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(60)
+    named = e.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("vid"),
+        "embedding",
+    )
+    q = named.limit(5)
+    out = ann_lsh_topk(q, named, "vid", "vid", "embedding", k=3).toPandas()
+    assert out.qid.map(lambda s: isinstance(s, str)).all()
+    out2 = pq_topk(q, named, "vid", "vid", "embedding", k=3).toPandas()
+    assert out2.qid.map(lambda s: isinstance(s, str)).all()
+    assert out2.cid.map(lambda s: isinstance(s, str)).all()
 
 
 def test_corrupt_payloads_quarantine_as_null_rows():
