@@ -643,6 +643,10 @@ def _pq_train(
     rows = (
         corpus.where(F.col(vec).isNotNull())
         .select(_to_double(F.col(vec)).alias("__tv"))
+        # hash-ordered sample: partitioning-independent and immune to a
+        # sorted/z-ordered layout feeding a spatially-correlated prefix
+        # (same rule as _kmeans_centroids)
+        .orderBy(F.xxhash64(F.col("__tv")))
         .limit(4096)
         .collect()
     )
