@@ -167,7 +167,11 @@ def fan_out(df: DataFrame) -> DataFrame:
     (measured round 5: 1 task at sf0.1). One narrow (id, payload) shuffle
     is far cheaper than the serialized compute; on a real multi-file corpus
     the scan already matches the core count and this is a no-op.
-    Result-neutral by contract: callers must aggregate/join downstream."""
+    Result-neutral by contract: callers must aggregate/join downstream.
+    Streaming DataFrames pass through untouched (no .rdd on a stream;
+    micro-batch parallelism is the trigger's concern)."""
+    if df.isStreaming:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)

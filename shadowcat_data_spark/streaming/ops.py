@@ -1460,3 +1460,130 @@ def stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq(0.9, "p90"),
         pq(0.99, "p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T25 — near-dup check of freshly-ingested docs ON INGEST (streaming l2f)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t25_stream_near_dup",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, sh AS t FROM (
+    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+  ) WHERE sh <> ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS d_new, b.doc_id AS d_other, COUNT(*) AS shared
+  FROM tok a JOIN tok b ON a.t = b.t
+  WHERE a.doc_id >= 400 AND (b.doc_id < 400 OR a.doc_id < b.doc_id)
+  GROUP BY 1, 2
+)
+SELECT d_new, d_other, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
+FROM shared JOIN sizes s1 ON d_new = s1.doc_id JOIN sizes s2 ON d_other = s2.doc_id
+WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.6
+""",
+    category="streaming",
+)
+def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2f's daily-ingest near-dup check as a STANDING stream: freshly
+    ingested docs (doc_id ≥ 400 plays the fresh slice, split into 3
+    range files → 3 micro-batches under ``maxFilesPerTrigger=1``) are
+    exact-3-shingle-Jaccard checked against the corpus AS THEY ARRIVE.
+
+    The streaming-scale design: the corpus inverted index and the
+    per-doc set sizes are tokenized ONCE outside the stream and
+    localCheckpoint-ed (on a cluster: a maintained index table, the l3g
+    pattern), so each micro-batch does ONLY probe work — tokenize the
+    batch, one equi-join into the index, one per-pair count: candidates
+    and shuffle scale with |batch|, never |corpus|². No cross-batch
+    state is needed for exactness: each new doc lives in exactly ONE
+    batch, so its shared-counts aggregate entirely within its own
+    trigger, and the orientation predicate (old partner, or new partner
+    with a larger id — the STATIC side carries every doc including the
+    other batches' new ones) emits each pair exactly once across any
+    batch split. Epoch-suffixed output dirs give t18's idempotent
+    exactly-once file commits. The union of all batch outputs is
+    hash-equal to the one-shot batch twin (l2f), which is this query's
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline.dedup import distinct_shingles
+    from ..session import load_table
+
+    ensure_session(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = os.path.join(tempfile.gettempdir(), "shadowcat_stream_neardup", tag)
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir = os.path.join(work, "incoming")
+    out_root = os.path.join(work, "found")
+    os.makedirs(out_root, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") >= 400).repartitionByRange(
+        3, "doc_id"
+    ).write.mode("overwrite").parquet(in_dir)
+
+    # corpus index + sizes: built once, reused by every trigger
+    all_tok = (
+        distinct_shingles(docs, "doc_id", "text")
+        .select(F.col("doc_id").alias("d_other"), "tok")
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        all_tok.groupBy("d_other")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint(eager=True)
+    )
+    s_new = sizes.select(F.col("d_other").alias("d_new"), F.col("n_tok").alias("n1"))
+    s_oth = sizes.select("d_other", F.col("n_tok").alias("n2"))
+
+    def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_tok = distinct_shingles(batch_df, "doc_id", "text").select(
+            F.col("doc_id").alias("d_new"), "tok"
+        )
+        shared = (
+            new_tok.join(all_tok, "tok")
+            .filter(
+                (F.col("d_other") < 400) | (F.col("d_new") < F.col("d_other"))
+            )
+            .groupBy("d_new", "d_other")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        res = (
+            shared.join(s_new, "d_new")
+            .join(s_oth, "d_other")
+            .withColumn(
+                "jaccard",
+                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+            )
+            .filter(F.col("jaccard") >= 0.6)
+            .select("d_new", "d_other", "jaccard")
+        )
+        res.write.mode("overwrite").parquet(os.path.join(out_root, str(epoch_id)))
+
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .writeStream.foreachBatch(probe_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = [d for d in os.listdir(out_root) if d.isdigit()]
+    if not epochs:  # zero-row fixture: no batches ever fired
+        return spark.createDataFrame([], "d_new long, d_other long, jaccard double")
+    return spark.read.parquet(*[os.path.join(out_root, d) for d in epochs])

@@ -1031,6 +1031,41 @@ def test_ann_kernels_keep_generic_id_types(spark):
     assert out2.cid.map(lambda s: isinstance(s, str)).all()
 
 
+def test_stream_near_dup_cross_batch_pairs_once(spark, tmp_path):
+    """t25's no-state claim: a new↔new duplicate pair whose members land
+    in DIFFERENT micro-batches must be found exactly once (the static
+    index carries every doc, and the orientation predicate assigns the
+    pair to the smaller id's batch)."""
+    from shadowcat_data_spark.pipeline.dedup import SHINGLE_MAX_DF  # noqa: F401
+    from shadowcat_data_spark.streaming.ops import stream_near_dup
+    from shadowcat_data_spark.session import TABLES, load_table
+
+    dup = "a very repetitive duplicate passage of shingles " * 3
+    rows = [
+        (1, "an old corpus document about something else entirely", "en", "w", 50),
+        (2, dup, "en", "w", len(dup)),
+        (401, dup, "en", "w", len(dup)),  # range-splits to the first batch
+        (950, dup, "en", "w", len(dup)),  # ...and this to the last batch
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    for t in TABLES:
+        if t != "documents":
+            load_table(spark, SF_DIR, t).limit(0).write.parquet(
+                os.path.join(sf, f"{t}.parquet")
+            )
+    out = stream_near_dup(spark, sf).toPandas()
+    pairs = sorted((int(r.d_new), int(r.d_other)) for r in out.itertuples())
+    # 401↔950 crosses batches → once, from 401's batch; each new doc also
+    # pairs the old duplicate 2 exactly once
+    assert pairs == [(401, 2), (401, 950), (950, 2)], pairs
+
+
 def test_corrupt_payloads_quarantine_as_null_rows():
     """The Arrow kernel's one-row-per-input contract must hold for corrupt
     payloads (the normal failure mode of a real media crawl): undecodable
