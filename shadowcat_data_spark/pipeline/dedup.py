@@ -989,9 +989,10 @@ def incremental_near_dups(
     )
 
 
-@query(
-    "l2f_incremental_dedup",
-    oracle="""
+# Shared by l2f (one-shot batch) and t25 (streaming twin): the twin
+# relationship is the ORACLE TEXT — both registrations must stay the
+# same query or the stream≡batch claim silently breaks.
+INCREMENTAL_DEDUP_ORACLE = """
 WITH tok AS (
   SELECT DISTINCT doc_id, sh AS t FROM (
     SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
@@ -1009,7 +1010,12 @@ WITH tok AS (
 SELECT d_new, d_other, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
 FROM shared JOIN sizes s1 ON d_new = s1.doc_id JOIN sizes s2 ON d_other = s2.doc_id
 WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.6
-""",
+"""
+
+
+@query(
+    "l2f_incremental_dedup",
+    oracle=INCREMENTAL_DEDUP_ORACLE,
     category="pipeline-dedup",
 )
 def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:

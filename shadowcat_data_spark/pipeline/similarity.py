@@ -293,9 +293,12 @@ def _kmeans_centroids(
                     C[c] = X[mask].mean(axis=0)
         return [[float(x) for x in c] for c in C]
 
-    # large k: distributed Lloyd's over whatever sample the caller passed
+    # large k: distributed Lloyd's over whatever sample the caller passed.
+    # Filter NULL vectors BEFORE seeding (they sort first under asc and
+    # would silently shrink or empty the seed set), same as the driver path.
+    corpus = corpus.where(F.col(vec).isNotNull())
     seeds = corpus.orderBy(F.col(vec).getItem(0)).limit(k).select(vec).collect()
-    centroids = [[float(x) for x in r[0]] for r in seeds if r[0] is not None]
+    centroids = [[float(x) for x in r[0]] for r in seeds]
     if not centroids:
         return []
     for _ in range(iters):
@@ -388,9 +391,12 @@ def ivf_topk(
     re-rank inside. Candidate cost ∝ n_probe/n_clusters of the corpus."""
     centroids = _kmeans_centroids(corpus, vec, n_clusters)
     if not centroids:  # empty corpus: no quantizer, no neighbors
+        # the empty frame keeps the CORPUS id type so per-shard unions
+        # schema-match the non-empty path (id-type-generic contract)
+        cid_type = corpus.select(F.col(c_id)).schema[0].dataType
         return (
             queries.select(F.col(q_id).alias("qid"))
-            .withColumn("cid", F.lit(None).cast("long"))
+            .withColumn("cid", F.lit(None).cast(cid_type))
             .withColumn("cos", F.lit(None).cast("double"))
             .filter(F.lit(False))
         )
@@ -704,9 +710,11 @@ def pq_topk(
     # would crash len() here and make the all-null training guard dead code
     first = corpus.where(F.col(vec).isNotNull()).select(vec).first()
     if first is None:  # empty or all-null corpus: nothing to train/search
+        # keep the corpus id type, matching the non-empty path's schema
+        empty_cid_type = corpus.select(F.col(c_id)).schema[0].dataType
         return (
             queries.select(F.col(q_id).alias("qid"))
-            .withColumn("cid", F.lit(None).cast("long"))
+            .withColumn("cid", F.lit(None).cast(empty_cid_type))
             .withColumn("cos", F.lit(None).cast("double"))
             .filter(F.lit(False))
         )

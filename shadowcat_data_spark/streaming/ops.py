@@ -1467,27 +1467,12 @@ def stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+from ..pipeline.dedup import INCREMENTAL_DEDUP_ORACLE  # noqa: E402 — t25's oracle IS l2f's
+
+
 @query(
     "t25_stream_near_dup",
-    oracle="""
-WITH tok AS (
-  SELECT DISTINCT doc_id, sh AS t FROM (
-    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
-  ) WHERE sh <> ''
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
-), shared AS (
-  SELECT a.doc_id AS d_new, b.doc_id AS d_other, COUNT(*) AS shared
-  FROM tok a JOIN tok b ON a.t = b.t
-  WHERE a.doc_id >= 400 AND (b.doc_id < 400 OR a.doc_id < b.doc_id)
-  GROUP BY 1, 2
-)
-SELECT d_new, d_other, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
-FROM shared JOIN sizes s1 ON d_new = s1.doc_id JOIN sizes s2 ON d_other = s2.doc_id
-WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.6
-""",
+    oracle=INCREMENTAL_DEDUP_ORACLE,
     category="streaming",
 )
 def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1570,9 +1555,7 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.write.mode("overwrite").parquet(os.path.join(out_root, str(epoch_id)))
 
     q = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, n_chars long"
-        )
+        spark.readStream.schema(docs.schema)  # derived, never drifts
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
         .writeStream.foreachBatch(probe_batch)

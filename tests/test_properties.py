@@ -1036,7 +1036,6 @@ def test_stream_near_dup_cross_batch_pairs_once(spark, tmp_path):
     in DIFFERENT micro-batches must be found exactly once (the static
     index carries every doc, and the orientation predicate assigns the
     pair to the smaller id's batch)."""
-    from shadowcat_data_spark.pipeline.dedup import SHINGLE_MAX_DF  # noqa: F401
     from shadowcat_data_spark.streaming.ops import stream_near_dup
     from shadowcat_data_spark.session import TABLES, load_table
 
