@@ -947,6 +947,7 @@ def incremental_near_dups(
     new_pred,
     threshold: float = 0.6,
     tokenizer=distinct_shingles,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dups of NEWLY-ingested docs against the whole corpus (new↔old
     and new↔new), never re-comparing old↔old pairs.
@@ -957,15 +958,30 @@ def incremental_near_dups(
     index (shuffle ∝ |new batch| + matched postings, not |corpus|²).
     Emits (d_new, d_other, jaccard); a new↔new pair appears once
     (d_new < d_other), a new↔old pair is oriented new→old.
-    """
+
+    ``max_df`` bounds every posting list of the INDEX side before the
+    join — the same mandatory stopword cut as l2a/l2g, with the same
+    hand-off contract (a passage shared by > max_df docs belongs to the
+    l1/l2b tiers): without it, one boilerplate shingle in d corpus docs
+    fans every probing doc out to d rows, and a heavily-duplicated
+    corpus makes the probe quadratic no matter how small the batch is —
+    the round-5 sf10 probe (every doc ×100 verbatim) did not finish in
+    20 minutes unbounded and runs in seconds bounded. Sizes use the FULL
+    token sets, so denominators stay exact."""
     # NOT _pair_shared_counts: the probe side is filtered to the new batch
     # BEFORE the join (the whole point), and the pair predicate is
     # orientation-aware rather than d1 < d2
     tok = tokenizer(df, id_col, text_col)
     is_new = new_pred(F.col(id_col))
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    new_tok = tok.filter(is_new).select(F.col(id_col).alias("d_new"), "tok")
-    all_tok = tok.select(F.col(id_col).alias("d_other"), "tok")
+    join_tok = tok
+    if max_df is not None:
+        df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        join_tok = tok.join(
+            df_counts.filter(F.col("__df") <= max_df), "tok"
+        ).drop("__df")
+    new_tok = join_tok.filter(is_new).select(F.col(id_col).alias("d_new"), "tok")
+    all_tok = join_tok.select(F.col(id_col).alias("d_other"), "tok")
     shared = (
         new_tok.join(all_tok, "tok")
         .filter(
@@ -1001,10 +1017,13 @@ WITH tok AS (
   ) WHERE sh <> ''
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+), df_ok AS (
+  SELECT t FROM tok GROUP BY t HAVING COUNT(*) <= 50
 ), shared AS (
   SELECT a.doc_id AS d_new, b.doc_id AS d_other, COUNT(*) AS shared
   FROM tok a JOIN tok b ON a.t = b.t
   WHERE a.doc_id >= 400 AND (b.doc_id < 400 OR a.doc_id < b.doc_id)
+    AND a.t IN (SELECT t FROM df_ok)
   GROUP BY 1, 2
 )
 SELECT d_new, d_other, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
@@ -1023,5 +1042,6 @@ def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-shingle Jaccard ≥ 0.6 against the whole corpus, old↔old skipped."""
     d = load_table(spark, sf_dir, "documents")
     return incremental_near_dups(
-        d, "doc_id", "text", lambda c: c >= 400, threshold=0.6
+        d, "doc_id", "text", lambda c: c >= 400, threshold=0.6,
+        max_df=SHINGLE_MAX_DF,
     )

@@ -1516,17 +1516,31 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         3, "doc_id"
     ).write.mode("overwrite").parquet(in_dir)
 
-    # corpus index + sizes: built once, reused by every trigger
-    all_tok = (
+    # corpus index + sizes: built once, reused by every trigger. Sizes come
+    # from the FULL shingle sets (exact denominators); the JOIN index is
+    # df-bounded with the tier's mandatory posting-list cut (l2f's
+    # SHINGLE_MAX_DF, mirrored by the shared oracle's HAVING) — without it
+    # one boilerplate shingle in d corpus docs fans every probing doc out
+    # to d rows, unbounded by batch size.
+    from ..pipeline.dedup import SHINGLE_MAX_DF
+
+    tok_full = (
         distinct_shingles(docs, "doc_id", "text")
         .select(F.col("doc_id").alias("d_other"), "tok")
         .localCheckpoint(eager=True)
     )
     sizes = (
-        all_tok.groupBy("d_other")
+        tok_full.groupBy("d_other")
         .agg(F.count(F.lit(1)).alias("n_tok"))
         .localCheckpoint(eager=True)
     )
+    df_ok = (
+        tok_full.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= SHINGLE_MAX_DF)
+        .drop("__df")
+    )
+    all_tok = tok_full.join(df_ok, "tok").localCheckpoint(eager=True)
     s_new = sizes.select(F.col("d_other").alias("d_new"), F.col("n_tok").alias("n1"))
     s_oth = sizes.select("d_other", F.col("n_tok").alias("n2"))
 
