@@ -94,6 +94,45 @@ def run_pass(
     return times, errors
 
 
+def run_alternated(
+    spark, specs, label: str, names: list[str], n_runs: int = 3
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """1 warm-up pass + ``n_runs`` ALTERNATED passes (round-robin over the
+    whole query list, not back-to-back repeats), reporting per-query
+    median + [min, max]. Rationale (r05 verdict #2): this machine's
+    ambient band is ±25–30%, so a single sample per query cannot detect
+    even a 2× regression — and back-to-back repeats share whatever
+    weather the moment had, while alternation spreads it across the
+    section. The spread makes within-band readings self-identifying."""
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    errors: dict[str, str] = {}
+    for name in names:  # warm-up pass (codegen, fixture staging)
+        try:
+            run_once(spark, specs[name].fn)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"[bench:{label}] {name}: ERROR {errors[name]}", file=sys.stderr)
+    live = [n for n in names if n not in errors]
+    for _ in range(n_runs):
+        for name in live:
+            try:
+                samples[name].append(run_once(spark, specs[name].fn))
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    medians: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    for name, xs in samples.items():
+        if xs:
+            medians[name] = round(statistics.median(xs), 4)
+            spreads[name] = [round(min(xs), 4), round(max(xs), 4)]
+            print(
+                f"[bench:{label}] {name}: {medians[name]}s "
+                f"(min {spreads[name][0]}, max {spreads[name][1]})",
+                file=sys.stderr,
+            )
+    return medians, spreads, errors
+
+
 def main() -> None:
     spark = get_spark("shadowcat-bench")
     specs = registry.load_all()
@@ -107,9 +146,12 @@ def main() -> None:
     warm_table_cache(spark)
     times, errors = run_pass(spark, specs, "cached")
     # machinery section: cached pass only (the write/index paths are
-    # dominated by their own IO, not the fixture scan; one pass keeps the
-    # bench under the driver's budget)
-    extra_times, extra_errors = run_pass(spark, specs, "extra", EXTRA_QUERIES)
+    # dominated by their own IO, not the fixture scan); 3 ALTERNATED runs
+    # per query with median + spread so readings are interpretable inside
+    # the documented ±25–30% ambient band (r05 verdict #2)
+    extra_times, extra_spread, extra_errors = run_alternated(
+        spark, specs, "extra", EXTRA_QUERIES
+    )
     total = round(sum(times.values()), 4)
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {
@@ -122,6 +164,7 @@ def main() -> None:
         "queries_cold": cold_times,
         "extra_total": round(sum(extra_times.values()), 4),
         "queries_extra": extra_times,
+        "queries_extra_spread": extra_spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors or cold_errors or extra_errors:

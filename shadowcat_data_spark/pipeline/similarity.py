@@ -1240,27 +1240,48 @@ def _nearest_clusters(q: DataFrame, centroids: list[list[float]], n_probe: int) 
     # large k: same GEMM kernel as _assign_nearest, keeping the n_probe
     # smallest distances per row. Stable argsort → equal distances keep
     # the lower cluster id, matching the struct-sort (d, cl) tie rule.
+    # Null vectors are masked out (they can never verify as neighbors),
+    # and qid keeps its INPUT type — the literal-centroid path above is
+    # id-type-generic and the kernel must not narrow that contract.
     C = np.asarray(centroids, dtype=np.float64)
     c2 = (C * C).sum(axis=1)
     take = min(n_probe, len(centroids))
+    qid_type = q.select(F.col("qid")).schema[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("qid", qid_type),
+            T.StructField("qe", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.LongType()),
+        ]
+    )
 
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"qid": [], "qe": [], "cluster": []}
             if len(pdf):
-                Q = np.array([np.asarray(v, np.float64) for v in pdf["qe"]])
-                d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + c2[None, :]
-                probes = np.argsort(d2, axis=1, kind="stable")[:, :take]
-                for i, (qid, qe) in enumerate(zip(pdf["qid"], pdf["qe"])):
-                    for cl in probes[i]:
-                        out["qid"].append(int(qid))
-                        out["qe"].append(qe)
-                        out["cluster"].append(int(cl))
-            yield pd.DataFrame(out)
+                valid = np.array([v is not None for v in pdf["qe"]])
+                if valid.any():
+                    sub = pdf[valid]
+                    Q = np.array([np.asarray(v, np.float64) for v in sub["qe"]])
+                    d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + c2[None, :]
+                    probes = np.argsort(d2, axis=1, kind="stable")[:, :take]
+                    for i, (qid, qe) in enumerate(zip(sub["qid"], sub["qe"])):
+                        for cl in probes[i]:
+                            out["qid"].append(qid)
+                            out["qe"].append(qe)
+                            out["cluster"].append(int(cl))
+            # explicit dtypes: a batch whose rows were ALL null-masked
+            # yields empty columns, which pandas defaults to float64 and
+            # Arrow then refuses to cast to array<double>/the id type
+            yield pd.DataFrame(
+                {
+                    "qid": pd.Series(out["qid"], dtype="object"),
+                    "qe": pd.Series(out["qe"], dtype="object"),
+                    "cluster": pd.Series(out["cluster"], dtype="int64"),
+                }
+            )
 
-    return q.mapInPandas(
-        route, "qid long, qe array<double>, cluster long"
-    )
+    return q.mapInPandas(route, schema)
 
 
 def probe_ann_index(
@@ -1607,6 +1628,13 @@ def knn_graph(
 
     def score_cluster(key, members: pd.DataFrame, probes: pd.DataFrame) -> pd.DataFrame:
         empty_pdf = pd.DataFrame({"qid": [], "cid": [], "cos": []})
+        # null vectors never verify as neighbors (the index stores them
+        # under a null cluster, but a corrupt/partial snapshot could leak
+        # one here) — mask them like every sibling Arrow kernel does
+        if len(members):
+            members = members[[v is not None for v in members["ce"]]]
+        if len(probes):
+            probes = probes[[v is not None for v in probes["qe"]]]
         if not len(members) or not len(probes):
             return empty_pdf
         # deterministic base order: group-row arrival order depends on the

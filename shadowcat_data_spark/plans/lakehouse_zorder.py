@@ -289,21 +289,32 @@ def add_bloom_filters(
             or 1
         )
         m_bits = 1 << min(max(int(max_ndv * bits_per_key).bit_length(), 10), 22)
+        # pack bits EXECUTOR-side: positions fold into 64-bit words with a
+        # grouped bit-OR, so the driver receives ≤ #files × (m_bits/64)
+        # longs — exactly the #files × bitmap manifest budget. (Collecting
+        # raw positions was one int64 PER SET BIT — a 64× blow-up that
+        # peaked at ~32 MB/file at m=2^22.)
         rows = (
             df.select(
                 "__file", F.explode(F.array(*_hash_positions(F.col(col), m_bits, k))).alias("p")
             )
             .distinct()
-            .groupBy("__file")
-            .agg(F.collect_set("p").alias("ps"))
+            .select(
+                "__file",
+                F.shiftright(F.col("p"), 6).alias("w"),
+                F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"),
+            )
+            .groupBy("__file", "w")
+            .agg(F.bit_or("b").alias("bits"))
             .collect()
         )
-        bitmaps = {}
+        words: dict[str, int] = {}
         for r in rows:
-            bm = 0
-            for p in r["ps"]:
-                bm |= 1 << int(p)
-            bitmaps[_rel_file(r["__file"], table)] = f"{bm:x}"
+            f = _rel_file(r["__file"], table)
+            # JVM longs are signed; bit 63 arrives negative — mask to u64
+            word = int(r["bits"]) & 0xFFFFFFFFFFFFFFFF
+            words[f] = words.get(f, 0) | (word << (int(r["w"]) * 64))
+        bitmaps = {f: f"{bm:x}" for f, bm in words.items()}
         stats = {f: dict(st) for f, st in man["stats"].items()}
         for f in files:
             blooms = dict(stats[f].get("bloom") or {})

@@ -1583,4 +1583,9 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs = [d for d in os.listdir(out_root) if d.isdigit()]
     if not epochs:  # zero-row fixture: no batches ever fired
         return spark.createDataFrame([], "d_new long, d_other long, jaccard double")
-    return spark.read.parquet(*[os.path.join(out_root, d) for d in epochs])
+    # explicit schema: an epoch whose overwrite wrote ZERO rows may hold no
+    # part files at all (empty-plan writes emit no tasks under AQE), and a
+    # bare read of such dirs fails with UNABLE_TO_INFER_SCHEMA
+    return spark.read.schema("d_new long, d_other long, jaccard double").parquet(
+        *[os.path.join(out_root, d) for d in epochs]
+    )

@@ -190,6 +190,9 @@ def test_dhash_matches_loop_reference_and_detects_twins():
     up = resize_nearest(base, 32, 32)  # same picture, 2× the pixels
     assert dhash64(base) == dhash64(np.ascontiguousarray(up))
     assert dhash64(base) != dhash64(255 - base)
+
+
+def test_wav_codec_roundtrip_and_chunk_walker():
     """encode→decode identity for mono and stereo; the chunk walker skips
     unknown chunks with spec word-alignment; malformed payloads raise."""
     import struct
@@ -1561,6 +1564,47 @@ def test_large_k_assignment_paths_match_numpy(spark):
     for i, vid in enumerate(pdf.vec_id):
         order = np.lexsort((np.arange(40), d2[i]))[:3]
         assert sorted(byq[vid]) == sorted(int(x) for x in order), f"qid {vid}"
+
+
+def test_large_k_route_handles_nulls_and_keeps_id_type(spark, tmp_path):
+    """The >32-centroid GEMM route/score kernels must tolerate NULL
+    vectors (the index stores null-vector rows under a null cluster, and
+    query sets may carry them) — nulls produce no probe rows and no
+    neighbors instead of raggedy-array numpy crashes — and the route
+    kernel must carry the INPUT qid type through, like every sibling
+    Arrow kernel (r05 advice, similarity.py large-k route)."""
+    from shadowcat_data_spark.pipeline.similarity import (
+        _nearest_clusters,
+        build_ann_index,
+        knn_graph,
+        probe_ann_index,
+    )
+
+    cents = [[float(i), float(i)] for i in range(40)]  # 40 > literal cap
+    q = spark.createDataFrame(
+        [("a", [1.0, 1.0]), ("b", None), ("c", [39.0, 39.0])],
+        "qid string, qe array<double>",
+    )
+    routed = _nearest_clusters(q, cents, 2)
+    assert routed.schema["qid"].dataType.simpleString() == "string"
+    got = {(r.qid, r.cluster) for r in routed.collect()}
+    assert ("a", 1) in got and ("c", 39) in got
+    assert not any(qid == "b" for qid, _ in got), "null vector routed"
+
+    # end-to-end: corpus WITH null embeddings, >32 clusters → large-k path
+    rows = [(i, [float(i % 97), float((i * 7) % 89)]) for i in range(1500)]
+    rows += [(9000 + i, None) for i in range(5)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    table = str(tmp_path / "nullidx")
+    build_ann_index(spark, e, "vec_id", "embedding", table, n_clusters=40)
+    out = probe_ann_index(spark, table, e, "vec_id", "embedding", k=2)
+    pd_out = out.toPandas()
+    assert len(pd_out) > 0
+    assert not pd_out.qid.isin(range(9000, 9005)).any(), "null query probed"
+    g = knn_graph(spark, table, k=2).toPandas()
+    assert len(g) > 0 and (g.qid != g.cid).all()
+    assert not g.qid.isin(range(9000, 9005)).any()
+    assert not g.cid.isin(range(9000, 9005)).any()
 
 
 def test_knn_graph_recall_and_self_exclusion(spark, tmp_path):
