@@ -28,10 +28,9 @@ Scale notes (100 TB): the z-order rewrite is ONE range-shuffle over the
 rewritten data — identical cost shape to m41's sort rewrite; bin bounds
 come from one deterministic hash-sample aggregate (the create_partitioned
 bounds discipline — no single-reducer exact percentile). The bloom build
-is one scan producing ≤ m_bits positions per file (a groupBy with a
-collect_set bounded by the bitmap width), and the driver transfer is
-#files × bitmap — the same O(#files) metadata budget the manifest itself
-costs. Probing hashes a handful of literals through one tiny Spark job so
+is one scan whose hash positions fold into 64-bit words executor-side
+(grouped bit-OR), so the driver transfer is #files × bitmap bytes — the
+same O(#files) metadata budget the manifest itself costs. Probing hashes a handful of literals through one tiny Spark job so
 the probe-side hash is bit-identical to the build side's JVM xxhash64 —
 no Python reimplementation to drift.
 """
@@ -387,6 +386,73 @@ def scan_point(
     return _read_files_mor(spark, table, man, keep)
 
 
+# --- unified scan routing over the pruning tiers (r05 verdict #5) -----------
+
+
+def pruned_files_routed(
+    spark: SparkSession,
+    table: str,
+    range_preds: dict[str, tuple] | None = None,
+    point_preds: dict[str, list] | None = None,
+    version: int | None = None,
+) -> tuple[list[str], int, dict[str, int]]:
+    """ONE scan-planning entry point over every pruning tier the manifest
+    supports — the m42 CBO pattern applied to scans. Callers hand it the
+    predicate SHAPES (range boxes and point-IN sets); it consults the
+    manifest's metadata to decide which strategies apply, and INTERSECTS
+    every applicable one:
+
+    - range predicates → min/max span boxes (LK5/LK17 stats, which a
+      z-order rewrite makes near-minimal but are sound on any layout);
+    - point predicates → their implied [min(values), max(values)] span
+      box, PLUS the bloom bitmaps (LK18) when the manifest carries a
+      bloom index for that column.
+
+    Each tier keeps a superset of the files holding matching rows, so
+    the intersection does too — and it is BY CONSTRUCTION no larger than
+    the best single strategy, which is the routing guarantee the caller
+    wants without naming a strategy (pytest-pinned). Pure metadata except
+    the bloom probe's literal-hashing job (a handful of rows). Returns
+    (kept_files, files_total, per-strategy kept counts for EXPLAIN-style
+    introspection)."""
+    man = read_manifest(table, version)
+    total = len(man["files"])
+    keep = set(man["files"])
+    report: dict[str, int] = {}
+    if range_preds:
+        box, _ = pruned_files_box(table, range_preds, version)
+        keep &= set(box)
+        report["box"] = len(box)
+    for col, values in (point_preds or {}).items():
+        if not values:
+            return [], total, {f"span:{col}": 0}
+        span, _ = pruned_files_box(
+            table, {col: (min(values), max(values))}, version
+        )
+        keep &= set(span)
+        report[f"span:{col}"] = len(span)
+        if (man.get("bloom") or {}).get(col):
+            bl, _ = pruned_files_bloom(spark, table, col, values, version)
+            keep &= set(bl)
+            report[f"bloom:{col}"] = len(bl)
+    return [f for f in man["files"] if f in keep], total, report
+
+
+def scan_routed(
+    spark: SparkSession,
+    table: str,
+    range_preds: dict[str, tuple] | None = None,
+    point_preds: dict[str, list] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """MOR-aware read of only the files surviving ``pruned_files_routed``;
+    the caller applies the exact predicates on top (pruning false
+    positives are whole files, never wrong rows)."""
+    man = read_manifest(table, version)
+    keep, _, _ = pruned_files_routed(spark, table, range_preds, point_preds, version)
+    return _read_files_mor(spark, table, man, keep)
+
+
 # --- registered queries ----------------------------------------------------
 
 _ORDERS3_DDL = "o_orderkey long, o_custkey long, o_totalprice double"
@@ -443,6 +509,55 @@ def zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("total"),
+    )
+
+
+@query(
+    "m46_routed_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total
+FROM orders
+WHERE o_custkey IN (19, 74, 133) AND o_totalprice BETWEEN 20000 AND 120000
+""",
+    category="maintenance",
+)
+def routed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified scan routing: one table carries ALL THREE pruning tiers
+    (partition-key min/max stats, z-ordered secondary-column spans, a
+    bloom index on o_custkey), and a mixed predicate — point-IN on the
+    bloom-indexed column AND a range on a z-column — is planned through
+    ``pruned_files_routed``, which intersects every applicable tier
+    instead of making the caller pick one. The kept set is no larger
+    than the best single strategy (pytest-pinned with strictly-fewer
+    assertions); the aggregate still equals the raw table's, proving the
+    composed pruning never drops a matching row."""
+    table = _fresh_orders_3col(
+        spark, sf_dir, "m46_orders_rtable", files_per_bucket=4
+    )
+    rewrite_zorder(spark, table, ["o_custkey", "o_totalprice"], bits=4)
+    add_bloom_filters(spark, table, "o_custkey")
+    keys = [19, 74, 133]
+    df = scan_routed(
+        spark,
+        table,
+        range_preds={"o_totalprice": (20000.0, 120000.0)},
+        point_preds={"o_custkey": keys},
+    ).filter(
+        F.col("o_custkey").isin(keys)
+        & F.col("o_totalprice").between(20000.0, 120000.0)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
         (
             F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).cast(
                 "double"

@@ -17,6 +17,7 @@ Design notes (scale-first):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -108,6 +109,13 @@ def get_spark(app_name: str = "shadowcat_data_spark") -> SparkSession:
         # locally. (On a real cluster with many files, leave this at default.)
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # keep managed-table test artifacts (m7 catalog round-trip) out of
+        # the repo tree — the default ./spark-warehouse accumulates one
+        # sc_*.db per scratch sf_dir across test sessions
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "shadowcat_io", "warehouse"),
+        )
     )
     for k, v in _DYNAMIC_CONFS.items():
         builder = builder.config(k, v)

@@ -1781,6 +1781,89 @@ def test_truly_concurrent_merges_serialize(spark, tmp_path):
     assert len(vals) == 30
 
 
+_XPROC_WRITER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.chdir({cwd!r})  # own cwd: no shared spark-warehouse/derby artifacts
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("xproc-writer")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from shadowcat_data_spark.plans.lakehouse import merge_snapshot
+
+table, wid = sys.argv[1], int(sys.argv[2])
+DDL = "o_orderkey long, o_totalprice double"
+for i in range(2):
+    rows = [(wid * 1000 + i * 10 + j, "I", 1, wid * 1.0) for j in range(5)]
+    ch = spark.createDataFrame(
+        rows, "o_orderkey long, op string, seq long, o_totalprice double"
+    )
+    merge_snapshot(spark, table, ch, "o_orderkey", DDL, max_retries=20)
+print("XPROC_OK", wid)
+"""
+
+
+def test_cross_process_merges_serialize(spark, tmp_path):
+    """Three INDEPENDENT Spark drivers (separate OS processes, separate
+    SparkSessions, separate JVMs) race MERGE commits on one snapshot-log
+    table. The in-process thread stress (test_truly_concurrent_merges_
+    serialize) shares one CPython and one filesystem view, so it cannot
+    catch fs-visibility or PID-dependent holes in the link()-commit
+    protocol — this is the actual multi-writer deployment shape the
+    protocol claims to survive (r05 verdict #3). Asserts: every writer
+    lands within bounded retries (nonzero exit otherwise), one commit per
+    merge (no version gaps, no lost updates), and the final snapshot is
+    exactly the union of all writers' disjoint change-sets."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    table = str(tmp_path / "xproc_table")
+    ddl = "o_orderkey long, o_totalprice double"
+    seed = spark.createDataFrame([(i, 0.0) for i in range(10)], ddl)
+    LH.commit_snapshot(seed, table, ddl)
+
+    procs = []
+    for wid in (1, 2, 3):
+        cwd = str(tmp_path / f"w{wid}")
+        os.makedirs(cwd, exist_ok=True)
+        script = _XPROC_WRITER.format(repo=repo_root, cwd=cwd)
+        procs.append(
+            subprocess.Popen(
+                [_sys.executable, "-c", script, table, str(wid)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"writer crashed or exhausted retries: {out}"
+        assert "XPROC_OK" in out
+    # 1 seed + exactly one commit per merge (3 writers x 2 merges), with a
+    # contiguous version chain: the link() protocol may reject and retry a
+    # loser but can never skip or double-allocate a slot
+    assert LH.current_version(table) == 7
+    for v in range(1, 8):
+        assert os.path.exists(os.path.join(table, "_log", f"v{v:08d}.json"))
+    vals = {r.o_orderkey: r.o_totalprice for r in LH.read_snapshot(spark, table).collect()}
+    assert len(vals) == 10 + 3 * 10, "lost update across process boundary"
+    for wid in (1, 2, 3):
+        for i in range(2):
+            for j in range(5):
+                assert vals[wid * 1000 + i * 10 + j] == wid * 1.0
+
+
 def test_secondary_column_stats_prune_files(spark, tmp_path):
     """Manifest stats cover every primitive column: on a table whose
     layout clusters a non-key column, a predicate on that column must
@@ -2639,3 +2722,63 @@ def test_bloom_skipping_no_false_negatives_metadata_only(spark, tmp_path):
     ).count() == 0
     # un-probed (empty) value list keeps nothing
     assert pruned_files_bloom(spark, table, "u", [])[0] == []
+
+
+def test_routed_scan_never_worse_than_any_single_strategy(spark, tmp_path):
+    """m46's routing guarantee: the unified planner's kept-file set is a
+    subset of EVERY applicable single strategy's (span box, bloom), it
+    never drops a matching row, and on a table with both a z-order layout
+    and a bloom index the mixed predicate keeps strictly fewer files than
+    either strategy alone keeps on its own predicate half."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_zorder import (
+        add_bloom_filters,
+        pruned_files_bloom,
+        pruned_files_box,
+        pruned_files_routed,
+        rewrite_zorder,
+        scan_routed,
+    )
+
+    table = str(tmp_path / "rt")
+    ddl = "k long, u long, v double"
+    rows = [(i, (i * 7919) % 50021, float((i * 31) % 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ddl)
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4,
+                          files_per_bucket=4)
+    rewrite_zorder(spark, table, ["u", "v"], bits=4)
+    add_bloom_filters(spark, table, "u")
+    probes = [(7 * 7919) % 50021, (1234 * 7919) % 50021]
+    rng = (100.0, 400.0)
+    kept, total, report = pruned_files_routed(
+        spark, table, range_preds={"v": rng}, point_preds={"u": probes}
+    )
+    assert total == 16
+    box_only, _ = pruned_files_box(table, {"v": rng})
+    bloom_only, _ = pruned_files_bloom(spark, table, "u", probes)
+    span_only, _ = pruned_files_box(table, {"u": (min(probes), max(probes))})
+    assert set(kept) <= set(box_only)
+    assert set(kept) <= set(bloom_only)
+    assert set(kept) <= set(span_only)
+    # the routing guarantee: never more than the best single strategy —
+    # and strictly better than the range-box tier alone here, because the
+    # bloom cuts point-scattered files the v-span cannot see
+    assert len(kept) <= min(len(box_only), len(bloom_only), len(span_only))
+    assert len(kept) < len(box_only)
+    # report names every applied tier
+    assert {"box", "span:u", "bloom:u"} <= set(report)
+    # no matching row dropped
+    got = sorted(
+        (r.k, r.u)
+        for r in scan_routed(
+            spark, table, range_preds={"v": rng}, point_preds={"u": probes}
+        )
+        .filter(F.col("u").isin(probes) & F.col("v").between(*rng))
+        .collect()
+    )
+    want = sorted(
+        (i, u) for i, u, v in rows if u in set(probes) and rng[0] <= v <= rng[1]
+    )
+    assert got == want and got, "routed scan dropped matching rows"
+    # empty point list → metadata-only empty answer
+    assert pruned_files_routed(spark, table, point_preds={"u": []})[0] == []

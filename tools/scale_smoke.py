@@ -15,9 +15,22 @@ scans start from a multi-file layout, not the single-file fixture.
 
 Run:  python tools/scale_smoke.py            # sf1: synthesizes if needed
       python tools/scale_smoke.py --sf10     # sf10: ~60M-row lineitem tier
+      python tools/scale_smoke.py --sf30     # sf30: documents-only l2b probe
       python tools/scale_smoke.py --resynth  # force re-synthesis
+      python tools/scale_smoke.py --sf10 --only=l2b_minhash_lsh  # one query
 Prints one JSON line (queries, per-query max task seconds, violations) and
 exits non-zero on an invariant violation.
+
+The sf30 tier (r05 verdict #1) synthesizes ONLY the documents table at
+300× sf0.1 — the l2b verify stage was the one identified scale ceiling
+(peak task 78.6–81.3s at sf10, linear in corpus size, vs the 120s
+invariant); this tier proves the rebalanced verify keeps the peak task
+SUBLINEAR across the sf10→sf30 corpus step. Synthesis detail: each
+copy's text gets a ``grp{i%3}`` salt token appended, so dup FAMILIES
+stay 100 members (the sf10 density) while the corpus and the candidate
+volume triple — naive 300-way replication would push every LSH bucket
+past the 200 cap and the verify stage would (correctly, by design)
+receive nothing.
 """
 
 from __future__ import annotations
@@ -34,14 +47,16 @@ from pyspark.sql import SparkSession, functions as F
 
 SRC_SF = "/root/testdata/sf0.1"
 SF10 = "--sf10" in sys.argv
-TIER = "sf10" if SF10 else "sf1"
+SF30 = "--sf30" in sys.argv
+TIER = "sf30" if SF30 else ("sf10" if SF10 else "sf1")
+ONLY = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
 OUT_DIR = os.path.join(tempfile.gettempdir(), "shadowcat_io", f"{TIER}_smoke")
 EVENTLOG_DIR = os.path.join(
     tempfile.gettempdir(), "shadowcat_io", f"{TIER}_eventlog"
 )
-COPIES = 100 if SF10 else 10
+COPIES = 300 if SF30 else (100 if SF10 else 10)
 OFFSET = 10_000_000
-SHARDS = 64 if SF10 else 32
+SHARDS = 128 if SF30 else (64 if SF10 else 32)
 
 # sf10 runs the heavy machinery families only (bounded dedup, persisted
 # ANN, lakehouse write paths + CDF, graph, plus two relational anchors):
@@ -86,8 +101,19 @@ MIN_TASKS_FOR_BIG_STAGE = 8
 MAX_TASK_SECONDS = 120.0
 
 
+# the sf30 tier probes only l2b, which reads only documents — synthesizing
+# the other nine tables at 300× would triple the tier's disk/time for nothing
+SF30_TABLES = {"documents"}
+SF30_QUERIES = ["l2b_minhash_lsh"]
+
+
 def synthesize(spark: SparkSession, force: bool = False) -> None:
-    for table, keys in KEY_COLS.items():
+    tables = (
+        {t: k for t, k in KEY_COLS.items() if t in SF30_TABLES}
+        if SF30
+        else KEY_COLS
+    )
+    for table, keys in tables.items():
         dst = os.path.join(OUT_DIR, f"{table}.parquet")
         if not force and os.path.isdir(dst):
             continue
@@ -97,6 +123,13 @@ def synthesize(spark: SparkSession, force: bool = False) -> None:
             c = src
             for k in keys:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast(src.schema[k].dataType))
+            if SF30 and table == "documents":
+                # keep dup families at the sf10 density (100 members, under
+                # the 200 LSH bucket cap) while tripling the corpus — see
+                # the module docstring
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" grp{i % 3}"))
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
@@ -161,7 +194,7 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"{TIER}-scale-smoke")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "48g" if SF10 else "24g")
+        .config("spark.driver.memory", "48g" if (SF10 or SF30) else "24g")
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{EVENTLOG_DIR}")
@@ -223,7 +256,11 @@ def main() -> None:
 
     specs = registry.load_all()
     times: dict[str, float] = {}
-    names = SF10_QUERIES if SF10 else bench.BENCH_QUERIES + extra
+    names = (
+        SF30_QUERIES if SF30 else SF10_QUERIES if SF10 else bench.BENCH_QUERIES + extra
+    )
+    if ONLY:
+        names = [n for n in names if n in ONLY] or ONLY
     for name in names:
         fn = specs[name].fn
         t0 = time.perf_counter()
@@ -239,7 +276,7 @@ def main() -> None:
         "value": round(sum(times.values()), 2),
         "unit": "sec",
         "queries": times,
-        "sf": 10.0 if SF10 else 1.0,
+        "sf": 30.0 if SF30 else 10.0 if SF10 else 1.0,
         "n_stages": len(stages),
         "peak_task_s": max((s["max_task_s"] for s in stages.values()), default=0.0),
         "worst_stages": worst,

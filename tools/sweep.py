@@ -9,7 +9,13 @@ BASELINE.md each round.
 
 Run: python tools/sweep.py [sf_dir] [--json-out PATH]
        [--oracle-skip name1,name2] [--start-after NAME]
+       [--category cat1,cat2]
 
+``--category`` restricts the sweep to the named registry categories
+(e.g. ``--category pipeline-dedup,streaming``) so per-family iteration
+stays fast as the registry grows (r05 verdict #7) — the FULL sweep (no
+flag) remains the recorded pre-commit gate; a category run never
+substitutes for it.
 ``--oracle-skip`` demotes the named queries to the rows-only check.
 Since r04 (df-bounded shingle edges) it is NOT needed at any shipped
 scale: the r04 sf0.1 deep sweep ran all 240 oracles with zero skips in
@@ -42,8 +48,9 @@ def main() -> int:
     json_out = None
     oracle_skip: set[str] = set()
     start_after = None
+    categories: set[str] | None = None
     rest = sys.argv[1:]
-    for flag in ("--json-out", "--oracle-skip", "--start-after"):
+    for flag in ("--json-out", "--oracle-skip", "--start-after", "--category"):
         if flag in rest:
             i = rest.index(flag)
             val = rest[i + 1]
@@ -52,6 +59,8 @@ def main() -> int:
                 json_out = val
             elif flag == "--oracle-skip":
                 oracle_skip = set(val.split(","))
+            elif flag == "--category":
+                categories = set(val.split(","))
             else:
                 start_after = val
     args = [a for a in rest if not a.startswith("--")]
@@ -65,6 +74,13 @@ def main() -> int:
     results: dict[str, dict] = {}
     n_pass = n_rows_only = n_fail = 0
     t_start = time.perf_counter()
+    if categories is not None:
+        known = {s.category for s in specs.values()}
+        unknown = categories - known
+        if unknown:
+            print(f"unknown categories: {sorted(unknown)}; have {sorted(known)}")
+            return 2
+        specs = {n: s for n, s in specs.items() if s.category in categories}
     for name in sorted(specs):
         if start_after is not None and name <= start_after:
             continue
@@ -103,6 +119,9 @@ def main() -> int:
     total = len(specs)
     summary = {
         "sf_dir": sf_dir,
+        # a category-filtered run is a dev-loop aid, never the gate —
+        # stamp it so a partial summary can't be recorded as the full sweep
+        **({"partial_categories": sorted(categories)} if categories else {}),
         "total": total,
         "pass": n_pass,
         "rows_only": n_rows_only,
