@@ -1,0 +1,911 @@
+"""Baseline-JPEG codec tier (r05 verdict #4 / "What's missing" #1).
+
+A real crawl's image payloads are overwhelmingly JPEG, and no image
+library ships in this container — so the compressed-codec gate is closed
+the same way the PPM/WAV gates were in round 5: a pure-numpy/stdlib
+implementation of the PUBLIC spec (ITU-T T.81 baseline sequential DCT,
+8-bit), with an in-repo encoder synthesizing the fixtures and the decoder
+value-checked by a closed-form SQL oracle.
+
+What is implemented (and what still raises):
+
+- ``encode_jpeg_baseline``: grayscale (1 component) and YCbCr 4:4:4 or
+  4:2:0 (2×2 chroma average) baseline JFIF streams — SOI/APP0/DQT/SOF0/
+  DHT/SOS/EOI, IJG-style quality-scaled Annex-K quantization tables, and
+  a FLAT canonical Huffman table (every DC category 4 bits, every AC
+  run/size symbol 8 bits). A flat table is spec-valid (the decoder reads
+  whatever DHT declares) and removes any dependence on remembering the
+  Annex-K code tables correctly; fixtures are tiny, so the compression
+  loss is irrelevant.
+- ``decode_jpeg_baseline``: a genuine entropy decoder — marker walk,
+  DQT/DHT/SOF0/SOS/DRI parsing, canonical Huffman decode (mincode/
+  maxcode/valptr per T.81 F.2.2.3), DC-prediction EXTEND, zigzag
+  de-ordering, dequantization, fixed-point integer IDCT, chroma
+  upsampling by sample replication, and JFIF YCbCr→RGB. Restart markers
+  reset the DC predictors and byte-align, per spec.
+- Progressive (SOF2), arithmetic (SOF9+), 12-bit, and hierarchical
+  streams raise ``ValueError`` with a named reason — the narrowed gate
+  (now: progressive JPEG, PNG, MP3), pinned by pytest like every other
+  environment gate.
+
+Oracle design (the house exact-arithmetic pattern): the fixture images
+are PIECEWISE-CONSTANT per 8×8 block. The DCT of a constant block is
+DC-only (the float FDCT's ~1e-13 AC residue quantizes to exactly zero),
+the encoder computes the DC losslessly (sum/8 − 1024 — dyadic, exact in
+float64), and the decoder takes the same DC-only shortcut libjpeg's
+integer IDCT takes: ``((dc·Q + 4) >> 3) + 128`` clamped. Every decoded
+pixel is therefore the closed form
+
+    clamp(floor((round(8·(c−128)/Q00)·Q00 + 4) / 8) + 128, 0, 255)
+
+which DuckDB replays per block with integer/dyadic arithmetic — a
+Huffman mis-decode, zigzag slip, dequant or predictor bug shifts a block
+value and breaks the hash. General (non-constant) content is covered by
+round-trip and malformed-payload property tests, l29-style.
+
+Scale note: decode runs inside the standard mapInPandas media kernel —
+map-side-only over binaryFile splits, per-image scalars are all that
+shuffles. The entropy loop is per-image Python (fixtures are ≤48×48);
+at 100 TB a real deployment swaps the body for a C-accelerated decode
+behind the SAME kernel contract, which is the point of keeping the
+Arrow plumbing, quarantine behavior, and oracles codec-independent.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- tables (ITU-T T.81 Annex K quantization; zigzag per Figure 5) ---------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+QUANT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+QUANT_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def quality_scaled(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 = the Annex-K table verbatim, 100 → all 1s."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# --- flat canonical Huffman tables ------------------------------------------
+
+_DC_SYMBOLS = list(range(12))  # DC size categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [  # EOB, ZRL, then (run 0..15, size 1..10)
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_DC_LEN, _AC_LEN = 4, 8  # 12 < 2^4-1 and 162 < 2^8-1: valid canonical codes
+
+
+def _flat_table(symbols: list[int], length: int):
+    """(bits-per-length[1..16], symbols, {sym: (code, len)}) for a canonical
+    table where every symbol has the same code length."""
+    bits = [0] * 17
+    bits[length] = len(symbols)
+    enc = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return bits, symbols, enc
+
+
+# --- bit I/O -----------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing per B.1.1.5
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1 bits per B.1.1.5
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over one entropy-coded segment (already unstuffed)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted mid-block")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+# --- Huffman decode tables (T.81 F.2.2.3 canonical construction) ------------
+
+
+class _HuffTable:
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        if sum(bits[1:]) != len(vals):
+            raise ValueError("DHT: bits counts disagree with value count")
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if bits[ln]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln]
+                k += bits[ln]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+    def decode(self, r: _BitReader) -> int:
+        code = r.bit()
+        ln = 1
+        while code > self.maxcode[ln]:
+            ln += 1
+            if ln > 16:
+                raise ValueError("invalid Huffman code (no symbol at any length)")
+            code = (code << 1) | r.bit()
+        return self.vals[self.valptr[ln] + code - self.mincode[ln]]
+
+
+def _extend(v: int, s: int) -> int:
+    """F.2.2.1 EXTEND: map the s magnitude bits to a signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# --- fixed-point integer IDCT ------------------------------------------------
+# The Loeffler–Ligtenberg–Moshovitz 8-point IDCT in 13-bit fixed point
+# (the published algorithm behind every "islow" implementation), vectorized
+# over blocks in int64 so no intermediate can overflow. DC-only blocks take
+# the exact shortcut ((dc + 4) >> 3), which is what the oracle replays.
+
+_CBITS, _P1BITS = 13, 2
+_F0_298631336 = 2446
+_F0_390180644 = 3196
+_F0_541196100 = 4433
+_F0_765366865 = 6270
+_F0_899976223 = 7373
+_F1_175875602 = 9633
+_F1_501321110 = 12299
+_F1_847759065 = 15137
+_F1_961570560 = 16069
+_F2_053119869 = 16819
+_F2_562915447 = 20995
+_F3_072711026 = 25172
+
+
+def _idct_1d(s, descale: int):
+    """One LLM butterfly over axis -1 of ``s`` (..., 8) int64."""
+    s0, s1, s2, s3, s4, s5, s6, s7 = (s[..., i] for i in range(8))
+    z1 = (s2 + s6) * _F0_541196100
+    tmp2 = z1 - s6 * _F1_847759065
+    tmp3 = z1 + s2 * _F0_765366865
+    tmp0 = (s0 + s4) << _CBITS
+    tmp1 = (s0 - s4) << _CBITS
+    t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+    t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+    z1 = s7 + s1
+    z2 = s5 + s3
+    z3 = s7 + s3
+    z4 = s5 + s1
+    z5 = (z3 + z4) * _F1_175875602
+    o0 = s7 * _F0_298631336
+    o1 = s5 * _F2_053119869
+    o2 = s3 * _F3_072711026
+    o3 = s1 * _F1_501321110
+    z1 = z1 * -_F0_899976223
+    z2 = z2 * -_F2_562915447
+    z3 = z3 * -_F1_961570560 + z5
+    z4 = z4 * -_F0_390180644 + z5
+    o0 += z1 + z3
+    o1 += z2 + z4
+    o2 += z2 + z3
+    o3 += z1 + z4
+    half = 1 << (descale - 1)
+    out = np.stack(
+        [
+            (t10 + o3 + half) >> descale,
+            (t11 + o2 + half) >> descale,
+            (t12 + o1 + half) >> descale,
+            (t13 + o0 + half) >> descale,
+            (t13 - o0 + half) >> descale,
+            (t12 - o1 + half) >> descale,
+            (t11 - o2 + half) >> descale,
+            (t10 - o3 + half) >> descale,
+        ],
+        axis=-1,
+    )
+    return out
+
+
+def idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) int64 dequantized coefficients → (n, 8, 8) uint8 samples
+    (level-shifted +128, clamped). DC-only blocks short-circuit to the
+    exact ``(dc + 4) >> 3`` the oracle replays."""
+    coefs = coefs.astype(np.int64)
+    n = len(coefs)
+    out = np.empty((n, 8, 8), dtype=np.int64)
+    flat = coefs.reshape(n, 64)
+    dc_only = (flat[:, 1:] == 0).all(axis=1)
+    if dc_only.any():
+        dcval = (flat[dc_only, 0] + 4) >> 3
+        out[dc_only] = dcval[:, None, None]
+    rest = ~dc_only
+    if rest.any():
+        c = coefs[rest]
+        # pass 1 over columns (transform axis = rows index), then rows
+        p1 = _idct_1d(np.swapaxes(c, -1, -2), _CBITS - _P1BITS)
+        p1 = np.swapaxes(p1, -1, -2)
+        out[rest] = _idct_1d(p1, _CBITS + _P1BITS + 3)
+    return np.clip(out + 128, 0, 255).astype(np.uint8)
+
+
+# --- forward DCT (encoder side; float64, DC recomputed exactly) -------------
+
+_DCT_BASIS = None
+
+
+def _dct_basis() -> np.ndarray:
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        k = np.arange(8)
+        b = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+        b[0] /= np.sqrt(2.0)
+        _DCT_BASIS = b
+    return _DCT_BASIS
+
+
+def fdct_quantized(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) uint8 samples → (n, 64) int64 zigzagged quantized coefs.
+    The DC is recomputed as sum/8 − 1024 (exact in float64 — dyadic), so
+    constant blocks quantize to the closed form the oracle uses; the
+    quantizer is sign·floor(|S|/Q + 0.5), mirrored by the SQL."""
+    x = blocks.astype(np.float64) - 128.0
+    b = _dct_basis()
+    s = np.einsum("ux,nxy,vy->nuv", b, x, b)
+    s[:, 0, 0] = blocks.reshape(len(blocks), 64).astype(np.float64).sum(axis=1) / 8.0 - 1024.0
+    flat = s.reshape(len(s), 64)[:, ZIGZAG]
+    qzig = q.reshape(64)[ZIGZAG]
+    quant = np.sign(flat) * np.floor(np.abs(flat) / qzig + 0.5)
+    return np.clip(quant, -1023, 1023).astype(np.int64)
+
+
+# --- encoder -----------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.clip(np.floor(np.stack([y, cb, cr], axis=-1) + 0.5), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.floor(np.stack([r, g, b], axis=-1) + 0.5), 0, 255).astype(np.uint8)
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -h % bh, -w % bw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) multiple-of-8 plane → (n, 8, 8) blocks in raster MCU order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).swapaxes(1, 2).reshape(-1, 8, 8)
+    )
+
+
+def _encode_block(
+    coefs: np.ndarray, pred: int, dc_enc: dict, ac_enc: dict, w: _BitWriter
+) -> int:
+    dc = int(coefs[0])
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_enc[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coefs[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            w.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_enc[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_enc[0x00]  # EOB
+        w.put(code, ln)
+    return dc
+
+
+def encode_jpeg_baseline(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize (h, w) uint8 grayscale or (h, w, 3) uint8 RGB as a baseline
+    sequential JFIF stream. ``subsample=True`` emits 4:2:0 (2×2 chroma
+    average); grayscale ignores it. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs (predictors reset,
+    byte-aligned) — crawl JPEGs carry these, so the decoder's restart
+    path is round-trip testable against our own streams."""
+    if px.dtype != np.uint8 or px.ndim not in (2, 3):
+        raise ValueError(f"expected (h,w[,3]) uint8 pixels, got {px.shape} {px.dtype}")
+    gray = px.ndim == 2
+    if not gray and px.shape[2] != 3:
+        raise ValueError("color images must have exactly 3 channels")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("degenerate image dimensions")
+    qlum = quality_scaled(QUANT_LUM, quality)
+    qchr = quality_scaled(QUANT_CHROM, quality)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qlum),) + (() if gray else ((1, qchr),)):
+        zz = q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+    # SOF0
+    samp = (2, 2) if (subsample and not gray) else (1, 1)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    comps = [(1, samp[0], samp[1], 0)] if not gray else [(1, 1, 1, 0)]
+    if not gray:
+        comps += [(2, 1, 1, 1), (3, 1, 1, 1)]
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: flat tables; ids 0 (DC) and 0 (AC), reused by chroma for brevity
+    dc_bits, dc_vals, dc_enc = _flat_table(_DC_SYMBOLS, _DC_LEN)
+    ac_bits, ac_vals, ac_enc = _flat_table(_AC_SYMBOLS, _AC_LEN)
+    for cls, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        body = bytes([cls << 4]) + bytes(bits[1:]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0 for all
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # planes
+    if gray:
+        planes = [px]
+        qs = [qlum]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            yp = _pad_to_blocks(y, 16, 16)
+            # 2x2 chroma average (integer, round-half-up) on the padded grid
+            def ds(p):
+                p = _pad_to_blocks(p, 16, 16).astype(np.int64)
+                return (
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2)
+                    // 4
+                ).astype(np.uint8)
+
+            planes = [yp, ds(cb), ds(cr)]
+        else:
+            planes = [_pad_to_blocks(p, 8, 8) for p in (y, cb, cr)]
+        qs = [qlum, qchr, qchr]
+
+    state = {"wtr": _BitWriter(), "preds": [0] * len(planes), "rst": 0, "mcu": 0}
+
+    def end_mcu(total: int) -> None:
+        """After each MCU: flush + RSTn + predictor reset at the interval."""
+        state["mcu"] += 1
+        if (
+            restart_interval
+            and state["mcu"] % restart_interval == 0
+            and state["mcu"] < total
+        ):
+            out.extend(state["wtr"].flush())
+            out.extend(bytes([0xFF, 0xD0 + state["rst"] % 8]))
+            state["rst"] += 1
+            state["wtr"] = _BitWriter()
+            state["preds"] = [0] * len(planes)
+
+    if gray or not subsample:
+        # every component 1×1 → MCU = one block per component, interleaved
+        # in raster order
+        padded = [_pad_to_blocks(p, 8, 8) for p in planes]
+        nby, nbx = padded[0].shape[0] // 8, padded[0].shape[1] // 8
+        coefs = [
+            fdct_quantized(_plane_blocks(p), q).reshape(nby, nbx, 64)
+            for p, q in zip(padded, qs)
+        ]
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(len(planes)):
+                    state["preds"][ci] = _encode_block(
+                        coefs[ci][by, bx], state["preds"][ci], dc_enc, ac_enc, state["wtr"]
+                    )
+                end_mcu(nby * nbx)
+    else:
+        # 4:2:0 MCU: 4 Y blocks (2×2) + 1 Cb + 1 Cr
+        yv, cbv, crv = planes
+        nmy, nmx = yv.shape[0] // 16, yv.shape[1] // 16
+        yb = fdct_quantized(_plane_blocks(yv), qs[0]).reshape(nmy * 2, nmx * 2, 64)
+        cbb = fdct_quantized(_plane_blocks(cbv), qs[1]).reshape(nmy, nmx, 64)
+        crb = fdct_quantized(_plane_blocks(crv), qs[2]).reshape(nmy, nmx, 64)
+        for my in range(nmy):
+            for mx in range(nmx):
+                for dy in range(2):
+                    for dx in range(2):
+                        state["preds"][0] = _encode_block(
+                            yb[my * 2 + dy, mx * 2 + dx],
+                            state["preds"][0], dc_enc, ac_enc, state["wtr"],
+                        )
+                state["preds"][1] = _encode_block(
+                    cbb[my, mx], state["preds"][1], dc_enc, ac_enc, state["wtr"]
+                )
+                state["preds"][2] = _encode_block(
+                    crb[my, mx], state["preds"][2], dc_enc, ac_enc, state["wtr"]
+                )
+                end_mcu(nmy * nmx)
+    out += state["wtr"].flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder -----------------------------------------------------------------
+
+_UNSUPPORTED_SOF = {
+    0xC1: "extended sequential",
+    0xC2: "progressive JPEG",
+    0xC3: "lossless JPEG",
+    0xC5: "differential sequential",
+    0xC6: "differential progressive",
+    0xC7: "differential lossless",
+    0xC9: "arithmetic sequential",
+    0xCA: "arithmetic progressive",
+    0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic sequential",
+    0xCE: "differential arithmetic progressive",
+    0xCF: "differential arithmetic lossless",
+}
+
+
+def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to (h, w) uint8 grayscale or
+    (h, w, 3) uint8 RGB. Raises ``ValueError`` on anything malformed or
+    outside the baseline gate (progressive/arithmetic/12-bit) — callers
+    in the media kernels quarantine such rows."""
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG (no SOS/EOI)")
+        if buf[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at byte {pos}")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS (no image data)")
+        ln = struct.unpack(">H", buf[pos : pos + 2])[0]
+        seg = buf[pos + 2 : pos + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated marker segment")
+        if marker in _UNSUPPORTED_SOF:
+            raise ValueError(f"unsupported JPEG mode: {_UNSUPPORTED_SOF[marker]}")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8)
+                if len(zz) != 64:
+                    raise ValueError("short DQT segment")
+                tab = np.empty(64, dtype=np.int64)
+                tab[ZIGZAG] = zz
+                qtables[tq] = tab.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                cls, tid = seg[off] >> 4, seg[off] & 0xF
+                bits = [0] + list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                htables[(cls, tid)] = _HuffTable(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported (baseline is 8)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            sel = []
+            for i in range(ns):
+                cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel.append((cs, tabs >> 4, tabs & 0xF))
+            pos += ln
+            return _decode_scan(
+                buf, pos, frame, sel, qtables, htables, restart_interval
+            )
+        pos += ln
+
+
+def _decode_scan(buf, pos, frame, sel, qtables, htables, restart_interval):
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # split the entropy stream into restart segments, unstuffing 0xFF00
+    segments: list[bytearray] = [bytearray()]
+    i = pos
+    while i < len(buf):
+        b = buf[i]
+        if b == 0xFF:
+            nxt = buf[i + 1] if i + 1 < len(buf) else None
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # EOI or another marker: end of scan
+        segments[-1].append(b)
+        i += 1
+
+    order = [by_id[cs] for cs, _, _ in sel]
+    dcsel = {cs: d for cs, d, _ in sel}
+    acsel = {cs: a for cs, _, a in sel}
+    blocks: dict[int, list] = {c["id"]: [] for c in comps}
+    preds = {c["id"]: 0 for c in comps}
+    seg_idx = 0
+    rdr = _BitReader(bytes(segments[0]))
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            rdr = _BitReader(bytes(segments[seg_idx]))
+            preds = {c["id"]: 0 for c in comps}
+        for c in order:
+            cid = c["id"]
+            try:
+                dct = htables[(0, dcsel[cid])]
+                act = htables[(1, acsel[cid])]
+                qt = qtables[c["tq"]]
+            except KeyError as exc:
+                raise ValueError(f"scan references undeclared table {exc}") from None
+            for _ in range(c["h"] * c["v"]):
+                coefs = np.zeros(64, dtype=np.int64)
+                s = dct.decode(rdr)
+                if s > 11:
+                    raise ValueError(f"DC category {s} out of range")
+                diff = _extend(rdr.bits(s), s) if s else 0
+                preds[cid] += diff
+                coefs[0] = preds[cid]
+                k = 1
+                while k < 64:
+                    rs = act.decode(rdr)
+                    r, sz = rs >> 4, rs & 0xF
+                    if sz == 0:
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        raise ValueError(f"invalid AC symbol {rs:#x}")
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    coefs[k] = _extend(rdr.bits(sz), sz)
+                    k += 1
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = coefs
+                blocks[cid].append(raster.reshape(8, 8) * qt)
+
+    # IDCT + plane assembly + upsample
+    planes = {}
+    for c in comps:
+        cid = c["id"]
+        bw = mcux * c["h"]  # blocks per row for this component
+        bh = mcuy * c["v"]
+        arr = idct_blocks(np.stack(blocks[cid]))
+        # blocks arrive MCU-major (MCU raster, then v, then h within the
+        # MCU) — rebuild the component's block grid in that exact order
+        grid = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        blocks_per_mcu = c["h"] * c["v"]
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for dv in range(c["v"]):
+                for dh in range(c["h"]):
+                    y0 = (my * c["v"] + dv) * 8
+                    x0 = (mx * c["h"] + dh) * 8
+                    grid[y0 : y0 + 8, x0 : x0 + 8] = arr[
+                        mcu * blocks_per_mcu + dv * c["h"] + dh
+                    ]
+        # NOTE: the per-component blocks list is MCU-interleave-ordered
+        # already, so index directly
+        # upsample to full resolution by sample replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        up = np.repeat(np.repeat(grid, ry, axis=0), rx, axis=1)
+        planes[cid] = up[:h, :w]
+
+    if len(comps) == 1:
+        return planes[comps[0]["id"]]
+    if len(comps) == 3:
+        ids = [c["id"] for c in comps]
+        return _ycbcr_to_rgb(planes[ids[0]], planes[ids[1]], planes[ids[2]])
+    raise ValueError(f"{len(comps)}-component JPEG unsupported")
+
+
+# ---------------------------------------------------------------------------
+# Registered query: mm_jpeg_decode — full-oracle JPEG decode
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T  # noqa: E402
+
+from ..registry import query  # noqa: E402
+from ..session import load_table  # noqa: E402
+
+_JPG_N = 50
+_JPG_QUALITY = 90
+_JPG_FIXTURE_TAG = "jpeg-v1"  # bump when the block formula or quality changes
+_JPG_Q00 = int(quality_scaled(QUANT_LUM, _JPG_QUALITY).reshape(64)[0])
+
+
+def _jpg_block_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height) in 8×8 BLOCKS: 2–4 × 2–3 — multiples of 8 pixels, so
+    no padding enters the oracle (padding is property-tested separately)."""
+    return 2 + doc_id % 3, 2 + doc_id % 2
+
+
+def _jpg_block_values(doc_id: int, wb: int, hb: int) -> np.ndarray:
+    """(hb, wb) int block constants — closed-form integer arithmetic the
+    SQL oracle replays: (doc_id*7 + bx*13 + by*29) % 256."""
+    by, bx = np.meshgrid(np.arange(hb), np.arange(wb), indexing="ij")
+    return (doc_id * 7 + bx * 13 + by * 29) % 256
+
+
+def _jpg_pixels(doc_id: int) -> np.ndarray:
+    wb, hb = _jpg_block_dims(doc_id)
+    blocks = _jpg_block_values(doc_id, wb, hb)
+    return np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+
+
+def _ensure_jpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """img_<doc_id>.jpg per document with doc_id < 50: grayscale baseline
+    JPEG of piecewise-constant 8×8 blocks (same manifest-idempotence
+    contract as the PPM/WAV fixtures). Every third image is encoded with
+    a restart interval so the decoder's DRI/RSTn path runs on every real
+    read, not just in unit tests."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.io import _scratch
+
+    jpg_dir = _scratch(sf_dir, "jpeg_files")
+    manifest = jpg_dir.rstrip("/") + ".manifest"
+    ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _JPG_N)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    tag = (
+        _JPG_FIXTURE_TAG
+        + ":"
+        + _hashlib.sha256(",".join(map(str, ids)).encode()).hexdigest()
+    )
+    try:
+        with open(manifest) as f:
+            if f.read() == tag:
+                return jpg_dir
+    except FileNotFoundError:
+        pass
+    _shutil.rmtree(jpg_dir, ignore_errors=True)
+    _os.makedirs(jpg_dir, exist_ok=True)
+    for doc_id in ids:
+        payload = encode_jpeg_baseline(
+            _jpg_pixels(doc_id),
+            quality=_JPG_QUALITY,
+            restart_interval=2 if doc_id % 3 == 0 else 0,
+        )
+        with open(_os.path.join(jpg_dir, f"img_{doc_id}.jpg"), "wb") as f:
+            f.write(payload)
+    with open(manifest, "w") as f:  # written LAST: a crash mid-synth re-runs
+        f.write(tag)
+    return jpg_dir
+
+
+_JPEG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def _jpeg_kernel(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"media_id": [], "width": [], "height": [], "px_sum": []}
+        for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            out["media_id"].append(int(media_id))
+            try:
+                px = decode_jpeg_baseline(bytes(content))
+                out["width"].append(int(px.shape[1]))
+                out["height"].append(int(px.shape[0]))
+                out["px_sum"].append(int(px.astype(np.int64).sum()))
+            except ValueError:
+                out["width"].append(None)
+                out["height"].append(None)
+                out["px_sum"].append(None)
+        yield pd.DataFrame(out)
+
+
+# Every decoded pixel of a constant block c is the closed form
+# clamp(floor((round(8(c-128)/Q00)*Q00 + 4) / 8) + 128): the block's only
+# nonzero coefficient is its exact DC, and the decoder's integer IDCT takes
+# the DC shortcut. Q00 is inlined at import from the same quality scaling
+# the encoder used.
+_JPEG_ORACLE = f"""
+WITH jimgs AS (
+  SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
+  FROM documents WHERE doc_id < {_JPG_N}
+), blocks AS (
+  SELECT doc_id, wb, hb,
+         (doc_id*7 + bx.bx*13 + by.by*29) % 256 AS c
+  FROM jimgs
+  CROSS JOIN UNNEST(generate_series(0, wb - 1)) AS bx(bx)
+  CROSS JOIN UNNEST(generate_series(0, hb - 1)) AS by(by)
+), px AS (
+  SELECT doc_id, wb, hb,
+         LEAST(255, GREATEST(0, CAST(FLOOR((
+           (CASE WHEN c >= 128
+                 THEN FLOOR((8*(c-128))/{_JPG_Q00} + 0.5)
+                 ELSE -FLOOR((8*(128-c))/{_JPG_Q00} + 0.5) END) * {_JPG_Q00}
+           + 4) / 8.0) AS INTEGER) + 128)) AS v
+  FROM blocks
+)
+SELECT doc_id AS media_id,
+       CAST(wb*8 AS INTEGER) AS width,
+       CAST(hb*8 AS INTEGER) AS height,
+       CAST(SUM(64*v) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id, wb, hb
+"""
+
+
+@query("mm_jpeg_decode", oracle=_JPEG_ORACLE, category="pipeline-multimodal")
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end to end: binaryFile ingest of in-repo
+    encoded JPEGs (a third with restart markers) → mapInPandas entropy
+    decode (Huffman, DC prediction, dequant, integer IDCT) → per-image
+    dimensions and pixel sum, hash-checked against the closed-form DC
+    oracle. The codec gate narrows to progressive JPEG / PNG / MP3
+    (r05 verdict #4). Scale shape identical to mm_decode_features:
+    map-side-only decode, scalars-only shuffle."""
+    jpg_dir = _ensure_jpeg_fixture(spark, sf_dir)
+    frames = spark.read.format("binaryFile").load(jpg_dir).select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.jpg$", 1)
+        .cast("long")
+        .alias("media_id"),
+        "content",
+    )
+    return frames.mapInPandas(_jpeg_kernel, _JPEG_DECODE_SCHEMA)

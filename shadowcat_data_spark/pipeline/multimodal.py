@@ -14,11 +14,16 @@ arithmetic. Because the synthetic pixel value at (x, y, c) is closed-form
 integer math, every decode/resize query is value-checked end-to-end
 against a DuckDB oracle that recomputes the same arithmetic in SQL — a
 header mis-parse, channel-order swap, stride bug, or wrong interpolation
-weight breaks the hash, not just a smoke test. Compressed codecs (JPEG/
-PNG) are the one remaining external dependency: no image libs ship in
-this container, so ``decode_ppm`` raises a clean ``ValueError`` on their
-magic bytes and a real deployment adds a PIL branch inside the same
-kernel — the Arrow contract, fixture flow, and oracles do not move.
+weight breaks the hash, not just a smoke test.
+
+As of round 6 the codec gate narrowed again: BASELINE JPEG is decoded
+for real by the in-repo pure-numpy codec (``pipeline.jpeg`` — entropy
+decode, integer IDCT, restart markers, 4:2:0, with its own closed-form
+DC oracle on ``mm_jpeg_decode``), and ``decode_image`` dispatches on
+magic bytes (P6 → PPM, FF D8 → JPEG). What still raises a clean
+``ValueError`` into the quarantine path: progressive/arithmetic JPEG,
+PNG, and MP3 — a real deployment adds a library branch inside the same
+kernel; the Arrow contract, fixture flow, and oracles do not move.
 """
 
 from __future__ import annotations
@@ -163,6 +168,20 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     if len(data) != n:
         raise ValueError(f"truncated pixel data: want {n} bytes, have {len(data)}")
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the in-repo image codecs: P6 → binary PPM
+    ((h, w, 3) uint8), FF D8 → baseline JPEG ((h, w) gray or (h, w, 3)
+    RGB uint8). Anything else — progressive JPEG, PNG, garbage — raises
+    ``ValueError`` for the kernels' quarantine path."""
+    if buf[:2] == b"P6":
+        return decode_ppm(buf)
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(buf)
+    raise ValueError(f"unrecognized image payload (magic {buf[:2]!r})")
 
 
 # --- real resize kernels (pure numpy pixel arithmetic) ---

@@ -2782,3 +2782,155 @@ def test_routed_scan_never_worse_than_any_single_strategy(spark, tmp_path):
     assert got == want and got, "routed scan dropped matching rows"
     # empty point list → metadata-only empty answer
     assert pruned_files_routed(spark, table, point_preds={"u": []})[0] == []
+
+
+# ---------------------------------------------------------------------------
+# Baseline-JPEG codec (r05 verdict #4): pure-numpy encoder/decoder
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_idct_matches_float_reference():
+    """The fixed-point integer IDCT tracks the exact float IDCT within
+    ±1 sample everywhere (the libjpeg islow accuracy class), and DC-only
+    blocks take the exact (dc+4)>>3 shortcut the SQL oracle replays."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.jpeg import idct_blocks
+
+    rng = np.random.RandomState(11)
+    k = np.arange(8)
+    B = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    B[0] /= np.sqrt(2)
+    coefs = rng.randint(-512, 512, size=(200, 8, 8)).astype(np.int64)
+    ref = np.einsum("ux,nuv,vy->nxy", B, coefs.astype(float), B)
+    ref = np.clip(np.round(ref) + 128, 0, 255)
+    got = idct_blocks(coefs).astype(float)
+    assert np.abs(got - ref).max() <= 1.0
+    # DC-only closed form, both signs and clamp edges
+    for dc in (-2000, -1024, -13, -4, 0, 3, 4, 11, 1023, 2000):
+        blk = np.zeros((1, 8, 8), np.int64)
+        blk[0, 0, 0] = dc
+        want = min(255, max(0, ((dc + 4) >> 3) + 128))
+        assert (idct_blocks(blk) == want).all(), dc
+
+
+def test_jpeg_roundtrip_gray_color_subsample_restart():
+    """Encode→decode identity bounds: near-lossless on smooth content at
+    q95 (gray ±1 on gradients, color mean error small), 4:2:0 lossless on
+    chroma-constant images, restart-marker streams decode IDENTICALLY to
+    their non-restart twins, and non-multiple-of-8 dims pad/crop cleanly."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    x, y = np.meshgrid(np.arange(24), np.arange(16))
+    img = ((x * 3 + y * 5) % 200 + 20).astype(np.uint8)
+    back = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=95))
+    assert back.shape == img.shape
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+    # odd dims: 13x11 → pad to blocks internally, crop on decode
+    odd = img[:13, :11]
+    bodd = decode_jpeg_baseline(encode_jpeg_baseline(odd, quality=95))
+    assert bodd.shape == odd.shape
+    assert np.abs(bodd.astype(int) - odd.astype(int)).max() <= 2
+    # color 4:4:4
+    cimg = np.stack([img, img[::-1], (img.astype(int) * 2 % 256)], -1).astype(np.uint8)
+    b444 = decode_jpeg_baseline(encode_jpeg_baseline(cimg, quality=95))
+    assert b444.shape == cimg.shape
+    assert np.abs(b444.astype(int) - cimg.astype(int)).mean() < 4
+    # 4:2:0 on a chroma-constant image is near-lossless
+    flat = np.full((20, 28, 3), (90, 160, 40), np.uint8)
+    b420 = decode_jpeg_baseline(encode_jpeg_baseline(flat, quality=95, subsample=True))
+    assert np.abs(b420.astype(int) - flat.astype(int)).max() <= 1
+    # restart markers: bit-identical pixels to the unrestarted stream
+    for ri in (1, 3):
+        with_rst = decode_jpeg_baseline(
+            encode_jpeg_baseline(cimg, quality=95, restart_interval=ri)
+        )
+        assert (with_rst == b444).all()
+    rst420 = decode_jpeg_baseline(
+        encode_jpeg_baseline(cimg, quality=90, subsample=True, restart_interval=2)
+    )
+    no420 = decode_jpeg_baseline(encode_jpeg_baseline(cimg, quality=90, subsample=True))
+    assert (rst420 == no420).all()
+
+
+def test_jpeg_gates_and_malformed_payloads():
+    """Everything outside the baseline gate raises a NAMED ValueError
+    (progressive, arithmetic, 16-bit DQT, 12-bit precision, truncation,
+    garbage) — the quarantine contract the media kernels rely on."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    img = np.full((8, 8), 130, np.uint8)
+    good = encode_jpeg_baseline(img, quality=90)
+    assert decode_jpeg_baseline(good).shape == (8, 8)
+    sof1 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    cases = {
+        "empty": b"",
+        "png": b"\x89PNG\r\n\x1a\n",
+        "truncated": good[: len(good) // 2],
+        "progressive": b"\xff\xd8\xff\xc2" + struct.pack(">H", 2 + len(sof1)) + sof1,
+        "arithmetic": b"\xff\xd8\xff\xc9" + struct.pack(">H", 2 + len(sof1)) + sof1,
+        "12bit": b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 12, 8, 8, 1)
+        + bytes([1, 0x11, 0]),
+        "dqt16": b"\xff\xd8\xff\xdb" + struct.pack(">H", 3 + 128) + bytes([0x10] + [1] * 128),
+        "garbage-entropy": good[:-20] + b"\x00" * 4,  # corrupt tail
+    }
+    for name, payload in cases.items():
+        with _pytest.raises(ValueError):
+            decode_jpeg_baseline(payload)
+    # encoder input validation
+    with _pytest.raises(ValueError):
+        encode_jpeg_baseline(np.zeros((4, 4), np.int32))
+    with _pytest.raises(ValueError):
+        encode_jpeg_baseline(np.zeros((0, 4), np.uint8))
+    with _pytest.raises(ValueError):
+        encode_jpeg_baseline(img, quality=0)
+
+
+def test_jpeg_fixture_dc_closed_form(spark, tmp_path):
+    """Every pixel of every fixture JPEG decodes to the exact closed form
+    the mm_jpeg_decode oracle uses — per block, not just in aggregate
+    (the query's px_sum could mask compensating errors)."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.jpeg import (
+        _JPG_Q00,
+        _jpg_block_dims,
+        _jpg_block_values,
+        _jpg_pixels,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    for doc_id in (0, 1, 5, 17, 42, 49):
+        wb, hb = _jpg_block_dims(doc_id)
+        blocks = _jpg_block_values(doc_id, wb, hb)
+        back = decode_jpeg_baseline(
+            encode_jpeg_baseline(
+                _jpg_pixels(doc_id), quality=90,
+                restart_interval=2 if doc_id % 3 == 0 else 0,
+            )
+        )
+        assert back.shape == (hb * 8, wb * 8)
+        for by in range(hb):
+            for bx in range(wb):
+                c = int(blocks[by, bx])
+                v = 8 * (c - 128)
+                sq = int(np.sign(v) * np.floor(abs(v) / _JPG_Q00 + 0.5))
+                want = min(255, max(0, ((sq * _JPG_Q00 + 4) >> 3) + 128))
+                got = back[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (got == want).all(), (doc_id, by, bx, c, want)

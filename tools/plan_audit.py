@@ -75,6 +75,9 @@ ALLOW = {
     "mm_resize_bilinear": {"MapInPandas"},
     "mm_audio_decode": {"MapInPandas"},
     "mm_phash_neardup": {"MapInPandas"},
+    # the baseline-JPEG entropy decode is a codec kernel like the PPM/WAV
+    # ones: map-side-only over binaryFile splits, scalars-only shuffle
+    "mm_jpeg_decode": {"MapInPandas"},
     # corpus↔corpus kNN graph: per-cluster blocked-GEMM scoring — the
     # vectorized Python stage IS the scale path (interpreted HOF cosine
     # measured 100x slower at sf10); same justification as l3d
