@@ -1589,3 +1589,109 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("d_new long, d_other long, jaccard double").parquet(
         *[os.path.join(out_root, d) for d in epochs]
     )
+
+
+# ---------------------------------------------------------------------------
+# T26 — streaming MULTIMODAL ingest dedup (r05 verdict #6): arriving binary
+# media exact-deduped per trigger against a lakehouse-maintained digest index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t26_stream_media_dedup",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, sha256(sha256(text)) AS payload_sha
+  FROM documents WHERE doc_id < 50
+)
+SELECT payload_sha,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS canonical_id
+FROM m GROUP BY payload_sha
+""",
+    category="streaming",
+)
+def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm_dedup_exact's binary dedup as a STANDING INGEST: media files
+    arrive in three micro-batches (range-split staging files under
+    ``maxFilesPerTrigger=1``), each trigger digests its payloads
+    executor-side (sha2 over the actual bytes — only 32-byte digests and
+    ids ever shuffle) and MERGEs the partial (payload_sha → count,
+    min-id) into a snapshot-log table, t18-style: the committed manifest
+    records the source ``batch_id``, so a replayed batch is skipped and
+    the sink is idempotent under foreachBatch's at-least-once contract.
+    This connects the two newest families end to end — the multimodal
+    binary path feeding the lakehouse state the retrieval/maintenance
+    tiers already use. The converged index must hash-equal the one-shot
+    batch dedup (count/min are associative-commutative, so the
+    cross-batch merge is exactly the batch aggregate — mm_dedup_exact's
+    oracle without the double-ingest doubling). At 100 TB the per-trigger
+    cost is O(|batch|) digest + a merge against the digest-keyed index;
+    payload bytes never enter the lakehouse table."""
+    from ..pipeline.multimodal import _ensure_media_fixture
+    from ..plans.lakehouse import (
+        commit_snapshot,
+        current_version,
+        read_manifest,
+        read_snapshot,
+    )
+    from ..sources.io import _scratch
+
+    ensure_session(spark)
+    media_dir = _ensure_media_fixture(spark, sf_dir)
+    stage = _scratch(sf_dir, "t26_media_stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        spark.read.format("binaryFile")
+        .load(media_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"media_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("media_id"),
+            "content",
+        )
+        .repartitionByRange(3, "media_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    table = _scratch(sf_dir, "t26_media_index")
+    shutil.rmtree(table, ignore_errors=True)
+    ddl = "payload_sha string, n_copies long, canonical_id long"
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if current_version(table) and read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already committed — idempotence guard
+        partial = (
+            batch.select(
+                F.sha2(F.col("content"), 256).alias("payload_sha"), "media_id"
+            )
+            .groupBy("payload_sha")
+            .agg(
+                F.count(F.lit(1)).alias("n_copies"),
+                F.min("media_id").alias("canonical_id"),
+            )
+        )
+        if current_version(table):
+            partial = (
+                read_snapshot(sp, table)
+                .unionByName(partial)
+                .groupBy("payload_sha")
+                .agg(
+                    F.sum("n_copies").alias("n_copies"),
+                    F.min("canonical_id").alias("canonical_id"),
+                )
+            )
+        commit_snapshot(partial, table, ddl, extra={"batch_id": batch_id})
+
+    stream = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(upsert_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_snapshot(spark, table).select("payload_sha", "n_copies", "canonical_id")

@@ -328,3 +328,68 @@ def test_t21_mor_forget_replay_idempotent(spark, tmp_path):
     forget(users, 0)  # replayed delivery
     assert LH.current_version(table) == v, "replay must not commit"
     assert LH.read_snapshot(spark, table).count() == 40
+
+
+def test_t26_cross_batch_duplicate_media_collapse(spark, tmp_path):
+    """t26's merge property in isolation: a payload arriving in two
+    DIFFERENT micro-batches must still collapse to one index row with
+    n_copies 2 and the lower id as canonical — the cross-batch
+    associativity the lakehouse-maintained digest index relies on. Also
+    pins the replay guard: re-committing an already-seen batch_id is a
+    no-op (no extra snapshot, counts unchanged)."""
+    import os
+    import shutil
+
+    from shadowcat_data_spark.plans.lakehouse import (
+        commit_snapshot,
+        current_version,
+        read_manifest,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "midx")
+    ddl = "payload_sha string, n_copies long, canonical_id long"
+
+    def upsert(batch_rows, batch_id):
+        if current_version(table) and read_manifest(table).get("batch_id", -1) >= batch_id:
+            return
+        b = spark.createDataFrame(batch_rows, "media_id long, content binary")
+        partial = (
+            b.select(F.sha2(F.col("content"), 256).alias("payload_sha"), "media_id")
+            .groupBy("payload_sha")
+            .agg(
+                F.count(F.lit(1)).alias("n_copies"),
+                F.min("media_id").alias("canonical_id"),
+            )
+        )
+        if current_version(table):
+            partial = (
+                read_snapshot(spark, table)
+                .unionByName(partial)
+                .groupBy("payload_sha")
+                .agg(
+                    F.sum("n_copies").alias("n_copies"),
+                    F.min("canonical_id").alias("canonical_id"),
+                )
+            )
+        commit_snapshot(partial, table, ddl, extra={"batch_id": batch_id})
+
+    dup = b"same-bytes"
+    upsert([(10, dup), (11, b"only-b0")], 0)
+    upsert([(20, b"only-b1")], 1)
+    upsert([(30, dup)], 2)  # the cross-batch duplicate
+    got = {
+        r.payload_sha: (r.n_copies, r.canonical_id)
+        for r in read_snapshot(spark, table).collect()
+    }
+    assert len(got) == 3
+    dup_sha = [s for s, (n, _) in got.items() if n == 2]
+    assert len(dup_sha) == 1 and got[dup_sha[0]] == (2, 10)
+    # replay guard: batch 2 again → no new snapshot, nothing double-counted
+    v = current_version(table)
+    upsert([(30, dup)], 2)
+    assert current_version(table) == v
+    assert {
+        r.payload_sha: (r.n_copies, r.canonical_id)
+        for r in read_snapshot(spark, table).collect()
+    } == got
