@@ -173,7 +173,8 @@ def decode_ppm(buf: bytes) -> np.ndarray:
 def decode_image(buf: bytes) -> np.ndarray:
     """Magic-byte dispatch over the in-repo image codecs: P6 → binary PPM
     ((h, w, 3) uint8), FF D8 → baseline JPEG ((h, w) gray or (h, w, 3)
-    RGB uint8). Anything else — progressive JPEG, PNG, garbage — raises
+    RGB uint8), 89 50 4E 47 → PNG (gray / gray+alpha / RGB / RGBA /
+    indexed). Anything else — progressive JPEG, MP3, garbage — raises
     ``ValueError`` for the kernels' quarantine path."""
     if buf[:2] == b"P6":
         return decode_ppm(buf)
@@ -181,6 +182,10 @@ def decode_image(buf: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg_baseline
 
         return decode_jpeg_baseline(buf)
+    if buf[:4] == b"\x89PNG":
+        from .png import decode_png
+
+        return decode_png(buf)
     raise ValueError(f"unrecognized image payload (magic {buf[:2]!r})")
 
 

@@ -2934,3 +2934,116 @@ def test_jpeg_fixture_dc_closed_form(spark, tmp_path):
                 want = min(255, max(0, ((sq * _JPG_Q00 + 4) >> 3) + 128))
                 got = back[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 assert (got == want).all(), (doc_id, by, bx, c, want)
+
+
+def test_png_codec_lossless_roundtrip_all_filters_and_gates():
+    """PNG round-trips BIT-EXACTLY for gray/RGB/RGBA under both filter
+    modes; hand-built streams exercise Sub/Up/Average unfiltering and
+    indexed-PLTE expansion; malformed payloads and the declared gates
+    (16-bit, Adam7) raise named ValueErrors."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.png import decode_png, encode_png
+
+    rng = np.random.RandomState(23)
+    for shape in [(13, 17), (13, 17, 3), (9, 5, 4), (1, 1, 3), (3, 1)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for paeth in (False, True):
+            back = decode_png(encode_png(px, paeth=paeth))
+            assert back.shape == px.shape and (back == px).all(), (shape, paeth)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # Sub/Up/Average filters (our encoder only emits 0/4)
+    px = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    h, w, nch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * nch, np.int64)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int64)
+        ft = [0, 1, 2, 3][y % 4]
+        raw.append(ft)
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line.copy()
+            for x in range(w * nch - 1, nch - 1, -1):
+                enc[x] = (line[x] - line[x - nch]) % 256
+        elif ft == 2:
+            enc = (line - prev) % 256
+        else:
+            enc = line.copy()
+            for x in range(w * nch):
+                left = line[x - nch] if x >= nch else 0
+                enc[x] = (line[x] - (left + prev[x]) // 2) % 256
+        raw += enc.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    stream = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert (decode_png(stream) == px).all()
+    # indexed PLTE
+    pal = rng.randint(0, 256, size=(7, 3), dtype=np.uint8)
+    idx = rng.randint(0, 7, size=(5, 9), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 9, 5, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    stream = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert (decode_png(stream) == pal[idx]).all()
+    # gates + malformed
+    good = encode_png(px)
+    i = good.find(b"IDAT")
+    bad_crc = good[: i + 8] + bytes([good[i + 8] ^ 0xFF]) + good[i + 9 :]
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    for payload in (
+        b"",
+        b"\xff\xd8\xff\xe0",  # JPEG magic
+        good[:20],
+        bad_crc,
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16),
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i),
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""),  # no IDAT
+    ):
+        with _pytest.raises(ValueError):
+            decode_png(payload)
+    # encoder validation
+    with _pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4), np.int32))
+    with _pytest.raises(ValueError):
+        encode_png(np.zeros((4, 0, 3), np.uint8))
+
+
+def test_decode_image_dispatch_routes_all_codecs():
+    """decode_image routes P6/JPEG/PNG payloads to the right codec and
+    quarantines everything else — the single entry the media kernels use."""
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.jpeg import encode_jpeg_baseline
+    from shadowcat_data_spark.pipeline.multimodal import decode_image, encode_ppm
+    from shadowcat_data_spark.pipeline.png import encode_png
+
+    px = (
+        ((np.arange(16)[:, None] * 3 + np.arange(24)[None, :] * 7)[..., None]
+         + np.arange(3) * 11) % 256
+    ).astype(np.uint8)
+    assert (decode_image(encode_ppm(np.ascontiguousarray(px))) == px).all()
+    assert (decode_image(encode_png(np.ascontiguousarray(px))) == px).all()
+    jb = decode_image(encode_jpeg_baseline(np.ascontiguousarray(px), quality=95))
+    assert jb.shape == px.shape  # lossy: shape + closeness
+    assert np.abs(jb.astype(int) - px.astype(int)).mean() < 8
+    with _pytest.raises(ValueError):
+        decode_image(b"ID3\x04")  # MP3: the remaining gate
