@@ -3047,3 +3047,82 @@ def test_decode_image_dispatch_routes_all_codecs():
     assert np.abs(jb.astype(int) - px.astype(int)).mean() < 8
     with _pytest.raises(ValueError):
         decode_image(b"ID3\x04")  # MP3: the remaining gate
+
+
+def test_flac_codec_lossless_roundtrip_and_gates():
+    """FLAC round-trips BIT-EXACTLY (mono/stereo, constant/smooth/random,
+    single- and multi-frame, exact 4096 boundaries); corrupt payloads
+    fail on the right CRC; a hand-built LPC subframe exercises the
+    decode-only quantized-prediction path our encoder never emits."""
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.flac import (
+        _BR,
+        _BW,
+        _read_subframe,
+        _zigzag,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(31)
+    for n, ch in [(37, 1), (100, 2), (4096, 1), (4097, 2), (9000, 2)]:
+        s = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+        rate, back = decode_flac(encode_flac(s, 16000))
+        assert rate == 16000 and (back == s).all(), (n, ch)
+    const = np.full((300, 2), -123, np.int16)
+    assert (decode_flac(encode_flac(const, 8000))[1] == const).all()
+    t = np.arange(6000)
+    smooth = np.stack([(t * 3) % 4001 - 2000, t % 7 * 100], 1).astype(np.int16)
+    assert (decode_flac(encode_flac(smooth, 44100))[1] == smooth).all()
+    # extreme values (int16 edges) survive the Rice escape path
+    edges = np.array([[-32768], [32767], [-32768], [32767], [0]], np.int16)
+    assert (decode_flac(encode_flac(np.repeat(edges, 20, 0), 8000))[1]
+            == np.repeat(edges, 20, 0)).all()
+
+    good = encode_flac(smooth[:200], 8000)
+
+    def corrupt(b, i):
+        return b[:i] + bytes([b[i] ^ 0xFF]) + b[i + 1 :]
+
+    for payload in (
+        b"", b"RIFF\x00\x00\x00\x00WAVE", good[:30],
+        corrupt(good, len(good) // 2), corrupt(good, len(good) - 3),
+    ):
+        with _pytest.raises(ValueError):
+            decode_flac(payload)
+    with _pytest.raises(ValueError):
+        encode_flac(np.zeros((4, 1), np.int32), 8000)
+    with _pytest.raises(ValueError):
+        encode_flac(np.zeros((0, 1), np.int16), 8000)
+
+    # hand-built LPC(2) subframe: x[i] = ((3*x[i-1] - 1*x[i-2]) >> 1) + res
+    order, prec, shift = 2, 5, 1
+    coefs = [3, -1]
+    warm = [100, -50]
+    res = [5, -3, 0, 7, -2, 1]
+    x = list(warm)
+    for rv in res:
+        pred = (coefs[0] * x[-1] + coefs[1] * x[-2]) >> shift
+        x.append(rv + pred)
+    w = _BW()
+    w.put(0, 1)                      # padding
+    w.put(32 + order - 1, 6)         # LPC(order)
+    w.put(0, 1)                      # no wasted bits
+    for v in warm:
+        w.put(v & 0xFFFF, 16)
+    w.put(prec - 1, 4)
+    w.put(shift, 5)
+    for c in coefs:
+        w.put(c & ((1 << prec) - 1), prec)
+    w.put(0, 2)                      # Rice method 0
+    w.put(0, 4)                      # partition order 0
+    param = 3
+    w.put(param, 4)
+    for u in _zigzag(np.array(res, np.int64)):
+        w.put_unary(int(u) >> param)
+        w.put(int(u) & ((1 << param) - 1), param)
+    w.align()
+    got = _read_subframe(_BR(w.bytes()), len(x), 16)
+    assert got.tolist() == x

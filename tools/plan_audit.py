@@ -79,6 +79,7 @@ ALLOW = {
     # ones: map-side-only over binaryFile splits, scalars-only shuffle
     "mm_jpeg_decode": {"MapInPandas"},
     "mm_png_decode": {"MapInPandas"},
+    "mm_flac_decode": {"MapInPandas"},
     # corpus↔corpus kNN graph: per-cluster blocked-GEMM scoring — the
     # vectorized Python stage IS the scale path (interpreted HOF cosine
     # measured 100x slower at sf10); same justification as l3d
