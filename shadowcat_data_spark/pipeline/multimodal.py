@@ -16,14 +16,18 @@ against a DuckDB oracle that recomputes the same arithmetic in SQL — a
 header mis-parse, channel-order swap, stride bug, or wrong interpolation
 weight breaks the hash, not just a smoke test.
 
-As of round 6 the codec gate narrowed again: BASELINE JPEG is decoded
-for real by the in-repo pure-numpy codec (``pipeline.jpeg`` — entropy
-decode, integer IDCT, restart markers, 4:2:0, with its own closed-form
-DC oracle on ``mm_jpeg_decode``), and ``decode_image`` dispatches on
-magic bytes (P6 → PPM, FF D8 → JPEG). What still raises a clean
-``ValueError`` into the quarantine path: progressive/arithmetic JPEG,
-PNG, and MP3 — a real deployment adds a library branch inside the same
-kernel; the Arrow contract, fixture flow, and oracles do not move.
+As of round 6 the codec gate is nearly closed: JPEG (baseline AND
+progressive — ``pipeline.jpeg``: entropy decode, integer IDCT, restart
+markers, 4:2:0, spectral selection + successive approximation, with
+closed-form DC oracles), PNG (``pipeline.png`` — all five unfilters,
+CRC, PLTE; lossless → full pixel oracle), and FLAC (``pipeline.flac`` —
+Rice residuals, FIXED/LPC prediction, CRC+MD5; lossless → full sample
+oracle) are all decoded for real, and ``decode_image`` dispatches on
+magic bytes (P6 → PPM, FF D8 → JPEG, 89 50 4E 47 → PNG). What still
+raises a clean ``ValueError`` into the quarantine path: arithmetic/
+lossless JPEG variants and MP3 — a real deployment adds a library
+branch inside the same kernel; the Arrow contract, fixture flow, and
+oracles do not move.
 """
 
 from __future__ import annotations
@@ -173,9 +177,10 @@ def decode_ppm(buf: bytes) -> np.ndarray:
 def decode_image(buf: bytes) -> np.ndarray:
     """Magic-byte dispatch over the in-repo image codecs: P6 → binary PPM
     ((h, w, 3) uint8), FF D8 → baseline JPEG ((h, w) gray or (h, w, 3)
-    RGB uint8), 89 50 4E 47 → PNG (gray / gray+alpha / RGB / RGBA /
-    indexed). Anything else — progressive JPEG, MP3, garbage — raises
-    ``ValueError`` for the kernels' quarantine path."""
+    RGB uint8, baseline or progressive), 89 50 4E 47 → PNG (gray /
+    gray+alpha / RGB / RGBA / indexed). Anything else — arithmetic
+    JPEG, MP3, garbage — raises ``ValueError`` for the kernels'
+    quarantine path."""
     if buf[:2] == b"P6":
         return decode_ppm(buf)
     if buf[:2] == b"\xff\xd8":

@@ -2858,10 +2858,42 @@ def test_jpeg_roundtrip_gray_color_subsample_restart():
     assert (rst420 == no420).all()
 
 
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """The SOF2 path: a progressive encoding of any image decodes
+    BIT-IDENTICALLY to the baseline encoding of the same image at the
+    same quality — same quantized coefficients reached through spectral
+    selection + successive approximation (DC two-pass, AC refinement
+    correction bits, EOB runs), same IDCT."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(77)
+    for trial in range(12):
+        h, w = rng.randint(1, 50, size=2)
+        if trial % 3 == 0:
+            px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        elif trial % 3 == 1:
+            x, y = np.meshgrid(np.arange(w), np.arange(h))
+            px = ((x * 3 + y * 7 + trial) % 230).astype(np.uint8)
+        else:
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        q = [50, 75, 90, 95][trial % 4]
+        sub = trial % 5 == 0 and px.ndim == 3
+        base = decode_jpeg(encode_jpeg_baseline(px, quality=q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(px, quality=q, subsample=sub))
+        assert (base == prog).all(), (trial, px.shape, q, sub)
+
+
 def test_jpeg_gates_and_malformed_payloads():
-    """Everything outside the baseline gate raises a NAMED ValueError
-    (progressive, arithmetic, 16-bit DQT, 12-bit precision, truncation,
-    garbage) — the quarantine contract the media kernels rely on."""
+    """Everything outside the gate raises a NAMED ValueError
+    (arithmetic, 16-bit DQT, 12-bit precision, truncation, garbage) —
+    the quarantine contract the media kernels rely on. Progressive
+    streams DECODE as of this round and are no longer gated."""
     import struct
 
     import numpy as np
@@ -2880,7 +2912,6 @@ def test_jpeg_gates_and_malformed_payloads():
         "empty": b"",
         "png": b"\x89PNG\r\n\x1a\n",
         "truncated": good[: len(good) // 2],
-        "progressive": b"\xff\xd8\xff\xc2" + struct.pack(">H", 2 + len(sof1)) + sof1,
         "arithmetic": b"\xff\xd8\xff\xc9" + struct.pack(">H", 2 + len(sof1)) + sof1,
         "12bit": b"\xff\xd8\xff\xc0"
         + struct.pack(">H", 11)
