@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.pipeline.jpeg",
     "shadowcat_data_spark.pipeline.png",
     "shadowcat_data_spark.pipeline.flac",
+    "shadowcat_data_spark.pipeline.video",
     "shadowcat_data_spark.pipeline.sampling",
     "shadowcat_data_spark.sources.io",
     "shadowcat_data_spark.sources.layout",

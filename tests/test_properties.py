@@ -3157,3 +3157,42 @@ def test_flac_codec_lossless_roundtrip_and_gates():
     w.align()
     got = _read_subframe(_BR(w.bytes()), len(x), 16)
     assert got.tolist() == x
+
+
+def test_y4m_codec_roundtrip_and_gates():
+    """Y4M round-trips BIT-EXACTLY for C444 and Cmono; stream-header tag
+    parsing skips X extensions; malformed streams and the 4:2:0 gate
+    raise named ValueErrors."""
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.video import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(41)
+    fr = rng.randint(0, 256, size=(5, 12, 10, 3), dtype=np.uint8)
+    p, back = decode_y4m(encode_y4m(fr, fps=30))
+    assert (back == fr).all() and (p["W"], p["H"], p["C"]) == (10, 12, "444")
+    mono = rng.randint(0, 256, size=(3, 6, 8), dtype=np.uint8)
+    p2, b2 = decode_y4m(encode_y4m(mono, mono=True))
+    assert (b2 == mono).all() and p2["C"] == "mono"
+    # X extension tags tolerated; FRAME parameters tolerated
+    good = encode_y4m(fr)
+    tagged = good.replace(b" C444\n", b" C444 XCOLORRANGE=FULL\n", 1)
+    assert (decode_y4m(tagged)[1] == fr).all()
+    framed = tagged.replace(b"FRAME\n", b"FRAME Ip\n", 1)
+    assert (decode_y4m(framed)[1] == fr).all()
+    for bad in (
+        b"",
+        b"YUV4MPEG2 W4 H4",  # unterminated header
+        good[:40],  # short frame
+        b"YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n" + b"\x00" * 24,  # subsampled gate
+        b"YUV4MPEG2 W4 H4 C444\n",  # zero frames
+        good.replace(b"FRAME", b"FRAMX", 1),
+        b"YUV4MPEG2 W0 H4 C444\n",
+    ):
+        with _pytest.raises(ValueError):
+            decode_y4m(bad)
+    with _pytest.raises(ValueError):
+        encode_y4m(np.zeros((2, 4, 4), np.uint8))  # 3-dim without mono flag
+    with _pytest.raises(ValueError):
+        encode_y4m(np.zeros((0, 4, 4, 3), np.uint8))

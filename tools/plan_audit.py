@@ -81,6 +81,8 @@ ALLOW = {
     "mm_png_decode": {"MapInPandas"},
     "mm_flac_decode": {"MapInPandas"},
     "mm_jpeg_progressive": {"MapInPandas"},
+    "mm_video_decode": {"MapInPandas"},
+    "mm_video_frame_sample": {"MapInPandas"},
     # corpus↔corpus kNN graph: per-cluster blocked-GEMM scoring — the
     # vectorized Python stage IS the scale path (interpreted HOF cosine
     # measured 100x slower at sf10); same justification as l3d
