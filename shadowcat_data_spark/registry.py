@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.pipeline.png",
     "shadowcat_data_spark.pipeline.flac",
     "shadowcat_data_spark.pipeline.video",
+    "shadowcat_data_spark.pipeline.gif",
     "shadowcat_data_spark.pipeline.sampling",
     "shadowcat_data_spark.sources.io",
     "shadowcat_data_spark.sources.layout",

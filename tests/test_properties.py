@@ -3196,3 +3196,52 @@ def test_y4m_codec_roundtrip_and_gates():
         encode_y4m(np.zeros((2, 4, 4), np.uint8))  # 3-dim without mono flag
     with _pytest.raises(ValueError):
         encode_y4m(np.zeros((0, 4, 4, 3), np.uint8))
+
+
+def test_gif_codec_lzw_roundtrip_interlace_and_gates():
+    """GIF round-trips losslessly (multi-frame, interlaced storage, GCT
+    padding for non-power-of-two palettes); LZW handles dictionary
+    overflow resets and the KwKwK case; malformed streams and the
+    partial-frame gate raise named ValueErrors."""
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.gif import (
+        decode_gif,
+        encode_gif,
+        lzw_compress,
+        lzw_decompress,
+    )
+
+    rng = np.random.RandomState(6)
+    for data in (
+        rng.randint(0, 4, size=30000).astype(np.uint8),
+        np.tile(np.arange(8, dtype=np.uint8), 5000),  # forces 4096 resets
+        rng.randint(0, 256, size=20000).astype(np.uint8),
+        np.zeros(10000, np.uint8),  # KwKwK-heavy
+    ):
+        mcs = max(int(data.max()).bit_length(), 2)
+        assert (lzw_decompress(lzw_compress(data, mcs), mcs, len(data)) == data).all()
+
+    pal = np.stack(
+        [np.arange(13) * 37 % 256, np.arange(13) * 59 % 256, np.arange(13) * 83 % 256],
+        1,
+    ).astype(np.uint8)
+    for n, h, w, il in [(1, 9, 11, False), (3, 7, 9, True), (2, 16, 16, False)]:
+        fr = rng.randint(0, 13, size=(n, h, w)).astype(np.uint8)
+        frames, _ = decode_gif(encode_gif(fr, pal, interlace=il))
+        assert (frames == pal[fr]).all(), (n, h, w, il)
+
+    good = encode_gif(rng.randint(0, 13, size=(1, 8, 8)).astype(np.uint8), pal)
+    # partial-frame gate: rewrite the image descriptor's left offset
+    import struct as _struct
+
+    i = good.index(b"\x2c")
+    partial = good[: i + 1] + _struct.pack("<H", 2) + good[i + 3 :]
+    for bad in (b"", b"GIF90a" + b"\x00" * 10, good[:15], good[:-1], partial):
+        with _pytest.raises(ValueError):
+            decode_gif(bad)
+    with _pytest.raises(ValueError):
+        encode_gif(np.zeros((1, 4, 4), np.uint8), pal[:1])  # 1-color palette
+    with _pytest.raises(ValueError):
+        encode_gif(np.full((1, 4, 4), 200, np.uint8), pal)  # index out of range

@@ -83,6 +83,7 @@ ALLOW = {
     "mm_jpeg_progressive": {"MapInPandas"},
     "mm_video_decode": {"MapInPandas"},
     "mm_video_frame_sample": {"MapInPandas"},
+    "mm_gif_decode": {"MapInPandas"},
     # corpus↔corpus kNN graph: per-cluster blocked-GEMM scoring — the
     # vectorized Python stage IS the scale path (interpreted HOF cosine
     # measured 100x slower at sf10); same justification as l3d
