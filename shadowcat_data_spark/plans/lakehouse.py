@@ -644,17 +644,31 @@ def merge_partitioned(
         man = read_manifest(table, version)
         part = man["partition"]
         key, bounds = part["key"], part["bounds"]
-        touched = {
-            r[0]
-            for r in changes.select(
-                _bucket_expr(F.col(key), bounds).alias("b")
-            )
-            .distinct()
-            .collect()
-        }
+        cur_spec = part.get("spec_id", 1)
+        row = changes.agg(
+            F.collect_set(_bucket_expr(F.col(key), bounds)).alias("bs"),
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+        ).first()
+        touched, ck_lo, ck_hi = set(row["bs"]), row["lo"], row["hi"]
         stats = man["stats"]
-        touched_files = [f for f in man["files"] if stats[f]["bucket"] in touched]
-        untouched = {f: stats[f] for f in man["files"] if stats[f]["bucket"] not in touched}
+
+        def is_touched(st: dict) -> bool:
+            # a file written under an EARLIER partition spec has a stale
+            # bucket id — route it by its CURRENT-key span (re-pointed by
+            # evolve_partition_spec) against the change-set's key span
+            # instead; None spans keep the file conservatively (treating
+            # it as untouched would silently drop its updates — the
+            # evolution lost-update hole, property-tested shut)
+            if st.get("spec", cur_spec) != cur_spec:
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None or ck_lo is None:
+                    return True
+                return not (mx < ck_lo or mn > ck_hi)
+            return st["bucket"] in touched
+
+        touched_files = [f for f in man["files"] if is_touched(stats[f])]
+        untouched = {f: stats[f] for f in man["files"] if not is_touched(stats[f])}
         # MOR-aware base read: standing delete files apply to the touched
         # buckets here (the rewrite materializes them for these buckets —
         # the new files' seq postdates every delete, so nothing re-applies);

@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.plans.lakehouse_mor",
     "shadowcat_data_spark.plans.lakehouse_wap",
     "shadowcat_data_spark.plans.lakehouse_zorder",
+    "shadowcat_data_spark.plans.lakehouse_evolve",
 ]
 
 _loaded = False

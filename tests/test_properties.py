@@ -3245,3 +3245,125 @@ def test_gif_codec_lzw_roundtrip_interlace_and_gates():
         encode_gif(np.zeros((1, 4, 4), np.uint8), pal[:1])  # 1-color palette
     with _pytest.raises(ValueError):
         encode_gif(np.full((1, 4, 4), 200, np.uint8), pal)  # index out of range
+
+
+def test_partition_evolution_metadata_only_and_pruning(spark, tmp_path):
+    """evolve_partition_spec must touch ZERO data bytes; after evolution
+    a range scan on the NEW key returns every matching row across both
+    specs (old files pruned by re-pointed column spans, new appends by
+    bucket bounds) and prunes strictly fewer files than all; time travel
+    to the pre-evolve snapshot still reads under the old spec."""
+    import os
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_evolve import evolve_partition_spec
+
+    table = str(tmp_path / "et")
+    ddl = "k long, g long, v double"
+    # g: coarse grouping key (old spec); k: unique (new spec)
+    rows = [(i, i % 10, float(i)) for i in range(2000)]
+    LH.create_partitioned(
+        spark, spark.createDataFrame(rows, ddl), table, ddl, "g", n_buckets=4
+    )
+    man1 = LH.read_manifest(table)
+    sig = {
+        f: (os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)))
+        for f in man1["files"]
+    }
+    v_pre = LH.current_version(table)
+    evolve_partition_spec(spark, table, "k", n_buckets=4)
+    man2 = LH.read_manifest(table)
+    assert man2["partition"]["key"] == "k" and man2["partition"]["spec_id"] == 2
+    assert sorted(man2["files"]) == sorted(man1["files"])  # same files
+    assert {
+        f: (os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)))
+        for f in man2["files"]
+    } == sig, "evolve touched data bytes"
+    # every old entry stamped with its spec and re-pointed at k's span
+    for f, st in man2["stats"].items():
+        assert st["spec"] == 1
+        assert st["min"] is not None and st["max"] is not None
+    # append under the NEW spec
+    extra = [(10_000 + i, 99, float(i)) for i in range(500)]
+    LH.append_partitioned(spark, table, spark.createDataFrame(extra, ddl))
+    # scan on the new key across the spec boundary: exact row recovery
+    got = sorted(
+        r.k
+        for r in LH.scan_partitioned(spark, table, 9_900, 10_100)
+        .filter(F.col("k").between(9_900, 10_100))
+        .collect()
+    )
+    assert got == list(range(10_000, 10_101))
+    # pruning: the appended range must skip files (new-spec bucket spans
+    # are tight; old files all span ~all of k, so they are kept)
+    keep, total = LH.pruned_files(table, 10_000, 10_050)
+    assert len(keep) < total
+    # time travel: the pre-evolve snapshot reads under the old spec
+    assert LH.read_snapshot(spark, table, v_pre).count() == 2000
+
+
+def test_partition_evolution_merge_finds_stale_spec_rows(spark, tmp_path):
+    """The lost-update hole: after evolution, a MERGE's bucket routing
+    (computed under the NEW spec) says nothing about which OLD-spec file
+    holds a changed key — merge_partitioned must route stale files by
+    key-span overlap instead. Updates and deletes landing in old-spec
+    files must apply; untouched NEW-spec files stay byte-identical."""
+    import os
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_evolve import evolve_partition_spec
+
+    table = str(tmp_path / "mt")
+    ddl = "k long, g long, v double"
+    rows = [(i, i % 4, float(i)) for i in range(1000)]
+    LH.create_partitioned(
+        spark, spark.createDataFrame(rows, ddl), table, ddl, "g", n_buckets=4
+    )
+    evolve_partition_spec(spark, table, "k", n_buckets=4)
+    LH.append_partitioned(
+        spark,
+        table,
+        spark.createDataFrame([(5_000 + i, 7, 0.0) for i in range(200)], ddl),
+    )
+    man = LH.read_manifest(table)
+    fresh_files = [
+        f for f, st in man["stats"].items() if st.get("spec", 2) == 2
+    ]
+    assert fresh_files, "append produced no new-spec files"
+    # changes hit ONLY old-spec keys, all routing BELOW the top bucket
+    # (the appends live in the top bucket; same-bucket COW rewrite is the
+    # correct granularity, so staying out of it is what isolates the
+    # carry-forward assertion)
+    ch = spark.createDataFrame(
+        [(k, "U", 1, -1.0) for k in (3, 400, 600)]
+        + [(k, "D", 1, None) for k in (10, 450)],
+        "k long, op string, seq long, v double",
+    )
+    sig_fresh = {
+        f: (os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)))
+        for f in fresh_files
+    }
+    LH.merge_partitioned(spark, table, ch)
+    vals = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    for k in (3, 400, 600):
+        assert vals[k] == -1.0, f"update to old-spec key {k} lost"
+    assert 10 not in vals and 450 not in vals, "delete in old-spec file lost"
+    assert len(vals) == 1000 - 2 + 200
+    # new-spec appends were outside the change span: carried untouched
+    man2 = LH.read_manifest(table)
+    for f in fresh_files:
+        if f in man2["files"]:
+            assert (
+                os.path.getsize(os.path.join(table, f)),
+                os.path.getmtime(os.path.join(table, f)),
+            ) == sig_fresh[f]
+    assert any(f in man2["files"] for f in fresh_files), (
+        "span-disjoint new-spec files should be carried forward, not rewritten"
+    )
+    # compaction migrates lazily: rows re-route under the current spec
+    LH.compact_partitioned(spark, table)
+    vals2 = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
+    assert vals2 == vals, "compaction after evolution changed content"
