@@ -52,6 +52,10 @@ EXTRA_QUERIES = [
     "l2a_near_dup_pairs",     # bounded exact-Jaccard pairs
     "a23_histogram_quantile", # mergeable-histogram quantiles
     "graph_triangle_count",   # degree-ordered triangle counting
+    # round-6 additions (extra_total therefore not comparable to r05's
+    # 7-query single-run section; per-query medians are the signal)
+    "m47_partition_evolution",  # evolve + cross-spec merge/scan lifecycle
+    "mm_jpeg_progressive",      # multi-scan entropy decode kernel
 ]
 
 
