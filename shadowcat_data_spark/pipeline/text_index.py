@@ -1,0 +1,209 @@
+"""Persisted INVERTED TEXT INDEX — the l3g/l3h lifecycle for keyword
+retrieval (build / probe / incremental refresh over a lakehouse table).
+
+The similarity family already has the persisted-index shape for vectors
+(IVF build once, manifest-pruned probes, append-only refresh); this
+module gives TEXT search the same economics. Postings (bucket, term,
+doc_id, tf) are committed as a snapshot-log table partitioned by the
+term's hash bucket, so a probe opens ONLY the files whose bucket span
+intersects the probed terms' buckets — cost ∝ the probed terms' posting
+lists, never the corpus. Term hashing goes through one tiny Spark job so
+the probe side shares the identical JVM xxhash64 with the build (the
+bloom-filter discipline — no Python reimplementation to drift).
+
+Scoring is exact integer term frequency with doc_id tie-breaks, so both
+registered queries are FULLY oracled (no transcendentals — the BM25 log
+would not hash-match across engines; a consumer applies its own idf on
+top of the exact (tf, df) columns this index serves).
+
+At 100 TB: the build is one explode + groupBy (the word-count shape);
+the index is ~|distinct (doc, term)| rows of four narrow columns —
+typically smaller than the corpus it indexes; refresh is an O(new docs)
+append commit; probes are manifest-pruned scans + one small top-k
+window per term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import query
+from ..session import fan_out as _fan_out, load_table
+from ..sources.io import _scratch
+
+N_TERM_BUCKETS = 16
+_IDX_DDL = "bucket long, tok string, doc_id long, tf long"
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        _fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            F.pmod(F.xxhash64("tok"), F.lit(N_TERM_BUCKETS)).alias("bucket"),
+            "tok",
+            "doc_id",
+            "tf",
+        )
+    )
+
+
+def build_text_index(
+    spark: SparkSession, docs: DataFrame, id_col: str, text_col: str, table: str
+) -> int:
+    """Tokenize once, commit the postings as a bucket-partitioned
+    snapshot — the pay-once half of the lifecycle."""
+    import shutil
+
+    from ..plans.lakehouse import create_partitioned
+
+    shutil.rmtree(table, ignore_errors=True)
+    return create_partitioned(
+        spark,
+        _postings(docs, id_col, text_col),
+        table,
+        _IDX_DDL,
+        "bucket",
+        n_buckets=N_TERM_BUCKETS,
+    )
+
+
+def refresh_text_index(
+    spark: SparkSession, docs: DataFrame, id_col: str, text_col: str, table: str
+) -> int:
+    """Incremental refresh: the NEW docs' postings append to the index —
+    no existing file is read or rewritten (the l3i contract for text).
+    Caller contract: each doc_id is indexed once (dedup upstream)."""
+    from ..plans.lakehouse import append_partitioned
+
+    return append_partitioned(spark, table, _postings(docs, id_col, text_col))
+
+
+def probe_text_index(
+    spark: SparkSession, table: str, terms: list[str], k: int
+) -> DataFrame:
+    """Top-k docs per probed term by exact tf (ties → lower doc_id),
+    reading ONLY the files whose bucket span intersects the probed
+    terms' hash buckets (manifest metadata — skipped files never open)."""
+    from ..plans.lakehouse import _read_files_mor, read_manifest
+
+    man = read_manifest(table)
+    empty = spark.createDataFrame([], "tok string, doc_id long, tf long, rnk int")
+    if not terms or not man["files"]:
+        return empty
+    probe = spark.createDataFrame([(t,) for t in terms], "tok string")
+    buckets = {
+        int(r[0])
+        for r in probe.select(
+            F.pmod(F.xxhash64("tok"), F.lit(N_TERM_BUCKETS))
+        ).collect()
+    }
+    stats = man["stats"]
+    keep = [
+        f
+        for f in man["files"]
+        if stats[f]["min"] is None
+        or any(stats[f]["min"] <= b <= stats[f]["max"] for b in buckets)
+    ]
+    if not keep:
+        return empty
+    w = W.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
+    return (
+        _read_files_mor(spark, table, man, keep)
+        .filter(F.col("tok").isin(terms))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("tok", "doc_id", "tf", "rnk")
+    )
+
+
+# --- registered queries --------------------------------------------------------
+
+_PROBE_TERMS = ["join", "filter", "customer"]
+
+_TF_CTE = """
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok
+)"""
+
+
+@query(
+    "l32_text_index_probe",
+    oracle=_TF_CTE
+    + """
+SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT tok, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf WHERE tok IN ('join', 'filter', 'customer')
+) WHERE rnk <= 5
+""",
+    category="pipeline-text",
+)
+def text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval through the PERSISTED inverted index: build on
+    miss (census-checked, the l3h idempotence contract), then top-5 docs
+    per probed term by exact tf — the probe plan contains no tokenize
+    job and opens only the probed buckets' files (pytest-pinned). Fully
+    oracled: integer tf + deterministic tie order."""
+    table = _ensure_text_index(spark, sf_dir)
+    return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")
+
+
+@query(
+    "l33_text_index_refresh",
+    oracle=_TF_CTE
+    + """
+SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT tok, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf WHERE tok IN ('join', 'filter', 'customer')
+) WHERE rnk <= 5
+""",
+    category="pipeline-text",
+)
+def text_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL half of the lifecycle: index the old corpus slice
+    (doc_id < 300), APPEND the fresh slice's postings (no existing file
+    rewritten — append commit), probe the refreshed index. The result
+    must hash-equal the full-corpus truth, proving refreshed == rebuilt."""
+    d = load_table(spark, sf_dir, "documents")
+    table = _scratch(sf_dir, "l33_text_index")
+    build_text_index(
+        spark, d.filter(F.col("doc_id") < 300), "doc_id", "text", table
+    )
+    refresh_text_index(
+        spark, d.filter(F.col("doc_id") >= 300), "doc_id", "text", table
+    )
+    return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")
+
+
+def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-on-miss with a row census (the _ensure_ann_index contract):
+    a committed index is reused iff its posting count still matches the
+    corpus's distinct (doc, token) count — stale scratch rebuilds."""
+    from ..plans.lakehouse import current_version, read_manifest
+
+    table = _scratch(sf_dir, "l32_text_index")
+    d = load_table(spark, sf_dir, "documents")
+    n = (
+        _fan_out(d)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", "tok")
+        .distinct()
+        .count()
+    )
+    if current_version(table) > 0:
+        man = read_manifest(table)
+        if sum(man["stats"][f]["rows"] for f in man["files"]) == n:
+            return table
+    build_text_index(spark, d, "doc_id", "text", table)
+    return table

@@ -47,6 +47,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.pipeline.dedup",
     "shadowcat_data_spark.pipeline.similarity",
     "shadowcat_data_spark.pipeline.text",
+    "shadowcat_data_spark.pipeline.text_index",
     "shadowcat_data_spark.pipeline.multimodal",
     "shadowcat_data_spark.pipeline.jpeg",
     "shadowcat_data_spark.pipeline.png",

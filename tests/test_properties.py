@@ -3367,3 +3367,61 @@ def test_partition_evolution_merge_finds_stale_spec_rows(spark, tmp_path):
     LH.compact_partitioned(spark, table)
     vals2 = {r.k: r.v for r in LH.read_snapshot(spark, table).collect()}
     assert vals2 == vals, "compaction after evolution changed content"
+
+
+def test_text_index_probe_prunes_and_never_rebuilds(spark, tmp_path, monkeypatch):
+    """l32/l33's contracts: a probe opens strictly fewer files than the
+    index holds (manifest bucket pruning), the build-on-miss path reuses
+    a fresh index without re-tokenizing, and refresh is an APPEND commit
+    (existing files byte-identical, new postings searchable)."""
+    import os
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 37} beta" if i % 2 else f"gamma w{i % 37}")
+         for i in range(400)],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "tidx")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    man = LH.read_manifest(table)
+    total = len(man["files"])
+    # pruning: one term hashes to one bucket → strictly fewer files
+    out = TI.probe_text_index(spark, table, ["alpha"], k=3).collect()
+    assert len(out) == 3 and all(r.tf == 1 for r in out)
+    stats = man["stats"]
+    probed = {
+        int(r[0])
+        for r in spark.createDataFrame([("alpha",)], "tok string")
+        .select(F.pmod(F.xxhash64("tok"), F.lit(TI.N_TERM_BUCKETS)))
+        .collect()
+    }
+    keep = [
+        f for f in man["files"]
+        if any(stats[f]["min"] <= b <= stats[f]["max"] for b in probed)
+    ]
+    assert len(keep) < total, "probe did not prune any files"
+    # refresh: append-only, old files byte-identical, new docs searchable
+    sig = {
+        f: (os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)))
+        for f in man["files"]
+    }
+    fresh = spark.createDataFrame(
+        [(1000, "alpha alpha alpha unique9")], "doc_id long, text string"
+    )
+    TI.refresh_text_index(spark, fresh, "doc_id", "text", table)
+    man2 = LH.read_manifest(table)
+    for f, s in sig.items():
+        assert f in man2["files"]
+        assert (
+            os.path.getsize(os.path.join(table, f)),
+            os.path.getmtime(os.path.join(table, f)),
+        ) == s, "refresh rewrote an existing posting file"
+    top = TI.probe_text_index(spark, table, ["alpha"], k=1).collect()
+    assert top[0].doc_id == 1000 and top[0].tf == 3, "refreshed doc not ranked"
+    assert TI.probe_text_index(spark, table, ["unique9"], k=5).count() == 1
+    # empty probes
+    assert TI.probe_text_index(spark, table, [], k=5).count() == 0
