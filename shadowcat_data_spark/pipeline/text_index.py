@@ -75,14 +75,23 @@ def build_text_index(
 
 
 def refresh_text_index(
-    spark: SparkSession, docs: DataFrame, id_col: str, text_col: str, table: str
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    extra: dict | None = None,
 ) -> int:
     """Incremental refresh: the NEW docs' postings append to the index —
     no existing file is read or rewritten (the l3i contract for text).
-    Caller contract: each doc_id is indexed once (dedup upstream)."""
+    ``extra`` rides the commit manifest (e.g. a streaming writer's
+    ``batch_id`` idempotence stamp). Caller contract: each doc_id is
+    indexed once (dedup upstream)."""
     from ..plans.lakehouse import append_partitioned
 
-    return append_partitioned(spark, table, _postings(docs, id_col, text_col))
+    return append_partitioned(
+        spark, table, _postings(docs, id_col, text_col), extra=extra
+    )
 
 
 def probe_text_index(

@@ -1695,3 +1695,85 @@ def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return read_snapshot(spark, table).select("payload_sha", "n_copies", "canonical_id")
+
+
+# ---------------------------------------------------------------------------
+# T27 — streaming maintenance of the persisted inverted text index: the
+# retrieval-index twin of t26 (docs arrive → postings append per trigger)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t27_stream_text_index",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT tok, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf WHERE tok IN ('join', 'filter', 'customer')
+) WHERE rnk <= 5
+""",
+    category="streaming",
+)
+def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l33's incremental index maintenance as a STANDING stream: the
+    corpus's first slice seeds the index, the rest arrives in three
+    micro-batches, and each trigger APPENDS its docs' postings via
+    ``refresh_text_index`` guarded by the committed ``batch_id`` (t18's
+    idempotence contract — a replayed batch is skipped, so the at-least-
+    once foreachBatch cannot double-index a document). Per-trigger cost
+    is O(|batch| postings): tokenize the batch, one append commit —
+    never a corpus re-tokenize. The refreshed index must answer probes
+    hash-identically to the full-corpus truth (stream ≡ batch ≡
+    rebuilt, the same oracle l32/l33 carry)."""
+    from ..pipeline.text_index import (
+        _PROBE_TERMS,
+        build_text_index,
+        probe_text_index,
+        refresh_text_index,
+    )
+    from ..plans.lakehouse import current_version, read_manifest
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    ensure_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    table = _scratch(sf_dir, "t27_text_index")
+    build_text_index(
+        spark, d.filter(F.col("doc_id") < 300), "doc_id", "text", table
+    )
+    stage = _scratch(sf_dir, "t27_doc_stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        d.filter(F.col("doc_id") >= 300)
+        .select("doc_id", "text")
+        .repartitionByRange(3, "doc_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+
+    def index_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        if read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already committed — idempotence guard
+        refresh_text_index(
+            sp, batch, "doc_id", "text", table, extra={"batch_id": batch_id}
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(index_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert current_version(table) >= 4  # seed + 3 appends
+    return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")

@@ -3425,3 +3425,31 @@ def test_text_index_probe_prunes_and_never_rebuilds(spark, tmp_path, monkeypatch
     assert TI.probe_text_index(spark, table, ["unique9"], k=5).count() == 1
     # empty probes
     assert TI.probe_text_index(spark, table, [], k=5).count() == 0
+
+
+def test_expire_after_evolution_keeps_live_files(spark, tmp_path):
+    """expire_snapshots after a spec evolution: the pre-evolve manifests
+    die, but every file the POST-evolve manifest references survives
+    (deletion is a metadata reference diff, never age) — and the table
+    reads identically after the expire."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_evolve import evolve_partition_spec
+
+    table = str(tmp_path / "xt")
+    ddl = "k long, g long, v double"
+    rows = [(i, i % 5, float(i)) for i in range(500)]
+    LH.create_partitioned(
+        spark, spark.createDataFrame(rows, ddl), table, ddl, "g", n_buckets=4
+    )
+    evolve_partition_spec(spark, table, "k", n_buckets=4)
+    LH.append_partitioned(
+        spark,
+        table,
+        spark.createDataFrame([(900 + i, 1, 0.5) for i in range(50)], ddl),
+    )
+    before = {(r.k, r.v) for r in LH.read_snapshot(spark, table).collect()}
+    n_before, n_after, deleted = LH.expire_snapshots(table, keep_latest=1)
+    assert n_after == 1
+    assert deleted == 0, "expire deleted files the evolved manifest references"
+    after = {(r.k, r.v) for r in LH.read_snapshot(spark, table).collect()}
+    assert after == before
