@@ -216,3 +216,129 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             return table
     build_text_index(spark, d, "doc_id", "text", table)
     return table
+
+
+# --- conjunctive retrieval and BM25 ranking over the same index --------------
+
+
+def search_all_terms(
+    spark: SparkSession, table: str, terms: list[str], k: int
+) -> DataFrame:
+    """Conjunctive (AND) retrieval: docs containing EVERY probed term,
+    ranked by total tf (ties → lower doc_id). Posting-list intersection
+    as one groupBy over the pruned probe read: a doc survives iff its
+    distinct matched-term count equals |terms| — no per-term join chain,
+    so the plan shape is flat at any term count."""
+    postings = probe_text_index(spark, table, terms, k=1_000_000_000).drop("rnk")
+    agg = (
+        postings.groupBy("doc_id")
+        .agg(
+            F.countDistinct("tok").alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == len(set(terms)))
+    )
+    w = W.orderBy(F.col("total_tf").desc(), "doc_id")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "total_tf", "rnk")
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    table: str,
+    terms: list[str],
+    k: int,
+    n_docs: int,
+    avg_len: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked retrieval over the index's exact (tf, df) columns.
+    The log idf is a transcendental, so this tier is rows-only by design
+    (the exact-integer l32/l35 tiers carry the oracles; a pytest pins
+    this ranking against an independent numpy reference). Doc length is
+    approximated by the doc's total indexed tf — exact for the
+    whitespace tokenizer the index uses."""
+    postings = probe_text_index(spark, table, terms, k=1_000_000_000).drop("rnk")
+    from ..plans.lakehouse import read_snapshot
+
+    doclen = (
+        read_snapshot(spark, table)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+    )
+    df_counts = postings.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_counts), "tok")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avg_len))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = W.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", F.round("score", 6).alias("score"), "rnk")
+    )
+
+
+@query(
+    "l35_text_search_and",
+    oracle=_TF_CTE
+    + """
+, hits AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf WHERE tok IN ('join', 'filter', 'customer')
+  GROUP BY doc_id HAVING COUNT(DISTINCT tok) = 3
+)
+SELECT doc_id, total_tf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT doc_id, total_tf,
+         ROW_NUMBER() OVER (ORDER BY total_tf DESC, doc_id) AS rnk
+  FROM hits
+) WHERE rnk <= 10
+""",
+    category="pipeline-text",
+)
+def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive search through the persisted index: top-10 docs
+    containing ALL THREE probed terms, ranked by summed tf. Fully
+    oracled (integer arithmetic, deterministic ties)."""
+    table = _ensure_text_index(spark, sf_dir)
+    return search_all_terms(spark, table, _PROBE_TERMS, k=10).orderBy("rnk")
+
+
+@query("l34_text_bm25", category="pipeline-text")
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the probe terms through the persisted index —
+    rows-only by design (log idf is transcendental; cross-engine hash
+    equality would depend on libm); the ranking is pinned against an
+    independent numpy BM25 in pytest, and the exact-integer tiers
+    (l32/l35) carry the hash oracles for the same index."""
+    d = load_table(spark, sf_dir, "documents")
+    table = _ensure_text_index(spark, sf_dir)
+    stats = d.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(F.filter(F.split("text", " "), lambda t: t != ""))).alias("al"),
+    ).first()
+    return bm25_topk(
+        spark, table, _PROBE_TERMS, k=10, n_docs=stats["n"], avg_len=float(stats["al"])
+    ).orderBy("rnk")

@@ -3453,3 +3453,50 @@ def test_expire_after_evolution_keeps_live_files(spark, tmp_path):
     assert deleted == 0, "expire deleted files the evolved manifest references"
     after = {(r.k, r.v) for r in LH.read_snapshot(spark, table).collect()}
     assert after == before
+
+
+def test_bm25_matches_numpy_reference(spark, tmp_path):
+    """l34's ranking against an independent numpy BM25 (same k1/b,
+    doc length = total indexed tf): identical top-k doc ids and order,
+    scores within float tolerance."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    rng = np.random.RandomState(19)
+    vocab = [f"w{i}" for i in range(30)] + ["target", "query", "spark"]
+    docs = []
+    for i in range(200):
+        n = rng.randint(5, 40)
+        words = [vocab[j] for j in rng.randint(0, len(vocab), size=n)]
+        docs.append((i, " ".join(words)))
+    table = str(tmp_path / "bidx")
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    TI.build_text_index(spark, sdf, "doc_id", "text", table)
+    terms = ["target", "query", "spark"]
+    n_docs = len(docs)
+    lens = {i: len(t.split()) for i, t in docs}
+    avg_len = sum(lens.values()) / n_docs
+    got = TI.bm25_topk(
+        spark, table, terms, k=10, n_docs=n_docs, avg_len=avg_len
+    ).collect()
+    # numpy reference
+    k1, b = 1.2, 0.75
+    tf = {}
+    df = {t: 0 for t in terms}
+    for i, t in docs:
+        ws = t.split()
+        for term in terms:
+            c = ws.count(term)
+            if c:
+                tf[(i, term)] = c
+                df[term] += 1
+    scores = {}
+    for (i, term), c in tf.items():
+        idf = np.log((n_docs - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+        w = idf * (c * (k1 + 1)) / (c + k1 * (1 - b + b * lens[i] / avg_len))
+        scores[i] = scores.get(i, 0.0) + w
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r.doc_id for r in got] == [i for i, _ in ref]
+    for r, (_, s) in zip(got, ref):
+        assert abs(r.score - s) < 1e-4, (r.doc_id, r.score, s)
