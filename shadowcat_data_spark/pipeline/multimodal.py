@@ -1038,9 +1038,9 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The samples are closed-form integers, so the whole path — chunk walk,
     interleave/deinterleave, int16 sign handling — is hash-checked against
     a SQL oracle (mono clips prove NULL c1 semantics on both engines).
-    Compressed audio (MP3/FLAC) is the same external-lib gate as JPEG:
-    a clean ValueError today, a pyav branch in the same kernel when the
-    lib exists. Scale shape identical to mm_decode_features: map-side
+    FLAC is decoded for real as of round 6 (``pipeline.flac``, its own
+    full oracle); MP3 remains the external-lib gate — a clean ValueError
+    today, a pyav branch in the same kernel when the lib exists. Scale shape identical to mm_decode_features: map-side
     decode, 7 scalars per clip shuffle."""
     aud_dir = _ensure_audio_fixture(spark, sf_dir)
     frames = spark.read.format("binaryFile").load(aud_dir).select(
@@ -1105,4 +1105,91 @@ def mm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("canonical_id"),
             F.min("batch").alias("canonical_batch"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MM curation gate — the multimodal twin of l27: one end-to-end pipeline
+# composing REAL decoded stats from three modalities into keep/drop gates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_curation_gate",
+    oracle=f"""{_IMGS_CTE},
+px AS (
+  SELECT doc_id, CAST(FLOOR(1000.0 * SUM({_px_sql("x.x", "y.y")}) / MAX(w*h*3))
+           AS BIGINT) AS img_mean_milli
+  FROM imgs
+  CROSS JOIN UNNEST(generate_series(0, w - 1)) AS x(x)
+  CROSS JOIN UNNEST(generate_series(0, h - 1)) AS y(y)
+  CROSS JOIN UNNEST(generate_series(0, 2)) AS c(c)
+  GROUP BY doc_id
+), aud AS (
+  SELECT doc_id, CAST(SUM(({_AUD_S_SQL}) * ({_AUD_S_SQL})) AS BIGINT) AS energy
+  FROM (SELECT doc_id, 64 + doc_id % 33 AS ns, 1 + doc_id % 2 AS nc
+        FROM documents WHERE doc_id < 50)
+  CROSS JOIN UNNEST(generate_series(0, ns - 1)) AS i(i)
+  CROSS JOIN UNNEST(generate_series(0, nc - 1)) AS ch(ch)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       px.img_mean_milli, aud.energy,
+       CASE WHEN d.n_chars < 150 THEN 'short_text'
+            WHEN px.img_mean_milli NOT BETWEEN 90000 AND 180000 THEN 'bad_image'
+            WHEN aud.energy < 80000000 THEN 'quiet_audio'
+            ELSE 'keep' END AS verdict
+FROM documents d JOIN px ON d.doc_id = px.doc_id JOIN aud ON d.doc_id = aud.doc_id
+WHERE d.doc_id < 50
+""",
+    category="pipeline-multimodal",
+)
+def mm_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END multimodal curation (the l27 first-failing-gate pattern
+    across modalities): every document joins its REAL decoded image stats
+    (PPM kernel) and REAL decoded audio stats (WAV kernel), then passes
+    three gates in order — text length, image mean-brightness band,
+    audio energy floor — and carries the first failing gate as its
+    verdict. Everything is integer/closed-form arithmetic, so the whole
+    composition (both codecs + the join + the gates) hash-checks against
+    one SQL oracle. At 100 TB this is the curation shape that matters:
+    per-modality scalars come out of map-side decode kernels, and only
+    those scalars meet in the join — media bytes never shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _IMG_N)
+    img = _image_frames(spark, sf_dir).mapInPandas(
+        _per_image_kernel(_decode_stats, ["width", "height", "r_sum", "g_sum", "b_sum"]),
+        DECODE_SCHEMA,
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.floor(
+            1000.0
+            * (F.col("r_sum") + F.col("g_sum") + F.col("b_sum"))
+            / (F.col("width") * F.col("height") * 3)
+        ).alias("img_mean_milli"),
+    )
+    aud_dir = _ensure_audio_fixture(spark, sf_dir)
+    aud = (
+        spark.read.format("binaryFile")
+        .load(aud_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            "content",
+        )
+        .mapInPandas(_audio_kernel, AUDIO_SCHEMA)
+        .select(F.col("media_id").alias("doc_id"), "energy")
+    )
+    verdict = (
+        F.when(F.col("n_chars") < 150, "short_text")
+        .when(~F.col("img_mean_milli").between(90000, 180000), "bad_image")
+        .when(F.col("energy") < 80_000_000, "quiet_audio")
+        .otherwise("keep")
+    )
+    return (
+        d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(img, "doc_id")
+        .join(aud, "doc_id")
+        .withColumn("verdict", verdict)
+        .select("doc_id", "n_chars", "img_mean_milli", "energy", "verdict")
     )

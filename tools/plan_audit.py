@@ -84,6 +84,8 @@ ALLOW = {
     "mm_video_decode": {"MapInPandas"},
     "mm_video_frame_sample": {"MapInPandas"},
     "mm_gif_decode": {"MapInPandas"},
+    # multimodal curation composes the PPM + WAV decode kernels
+    "mm_curation_gate": {"MapInPandas"},
     # corpus↔corpus kNN graph: per-cluster blocked-GEMM scoring — the
     # vectorized Python stage IS the scale path (interpreted HOF cosine
     # measured 100x slower at sf10); same justification as l3d
