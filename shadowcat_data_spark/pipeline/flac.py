@@ -37,6 +37,8 @@ import struct
 
 import numpy as np
 
+from .multimodal import codec_guard as _codec_guard
+
 _BLOCK = 4096
 
 
@@ -399,6 +401,7 @@ _BLOCKSIZE_TABLE = {
 }
 
 
+@_codec_guard
 def decode_flac(buf: bytes) -> tuple[int, np.ndarray]:
     """Decode a FLAC stream to (sample_rate, (n, channels) int16).
     Validates magic, STREAMINFO, per-frame CRC-8/CRC-16, and the stream

@@ -33,6 +33,8 @@ import struct
 
 import numpy as np
 
+from .multimodal import codec_guard as _codec_guard
+
 
 # --- LZW (GIF variant: LSB-first packing, variable width, CLEAR/END) --------
 
@@ -213,6 +215,7 @@ def encode_gif(
     return bytes(out)
 
 
+@_codec_guard
 def decode_gif(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Decode GIF87a/89a to ((n, h, w, 3) uint8 RGB frames, (k, 3)
     palette). Raises ``ValueError`` on malformed streams and the

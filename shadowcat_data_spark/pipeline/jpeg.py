@@ -64,6 +64,8 @@ import struct
 
 import numpy as np
 
+from .multimodal import codec_guard as _codec_guard
+
 # --- tables (ITU-T T.81 Annex K quantization; zigzag per Figure 5) ---------
 
 ZIGZAG = np.array(
@@ -835,6 +837,7 @@ _UNSUPPORTED_SOF = {
 }
 
 
+@_codec_guard
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) or PROGRESSIVE (SOF2) JPEG to (h, w)
     uint8 grayscale or (h, w, 3) uint8 RGB. Progressive streams
@@ -899,10 +902,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported (8-bit only)")
+            if not 1 <= nc <= 4:
+                raise ValueError(f"{nc}-component frame out of range")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"sampling factors {ch}x{cv} out of spec range")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcux = -(-w // (8 * hmax))

@@ -32,6 +32,8 @@ oracles do not move.
 
 from __future__ import annotations
 
+import functools
+import struct as _struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -172,6 +174,26 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     if len(data) != n:
         raise ValueError(f"truncated pixel data: want {n} bytes, have {len(data)}")
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def codec_guard(fn):
+    """Convert the low-level exceptions a truncated/corrupt payload can
+    surface inside a decoder (struct.error on a short unpack, IndexError
+    on a short buffer) into the ValueError the media kernels' quarantine
+    contract catches — found by fuzzing every truncation point of every
+    codec (round 6); a 100 TB crawl WILL contain byte-truncated files,
+    and one of them must never fail the job."""
+
+    @functools.wraps(fn)
+    def inner(*a, **k):
+        try:
+            return fn(*a, **k)
+        except (_struct.error, IndexError, KeyError) as exc:
+            # KeyError: a corrupt stream referencing an undeclared id
+            # (component / table) — malformed, same quarantine
+            raise ValueError(f"malformed payload: {exc}") from None
+
+    return inner
 
 
 def decode_image(buf: bytes) -> np.ndarray:

@@ -31,6 +31,8 @@ import zlib
 
 import numpy as np
 
+from .multimodal import codec_guard as _codec_guard
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # color type → samples per pixel (8-bit depth only)
@@ -99,6 +101,7 @@ def encode_png(px: np.ndarray, paeth: bool = False) -> bytes:
     )
 
 
+@_codec_guard
 def decode_png(buf: bytes) -> np.ndarray:
     """Decode an 8-bit PNG to (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3)
     RGB, or (h, w, 4) RGBA uint8. Raises ``ValueError`` on malformed

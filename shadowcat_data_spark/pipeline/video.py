@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .multimodal import codec_guard as _codec_guard
+
 _MAGIC = b"YUV4MPEG2"
 
 
@@ -65,6 +67,7 @@ def encode_y4m(frames: np.ndarray, fps: int = 25, mono: bool = False) -> bytes:
     return bytes(out)
 
 
+@_codec_guard
 def decode_y4m(buf: bytes) -> tuple[dict, np.ndarray]:
     """Decode a Y4M stream to (params, frames) — frames is (n, h, w) for
     Cmono or (n, h, w, 3) for C444. Raises ``ValueError`` on malformed

@@ -3500,3 +3500,55 @@ def test_bm25_matches_numpy_reference(spark, tmp_path):
     assert [r.doc_id for r in got] == [i for i, _ in ref]
     for r, (_, s) in zip(got, ref):
         assert abs(r.score - s) < 1e-4, (r.doc_id, r.score, s)
+
+
+def test_codec_fuzz_only_valueerrors_escape():
+    """The quarantine contract, fuzz-pinned: every codec decoder, fed any
+    TRUNCATION of a valid payload or any single-bit corruption, raises
+    ValueError or succeeds — never struct.error / IndexError / KeyError /
+    ZeroDivisionError (each of which was actually found and fixed by this
+    fuzz in round 6). A 100 TB crawl WILL contain such files, and one of
+    them must never fail the job."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.flac import decode_flac, encode_flac
+    from shadowcat_data_spark.pipeline.gif import decode_gif, encode_gif
+    from shadowcat_data_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from shadowcat_data_spark.pipeline.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+    from shadowcat_data_spark.pipeline.png import decode_png, encode_png
+    from shadowcat_data_spark.pipeline.video import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(2)
+    pal = (np.stack([np.arange(4)] * 3, 1) * 60).astype(np.uint8)
+    payloads = {
+        "flac": (encode_flac(rng.randint(-100, 100, size=(300, 2)).astype(np.int16), 8000), decode_flac),
+        "gif": (encode_gif(rng.randint(0, 4, size=(2, 8, 8)).astype(np.uint8), pal, interlace=True), decode_gif),
+        "png": (encode_png(rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8), paeth=True), decode_png),
+        "jpeg": (encode_jpeg_baseline(rng.randint(0, 256, size=(17, 13, 3), dtype=np.uint8), subsample=True, restart_interval=2), decode_jpeg),
+        "jpeg-prog": (encode_jpeg_progressive(rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8), subsample=True), decode_jpeg),
+        "y4m": (encode_y4m(rng.randint(0, 256, size=(2, 6, 6, 3), dtype=np.uint8)), decode_y4m),
+        "ppm": (encode_ppm(rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8)), decode_ppm),
+        "wav": (encode_wav(rng.randint(-100, 100, size=(64, 2)).astype(np.int16), 8000), decode_wav),
+    }
+    for name, (buf, dec) in payloads.items():
+        for cut in range(0, len(buf), 3):  # every 3rd truncation point
+            try:
+                dec(buf[:cut])
+            except ValueError:
+                pass
+        for _ in range(200):  # single-bit corruptions
+            i = rng.randint(0, len(buf))
+            mut = buf[:i] + bytes([buf[i] ^ (1 << rng.randint(0, 8))]) + buf[i + 1 :]
+            try:
+                dec(mut)
+            except ValueError:
+                pass
