@@ -140,11 +140,9 @@ def _utf8_encode(n: int) -> bytes:
     if n < 0x80:
         return bytes([n])
     out = []
-    bits = n.bit_length()
-    nbytes = 2
-    while bits > 5 * nbytes + (7 - nbytes) - 1 and nbytes < 7:
-        nbytes += 1
-    # simpler: find smallest nbytes in 2..7 with capacity
+    # smallest byte count in 2..7 whose capacity holds n: the lead byte
+    # keeps (6 - nb) payload bits, each continuation byte 6 more
+    nbytes = 7
     for nb in range(2, 8):
         if n < (1 << (6 - nb + 5 * nb)):
             nbytes = nb

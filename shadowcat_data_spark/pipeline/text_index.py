@@ -339,6 +339,10 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size(F.filter(F.split("text", " "), lambda t: t != ""))).alias("al"),
     ).first()
+    # empty corpus: avg() is NULL — probe-found; an empty index answers
+    # every query with zero hits, which bm25_topk already produces
+    avg_len = float(stats["al"]) if stats["al"] is not None else 1.0
     return bm25_topk(
-        spark, table, _PROBE_TERMS, k=10, n_docs=stats["n"], avg_len=float(stats["al"])
+        spark, table, _PROBE_TERMS, k=10, n_docs=max(int(stats["n"]), 1),
+        avg_len=avg_len,
     ).orderBy("rnk")
