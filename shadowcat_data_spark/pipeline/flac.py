@@ -141,13 +141,14 @@ def _utf8_encode(n: int) -> bytes:
         return bytes([n])
     out = []
     # smallest byte count in 2..7 whose capacity holds n: the lead byte
-    # keeps (6 - nb) payload bits, each continuation byte 6 more
+    # keeps (7 - nb) payload bits, each continuation byte 6 more,
+    # i.e. 5*nb + 1 payload bits total
     nbytes = 7
     for nb in range(2, 8):
-        if n < (1 << (6 - nb + 5 * nb)):
+        if n < (1 << (5 * nb + 1)):
             nbytes = nb
             break
-    lead = (0xFF << (8 - nbytes - 1)) & 0xFF
+    lead = (0xFF << (8 - nbytes)) & 0xFF
     shift = 6 * (nbytes - 1)
     out.append(lead | (n >> shift))
     for i in range(nbytes - 1):

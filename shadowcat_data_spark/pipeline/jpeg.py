@@ -1050,9 +1050,13 @@ def _apply_scan(frame, state, sel, ssal, segments, htables, restart_interval):
         cs, dsel, asel = sel[0]
         c = by_id[cs]
         dct, act = tables(cs, dsel, asel, ss == 0, ss > 0 or not progressive)
+        # T.81 A.2.2: every non-interleaved scan covers the component's
+        # ceil-sized grid (cx, cy), never the MCU-padded bh/bw — using the
+        # padded grid desyncs the entropy decoder on external multi-SOS
+        # baseline or progressive-DC streams with subsampled components.
         unit = 0
-        for by in range(c["cy"] if ss > 0 else c["bh"]):
-            for bx in range(c["cx"] if ss > 0 else c["bw"]):
+        for by in range(c["cy"]):
+            for bx in range(c["cx"]):
                 restart(unit)
                 unit += 1
                 coef = state[cs][by, bx]

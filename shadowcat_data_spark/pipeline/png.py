@@ -296,6 +296,14 @@ def _png_kernel(batches):
             out["media_id"].append(int(media_id))
             try:
                 px = decode_png(bytes(content))
+                # decode_png legitimately yields (h,w) gray or (h,w,2)
+                # gray+alpha; normalize to >=3 channels (r=g=b=gray) so
+                # the s[0..2] reads below can never IndexError and break
+                # the only-ValueError-escapes quarantine contract
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                if px.shape[2] < 3:
+                    px = np.repeat(px[:, :, :1], 3, axis=2)
                 s = px.astype(np.int64).sum(axis=(0, 1))
                 out["width"].append(int(px.shape[1]))
                 out["height"].append(int(px.shape[0]))

@@ -237,6 +237,16 @@ def _video_decode_kernel(batches):
             out["media_id"].append(int(media_id))
             try:
                 params, frames = decode_y4m(bytes(content))
+                # Cmono yields (n,h,w); add a channel axis so the plane
+                # sums below never reduce to a scalar and IndexError past
+                # the ValueError-only quarantine (u/v read as 0 for mono)
+                if frames.ndim == 3:
+                    frames = frames[:, :, :, None]
+                if frames.shape[3] < 3:
+                    pad = np.zeros(
+                        frames.shape[:3] + (3 - frames.shape[3],), np.uint8
+                    )
+                    frames = np.concatenate([frames, pad], axis=3)
                 s = frames.astype(np.int64).sum(axis=(0, 1, 2))
                 out["n_frames"].append(int(frames.shape[0]))
                 out["width"].append(int(params["W"]))
@@ -307,6 +317,8 @@ def _video_sample_kernel(batches):
         for media_id, content in zip(pdf["media_id"], pdf["content"]):
             try:
                 _, frames = decode_y4m(bytes(content))
+                if frames.ndim == 3:  # Cmono: (n,h,w) → (n,h,w,1)
+                    frames = frames[:, :, :, None]
             except ValueError:
                 out["media_id"].append(int(media_id))
                 out["frame_idx"].append(None)

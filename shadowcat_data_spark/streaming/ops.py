@@ -1756,6 +1756,8 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
 
+    committed = []
+
     def index_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         if read_manifest(table).get("batch_id", -1) >= batch_id:
@@ -1763,6 +1765,7 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_text_index(
             sp, batch, "doc_id", "text", table, extra={"batch_id": batch_id}
         )
+        committed.append(batch_id)
 
     q = (
         spark.readStream.schema("doc_id long, text string")
@@ -1776,7 +1779,13 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     # an EMPTY corpus streams zero batches (probe-found): the seed commit
-    # is then the whole index; with data, seed + 3 appends must have landed
-    if load_table(spark, sf_dir, "documents").limit(1).count():
-        assert current_version(table) >= 4  # seed + 3 appends
+    # is then the whole index. With data, one append per batch foreachBatch
+    # actually committed — derived from observation, not hard-coded to 3,
+    # because repartitionByRange(3, ...) on a narrow doc_id slice can
+    # legitimately materialize fewer than 3 non-empty ranges (advice-found).
+    if current_version(table) < 1 + len(committed):
+        raise RuntimeError(
+            f"t27: expected seed + {len(committed)} append commits, "
+            f"have version {current_version(table)}"
+        )
     return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")

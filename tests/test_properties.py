@@ -3552,3 +3552,177 @@ def test_codec_fuzz_only_valueerrors_escape():
                 dec(mut)
             except ValueError:
                 pass
+
+
+def test_flac_long_stream_frame_numbers():
+    """ADVICE r06 (medium): _utf8_encode emitted a malformed lead byte and
+    overstated capacity, so any frame number >= 128 (~129 frames, >=
+    524k samples) produced a stream every spec decoder rejects. Pin the
+    coder pair across the byte-count boundaries and round-trip a
+    129-frame clip (constant signal, so CONSTANT subframes keep it
+    cheap)."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.flac import (
+        _BLOCK,
+        _BR,
+        _utf8_decode,
+        _utf8_encode,
+        decode_flac,
+        encode_flac,
+    )
+
+    for n in [0, 1, 127, 128, 129, 2047, 2048, 65535, 65536,
+              (1 << 11) - 1, 1 << 11, (1 << 16) - 1, 1 << 16,
+              (1 << 21) - 1, 1 << 21, (1 << 26) - 1, 1 << 26,
+              (1 << 31) - 1, 1 << 31, (1 << 36) - 1]:
+        enc = _utf8_encode(n)
+        assert _utf8_decode(_BR(enc)) == n, n
+        # lead byte well-formed: 0xxxxxxx or 11...10... per byte count
+        if len(enc) > 1:
+            nbytes = len(enc)
+            lead_prefix = (0xFF << (8 - nbytes)) & 0xFF
+            assert enc[0] & lead_prefix == lead_prefix
+            assert not enc[0] & (1 << (7 - nbytes))
+
+    clip = np.full((129 * _BLOCK + 17, 1), 77, np.int16)
+    rate, back = decode_flac(encode_flac(clip, 16000))
+    assert rate == 16000 and back.shape == clip.shape and (back == clip).all()
+
+
+def test_png_video_kernels_quarantine_gray_and_mono():
+    """ADVICE r06 (low): the mapInPandas codec kernels indexed channel 2
+    after summing, so a legitimate gray / gray+alpha PNG or Cmono Y4M
+    raised IndexError — failing the whole Spark task instead of the
+    only-ValueError-escapes quarantine. Kernels now normalize channels:
+    gray PNGs sum as r=g=b, mono video sums u=v=0, and corrupt payloads
+    still quarantine to NULLs."""
+    import numpy as np
+    import pandas as pd
+
+    from shadowcat_data_spark.pipeline.png import _png_kernel, encode_png
+    from shadowcat_data_spark.pipeline.video import (
+        _VID_STRIDE,
+        _video_decode_kernel,
+        _video_sample_kernel,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(5, 4), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3],
+            "content": [encode_png(gray), encode_png(rgb), b"\x89PNG junk"],
+        }
+    )
+    out = pd.concat(list(_png_kernel([pdf]))).set_index("media_id")
+    g = int(gray.astype(np.int64).sum())
+    assert (
+        out.loc[1, ["r_sum", "g_sum", "b_sum"]].astype("int64") == [g, g, g]
+    ).all()
+    assert int(out.loc[2, "r_sum"]) == int(rgb[:, :, 0].astype(np.int64).sum())
+    assert out.loc[3, ["width", "r_sum"]].isna().all()
+
+    mono = rng.randint(0, 256, size=(2, 4, 4), dtype=np.uint8)
+    vdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "content": [encode_y4m(mono, mono=True), b"YUV4MPEG2 junk\n"],
+        }
+    )
+    vout = pd.concat(list(_video_decode_kernel([vdf]))).set_index("media_id")
+    assert int(vout.loc[1, "y_sum"]) == int(mono.astype(np.int64).sum())
+    assert int(vout.loc[1, "u_sum"]) == 0 and int(vout.loc[1, "v_sum"]) == 0
+    assert vout.loc[2, ["n_frames", "y_sum"]].isna().all()
+    sout = pd.concat(list(_video_sample_kernel([vdf])))
+    srow = sout[(sout.media_id == 1) & (sout.frame_idx == 0)].iloc[0]
+    assert int(srow["y_sum"]) == int(mono[0].astype(np.int64).sum())
+    assert int(srow["rgbish_max"]) == int(mono[0].max())
+
+
+def test_jpeg_noninterleaved_dc_uses_ceil_grid():
+    """ADVICE r06 (low): non-interleaved DC scans must walk the
+    component's ceil-sized grid (cx, cy), not the MCU-padded bh/bw —
+    T.81 A.2.2. Build an external-style progressive stream whose DC
+    passes are per-component non-interleaved over a subsampled frame
+    where luma cx < bw (w=20: cx=3 vs bw=4) and check it decodes
+    pixel-identically to the interleaved-DC stream of the same image."""
+    import struct
+
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline import jpeg as J
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(20, 20, 3), dtype=np.uint8)
+    comps, grids, (_, _, qtabs), (hmax, vmax) = J._prog_components(
+        px, 90, True
+    )
+    assert any(c["cx"] < c["bw"] or c["cy"] < c["bh"] for c in comps)
+    h, w = px.shape[:2]
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid, q in enumerate(qtabs):
+        zz = q.reshape(64)[J.ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_bits, dc_vals, dc_enc = J._flat_table(J._DC_SYMBOLS, J._DC_LEN)
+    ac_bits, ac_vals, ac_enc = J._flat_table(J._AC_SYMBOLS, J._AC_LEN)
+    for cls, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        body = bytes([cls << 4]) + bytes(bits[1:]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(sel, ss, se, ah, al, entropy):
+        hdr = bytes([len(sel)])
+        for cid in sel:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(
+            b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + entropy
+        )
+
+    # per-component NON-interleaved DC scans over the ceil grid — the
+    # shape external encoders emit that our own encoder never does
+    for c in comps:
+        wtr = J._BitWriter()
+        pred = 0
+        for by in range(c["cy"]):
+            for bx in range(c["cx"]):
+                pred = J._emit_dc_first(
+                    wtr, grids[c["id"]][by, bx], pred, 1, dc_enc
+                )
+        sos([c["id"]], 0, 0, 0, 1, wtr.flush())
+    for c in comps:
+        wtr = J._BitWriter()
+        for by in range(c["cy"]):
+            for bx in range(c["cx"]):
+                wtr.put(int(grids[c["id"]][by, bx][0]) & 1, 1)
+        sos([c["id"]], 0, 0, 1, 0, wtr.flush())
+    for c in comps:
+        for ss, se in ((1, 5), (6, 63)):
+            wtr = J._BitWriter()
+            J._emit_ac_first(
+                wtr, grids[c["id"]], c["cx"], c["cy"], ss, se, 1, ac_enc
+            )
+            sos([c["id"]], ss, se, 0, 1, wtr.flush())
+    for c in comps:
+        for ss, se in ((1, 5), (6, 63)):
+            wtr = J._BitWriter()
+            J._emit_ac_refine(
+                wtr, grids[c["id"]], c["cx"], c["cy"], ss, se, 0, ac_enc
+            )
+            sos([c["id"]], ss, se, 1, 0, wtr.flush())
+    out += b"\xff\xd9"
+
+    want = J.decode_jpeg(J.encode_jpeg_progressive(px, 90, subsample=True))
+    got = J.decode_jpeg(bytes(out))
+    assert got.shape == want.shape and (got == want).all()
