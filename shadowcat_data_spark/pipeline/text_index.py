@@ -35,6 +35,20 @@ N_TERM_BUCKETS = 16
 _IDX_DDL = "bucket long, tok string, doc_id long, tf long"
 
 
+def _global_topk_ranked(df: DataFrame, order: list, k: int) -> DataFrame:
+    """Global top-k WITH rank, without a single-task global window.
+
+    ``row_number().over(W.orderBy(...))`` funnels the ENTIRE input
+    through one task (VERDICT r06: for a common probed term that is
+    O(corpus) rows at 100×). Instead: ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject — every partition computes its local top-k in
+    parallel and only k rows merge — and the ranking window then runs
+    over a constant-bounded (≤ k rows) input, which is the o2/o10 house
+    pattern (`operators/relational.py:226`)."""
+    top = df.orderBy(*order).limit(k)
+    return top.withColumn("rnk", F.row_number().over(W.orderBy(*order)))
+
+
 def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         _fan_out(docs)
@@ -94,16 +108,17 @@ def refresh_text_index(
     )
 
 
-def probe_text_index(
-    spark: SparkSession, table: str, terms: list[str], k: int
+def pruned_postings(
+    spark: SparkSession, table: str, terms: list[str]
 ) -> DataFrame:
-    """Top-k docs per probed term by exact tf (ties → lower doc_id),
-    reading ONLY the files whose bucket span intersects the probed
-    terms' hash buckets (manifest metadata — skipped files never open)."""
+    """The probed terms' postings — (tok, doc_id, tf) — reading ONLY the
+    files whose bucket span intersects the probed terms' hash buckets
+    (manifest metadata — skipped files never open). The shared read
+    every retrieval tier (per-term top-k, AND, OR, BM25) builds on."""
     from ..plans.lakehouse import _read_files_mor, read_manifest
 
     man = read_manifest(table)
-    empty = spark.createDataFrame([], "tok string, doc_id long, tf long, rnk int")
+    empty = spark.createDataFrame([], "tok string, doc_id long, tf long")
     if not terms or not man["files"]:
         return empty
     probe = spark.createDataFrame([(t,) for t in terms], "tok string")
@@ -122,10 +137,22 @@ def probe_text_index(
     ]
     if not keep:
         return empty
-    w = W.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
     return (
         _read_files_mor(spark, table, man, keep)
         .filter(F.col("tok").isin(terms))
+        .select("tok", "doc_id", "tf")
+    )
+
+
+def probe_text_index(
+    spark: SparkSession, table: str, terms: list[str], k: int
+) -> DataFrame:
+    """Top-k docs per probed term by exact tf (ties → lower doc_id) over
+    the pruned read. The ranking window is PARTITIONED by term, so each
+    term's posting list sorts in its own task."""
+    w = W.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
+    return (
+        pruned_postings(spark, table, terms)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("tok", "doc_id", "tf", "rnk")
@@ -229,7 +256,7 @@ def search_all_terms(
     as one groupBy over the pruned probe read: a doc survives iff its
     distinct matched-term count equals |terms| — no per-term join chain,
     so the plan shape is flat at any term count."""
-    postings = probe_text_index(spark, table, terms, k=1_000_000_000).drop("rnk")
+    postings = pruned_postings(spark, table, terms)
     agg = (
         postings.groupBy("doc_id")
         .agg(
@@ -238,12 +265,9 @@ def search_all_terms(
         )
         .filter(F.col("n_terms") == len(set(terms)))
     )
-    w = W.orderBy(F.col("total_tf").desc(), "doc_id")
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("doc_id", "total_tf", "rnk")
-    )
+    return _global_topk_ranked(
+        agg, [F.col("total_tf").desc(), "doc_id"], k
+    ).select("doc_id", "total_tf", "rnk")
 
 
 def bm25_topk(
@@ -262,7 +286,7 @@ def bm25_topk(
     this ranking against an independent numpy reference). Doc length is
     approximated by the doc's total indexed tf — exact for the
     whitespace tokenizer the index uses."""
-    postings = probe_text_index(spark, table, terms, k=1_000_000_000).drop("rnk")
+    postings = pruned_postings(spark, table, terms)
     from ..plans.lakehouse import read_snapshot
 
     doclen = (
@@ -292,12 +316,9 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.sum("w").alias("score"))
     )
-    w = W.orderBy(F.col("score").desc(), "doc_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("doc_id", F.round("score", 6).alias("score"), "rnk")
-    )
+    return _global_topk_ranked(
+        scored, [F.col("score").desc(), "doc_id"], k
+    ).select("doc_id", F.round("score", 6).alias("score"), "rnk")
 
 
 @query(

@@ -431,3 +431,44 @@ def test_j18_plan_has_dynamic_partition_pruning(spark):
     df = registry.load_all()["j18_dynamic_partition_pruning"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
+
+
+def test_plan_audit_flags_unbounded_global_windows(spark):
+    """VERDICT r06 rule: the audit must flag any Window with an empty
+    partition spec over a non-constant-bounded input (the l34/l35 class),
+    while passing (a) partitioned windows, (b) partition-only frames,
+    (c) the orderBy().limit(k)-then-rank house pattern whose global
+    window reads a constant-bounded TakeOrderedAndProject."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from pyspark.sql import Window as W, functions as F
+
+    from tools.plan_audit import find_unbounded_global_windows
+
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    # the scale-killer: global row_number over the whole input
+    bad = df.withColumn("rn", F.row_number().over(W.orderBy("id")))
+    assert find_unbounded_global_windows(plan(bad))
+    # empty OVER () aggregate: also a one-task window
+    bad2 = df.withColumn("total", F.sum("id").over(W.partitionBy()))
+    assert find_unbounded_global_windows(plan(bad2))
+    # partitioned window: fine
+    ok1 = df.withColumn(
+        "rn", F.row_number().over(W.partitionBy("k").orderBy("id"))
+    )
+    assert not find_unbounded_global_windows(plan(ok1))
+    # partition-only frame (no order): fine
+    ok2 = df.withColumn("n", F.count("*").over(W.partitionBy("k")))
+    assert not find_unbounded_global_windows(plan(ok2))
+    # the house pattern: limit-bounded global rank
+    from shadowcat_data_spark.pipeline.text_index import _global_topk_ranked
+
+    ok3 = _global_topk_ranked(df, [F.col("id").desc()], 5)
+    p3 = plan(ok3)
+    assert "TakeOrderedAndProject" in p3
+    assert not find_unbounded_global_windows(p3)

@@ -128,6 +128,97 @@ FLAGS = (
     "MapInArrow",
 )
 
+# queries whose GLOBAL (no-partitionBy) window is the documented point:
+# o1 materializes a total order with rank (the semantics ARE global), and
+# o7's offsets window runs over one row PER PARTITION (#partitions rows —
+# bounded by cluster topology, not data)
+GLOBAL_WINDOW_ALLOW = {
+    "o1_global_sort",
+    "o7_global_enumerate",
+    # W11 is the empty-OVER ratio-to-report operator itself; its input is
+    # pre-aggregated to key grain (one row per customer), documented in
+    # the query docstring as the contract that keeps the window viable
+    "w11_ratio_to_report",
+    # m15's empty-frame count runs over the orphan FILE CENSUS — O(#files)
+    # metadata rows, not data rows; the window avoids a second
+    # listing+anti-join pass for the total
+    "m15_orphan_file_audit",
+}
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan-node description. A Window
+    node prints [exprs], then its NON-EMPTY specs: partitioned+ordered →
+    3 groups; partition-only or order-only → 2 (disambiguated by the
+    ASC/DESC markers only an order spec carries); fully global → 1."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+def _is_global_window(node: str) -> bool:
+    groups = _top_level_bracket_groups(node)
+    if len(groups) >= 3:
+        return False  # partitioned AND ordered
+    if len(groups) <= 1:
+        return True  # no spec at all: empty OVER ()
+    # two groups: [exprs] plus either a partition spec (fine) or an
+    # order spec (global sort — flag)
+    spec = groups[1]
+    return " ASC" in spec or " DESC" in spec
+
+
+def _node_indent(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-*(":
+        i += 1
+    return i
+
+
+def find_unbounded_global_windows(plan: str) -> bool:
+    """VERDICT r06 rule: a ``Window`` with an EMPTY partition spec
+    executes in ONE task over its whole input — a scale-killer unless
+    that input is constant-bounded. Flags any such window whose subtree
+    contains no bounding node (TakeOrderedAndProject / limit); the
+    orderBy().limit(k)-then-rank house pattern passes because the
+    window's child IS the k-row TakeOrderedAndProject."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        s = ln[_node_indent(ln):]
+        if not (s.startswith("Window ") or s.startswith("WindowInPandas ")):
+            continue
+        if not _is_global_window(s):
+            continue  # partitioned window: fine
+        indent = _node_indent(ln)
+        bounded = False
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and _node_indent(nxt) <= indent:
+                break  # left the subtree
+            if any(
+                t in nxt
+                for t in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+            ):
+                bounded = True
+                break
+        if not bounded:
+            return True
+    return False
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -146,6 +237,8 @@ def main() -> int:
             print(f"{name:32s}  SKIP ({type(exc).__name__})")
             continue
         hits = [f for f in FLAGS if f in plan]
+        if find_unbounded_global_windows(plan) and name not in GLOBAL_WINDOW_ALLOW:
+            hits.append("GlobalWindow")
         n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
         bad = [h for h in hits if h not in ALLOW.get(name, set())]
         mark = "!!" if bad else ("ok" if not hits else "ok*")
