@@ -614,6 +614,7 @@ def merge_partitioned(
     changes: DataFrame,
     max_retries: int = 5,
     extra: dict | None = None,
+    combine=None,
 ) -> int:
     """Partition-pruned copy-on-write MERGE: rewrite ONLY the buckets the
     change-set touches; carry every other file forward by reference.
@@ -674,7 +675,14 @@ def merge_partitioned(
         # the new files' seq postdates every delete, so nothing re-applies);
         # carried delete files keep governing the untouched buckets.
         base = _read_files_mor(spark, table, man, touched_files)
-        merged = apply_changelog(base, changes, key)
+        # default combine = LWW changelog (m5 semantics); callers with
+        # associative state (t26's additive digest counts) pass their own
+        # combine(base_slice, changes) — the routing/carry-forward/commit
+        # machinery is identical either way
+        if combine is None:
+            merged = apply_changelog(base, changes, key)
+        else:
+            merged = combine(base, changes)
         entries = _write_bucket_files(
             merged, table, key, bounds, version + 1, n_out=len(touched)
         )

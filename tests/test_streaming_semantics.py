@@ -331,60 +331,70 @@ def test_t21_mor_forget_replay_idempotent(spark, tmp_path):
 
 
 def test_t26_cross_batch_duplicate_media_collapse(spark, tmp_path):
-    """t26's merge property in isolation: a payload arriving in two
-    DIFFERENT micro-batches must still collapse to one index row with
-    n_copies 2 and the lower id as canonical — the cross-batch
-    associativity the lakehouse-maintained digest index relies on. Also
-    pins the replay guard: re-committing an already-seen batch_id is a
-    no-op (no extra snapshot, counts unchanged)."""
+    """t26's merge property driven through the REAL helper: a payload
+    arriving in two DIFFERENT micro-batches must still collapse to one
+    index row with n_copies 2 and the lower id as canonical — the
+    cross-batch associativity the lakehouse-maintained digest index
+    relies on. Also pins the replay guard (re-committing a seen batch_id
+    is a no-op) and — the r06 plan-weak fix — INCREMENTALITY: a trigger
+    rewrites only the shards its batch touches; every other shard's
+    files carry forward byte-identical, so per-trigger written bytes are
+    ∝ batch, never ∝ index."""
     import os
-    import shutil
 
     from shadowcat_data_spark.plans.lakehouse import (
-        commit_snapshot,
         current_version,
         read_manifest,
         read_snapshot,
     )
+    from shadowcat_data_spark.streaming.ops import upsert_media_digests
 
     table = str(tmp_path / "midx")
-    ddl = "payload_sha string, n_copies long, canonical_id long"
 
     def upsert(batch_rows, batch_id):
         if current_version(table) and read_manifest(table).get("batch_id", -1) >= batch_id:
             return
         b = spark.createDataFrame(batch_rows, "media_id long, content binary")
-        partial = (
-            b.select(F.sha2(F.col("content"), 256).alias("payload_sha"), "media_id")
-            .groupBy("payload_sha")
-            .agg(
-                F.count(F.lit(1)).alias("n_copies"),
-                F.min("media_id").alias("canonical_id"),
-            )
+        upsert_media_digests(
+            spark, table,
+            b.select(F.sha2(F.col("content"), 256).alias("payload_sha"), "media_id"),
+            batch_id,
         )
-        if current_version(table):
-            partial = (
-                read_snapshot(spark, table)
-                .unionByName(partial)
-                .groupBy("payload_sha")
-                .agg(
-                    F.sum("n_copies").alias("n_copies"),
-                    F.min("canonical_id").alias("canonical_id"),
-                )
-            )
-        commit_snapshot(partial, table, ddl, extra={"batch_id": batch_id})
 
     dup = b"same-bytes"
-    upsert([(10, dup), (11, b"only-b0")], 0)
+    # seed with a WIDE batch so many shards materialize files
+    seed = [(i, f"payload-{i}".encode()) for i in range(40)] + [(10_000, dup)]
+    upsert(seed, 0)
+    man0 = read_manifest(table)
+    sizes0 = {
+        f: os.path.getsize(os.path.join(table, f)) for f in man0["files"]
+    }
     upsert([(20, b"only-b1")], 1)
     upsert([(30, dup)], 2)  # the cross-batch duplicate
+
     got = {
         r.payload_sha: (r.n_copies, r.canonical_id)
         for r in read_snapshot(spark, table).collect()
     }
-    assert len(got) == 3
+    assert len(got) == 42
     dup_sha = [s for s, (n, _) in got.items() if n == 2]
-    assert len(dup_sha) == 1 and got[dup_sha[0]] == (2, 10)
+    assert len(dup_sha) == 1 and got[dup_sha[0]] == (2, 30)
+
+    # incrementality: the two single-row triggers each touch ONE shard —
+    # the v1 files NOT in the touched shards must be carried forward by
+    # reference (same path, same bytes), and the files added since v1
+    # must be far fewer than a full-index rewrite
+    man2 = read_manifest(table)
+    carried = [f for f in man2["files"] if f in sizes0]
+    assert carried, "untouched shards must carry forward by reference"
+    for f in carried:
+        assert os.path.getsize(os.path.join(table, f)) == sizes0[f]
+    new_files = [f for f in man2["files"] if f not in sizes0]
+    assert len(new_files) <= 2, (
+        f"two one-shard triggers must rewrite <=2 bucket files, "
+        f"got {len(new_files)}"
+    )
+
     # replay guard: batch 2 again → no new snapshot, nothing double-counted
     v = current_version(table)
     upsert([(30, dup)], 2)
