@@ -108,6 +108,43 @@ def refresh_text_index(
     )
 
 
+def remove_docs_from_index(
+    spark: SparkSession, table: str, doc_ids: DataFrame, extra: dict | None = None
+) -> int:
+    """Postings ERASURE (r06 "What's missing" #1): a deleted document's
+    postings stop matching immediately — one MOR equality-delete commit
+    on ``doc_id`` (keys-only file, NO data file read or rewritten),
+    whatever term buckets the postings sit in. Readers subtract the
+    delete set until ``materialize_deletes`` folds it."""
+    from ..plans.lakehouse_mor import delete_mor
+
+    return delete_mor(spark, table, doc_ids, eq_col="doc_id", extra=extra)
+
+
+def reindex_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    extra: dict | None = None,
+) -> int:
+    """RE-CRAWL lifecycle: one atomic MOR upsert — the documents' fresh
+    postings append as ordinary bucket files, and a same-commit
+    ``doc_id`` delete file shadows ALL their old postings (which live in
+    arbitrary term buckets — exactly why the erasure is by equality
+    column, not partition key). Replaces refresh_text_index's
+    "caller dedups upstream" contract for changed documents: commit cost
+    stays O(re-crawled docs), and a probe after reindex hash-equals a
+    from-scratch rebuild (l36's oracle)."""
+    from ..plans.lakehouse_mor import upsert_mor
+
+    return upsert_mor(
+        spark, table, _postings(docs, id_col, text_col), eq_col="doc_id",
+        extra=extra,
+    )
+
+
 def pruned_postings(
     spark: SparkSession, table: str, terms: list[str]
 ) -> DataFrame:
@@ -345,6 +382,57 @@ def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled (integer arithmetic, deterministic ties)."""
     table = _ensure_text_index(spark, sf_dir)
     return search_all_terms(spark, table, _PROBE_TERMS, k=10).orderBy("rnk")
+
+
+@query(
+    "l36_text_index_lifecycle",
+    oracle="""
+WITH live AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 5
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM live)
+  WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT tok, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf WHERE tok IN ('join', 'filter', 'customer')
+) WHERE rnk <= 5
+""",
+    category="pipeline-text",
+)
+def text_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL index lifecycle (r06 "What's missing" #1): seed the
+    index with STALE text for one corpus slice (a mis-crawl), then
+    (1) re-index that slice with the true text — one atomic MOR upsert
+    whose doc_id delete file shadows every stale posting, (2) DELETE
+    another slice — one keys-only equality-delete commit, (3) fold the
+    standing deletes with ``materialize_deletes``. The probe must
+    hash-equal a from-scratch rebuild of the surviving corpus: stale
+    postings gone, deleted docs gone — which is exactly what the oracle
+    computes directly. (A pytest additionally pins that the
+    pre-materialize MOR read answers identically to the post-fold
+    state.)"""
+    from ..plans.lakehouse_mor import materialize_deletes
+
+    d = load_table(spark, sf_dir, "documents")
+    table = _scratch(sf_dir, "l36_text_index")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.lit("stalefiller stalefiller")
+        ).otherwise(F.col("text")),
+    )
+    build_text_index(spark, stale, "doc_id", "text", table)
+    reindex_docs(
+        spark, d.filter(F.col("doc_id") % 7 == 3), "doc_id", "text", table
+    )
+    remove_docs_from_index(
+        spark, table, d.filter(F.col("doc_id") % 11 == 5).select("doc_id")
+    )
+    materialize_deletes(spark, table)
+    return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")
 
 
 @query("l34_text_bm25", category="pipeline-text")

@@ -1163,15 +1163,24 @@ def _read_files_mor(
             *[os.path.join(table, f) for f in files]
         )
     key = man["partition"]["key"]
-    deletes = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            spark.read.parquet(os.path.join(table, rel)).select(
-                F.col(key), F.lit(int(st["seq"])).alias("__dseq")
-            )
-            for rel, st in dfiles.items()
-        ],
-    )
+    # delete files grouped by their equality column (Iceberg v2: a delete
+    # file names its equality fields) — absent ``col`` means the legacy
+    # partition-key delete, so old manifests read unchanged
+    by_col: dict[str, list] = {}
+    for rel, st in dfiles.items():
+        by_col.setdefault(st.get("col", key), []).append((rel, int(st["seq"])))
+    col_deletes = {
+        col: reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(os.path.join(table, rel)).select(
+                    F.col(col), F.lit(seq).alias("__dseq")
+                )
+                for rel, seq in rels
+            ],
+        )
+        for col, rels in by_col.items()
+    }
     stats = man.get("stats", {})
     groups: dict[int, list[str]] = {}
     for f in files:
@@ -1183,10 +1192,11 @@ def _read_files_mor(
             *[os.path.join(table, f) for f in groups[seq]]
         )
         if seq < max_dseq:  # at least one delete file postdates this group
-            applicable = F.broadcast(
-                deletes.filter(F.col("__dseq") > seq).select(key).distinct()
-            )
-            part = part.join(applicable, on=key, how="left_anti")
+            for col, deletes in col_deletes.items():
+                applicable = F.broadcast(
+                    deletes.filter(F.col("__dseq") > seq).select(col).distinct()
+                )
+                part = part.join(applicable, on=col, how="left_anti")
         parts.append(part)
     return reduce(lambda a, b: a.unionByName(b), parts)
 

@@ -64,10 +64,10 @@ def _write_delete_file(
 ) -> dict[str, dict]:
     """Write the distinct ``keys`` as ONE keys-only parquet under a fresh
     stage dir; return its manifest entry (seq = the committing version,
-    rows/min-max from the footer — the min/max would let a future reader
-    prune delete files per scan range). coalesce(1): delete sets are
-    small by this path's contract (see module docstring); a huge one
-    belongs in the COW merge."""
+    ``col`` = the equality column — Iceberg v2 equality-delete files
+    likewise name their equality fields — rows/min-max from the footer).
+    coalesce(1): delete sets are small by this path's contract (see
+    module docstring); a huge one belongs in the COW merge."""
     stage_rel = os.path.join(
         "data", f"v{version:08d}-{uuid.uuid4().hex[:8]}-deletes"
     )
@@ -81,6 +81,7 @@ def _write_delete_file(
             rel = os.path.join(stage_rel, fn)
             entries[rel] = {
                 "seq": version,
+                "col": key,
                 **_footer_stats(os.path.join(table, rel), key),
             }
     return entries
@@ -92,19 +93,23 @@ def delete_mor(
     keys: DataFrame,
     max_retries: int = 5,
     extra: dict | None = None,
+    eq_col: str | None = None,
 ) -> int:
-    """DELETE WHERE key IN (keys), merge-on-read: the commit adds one
+    """DELETE WHERE col IN (keys), merge-on-read: the commit adds one
     keys-only delete file and touches NO data file — O(delete-set) work
-    for any table size (vs the COW path's O(touched buckets)). NULL keys
-    are ignored (the table key is non-null by the router invariant); a
-    key absent from the table is a no-op, matching Iceberg equality
-    deletes (no existence check at write time). Optimistic commit with
-    the standard re-read/retry loop."""
+    for any table size (vs the COW path's O(touched buckets)). The
+    equality column defaults to the partition key; ``eq_col`` names any
+    other column (Iceberg v2 equality deletes carry their fields the
+    same way) — the l36 text-index postings erasure deletes on
+    ``doc_id`` while the table stays partitioned by term bucket. NULL
+    keys are ignored; a key absent from the table is a no-op (no
+    existence check at write time). Optimistic commit with the standard
+    re-read/retry loop."""
     keys = keys.localCheckpoint(eager=False)  # consumed once per attempt
     for _ in range(max_retries + 1):
         version = current_version(table)
         man = read_manifest(table, version)
-        key = man["partition"]["key"]
+        key = eq_col or man["partition"]["key"]
         dentries = _write_delete_file(spark, table, keys, key, version + 1)
         manifest = _partitioned_manifest(
             version + 1,
@@ -134,24 +139,29 @@ def upsert_mor(
     rows: DataFrame,
     max_retries: int = 5,
     extra: dict | None = None,
+    eq_col: str | None = None,
 ) -> int:
     """UPSERT, merge-on-read: append ``rows`` as ordinary bucket data
     files and add a delete file of their keys in the SAME commit. The
     delete file's seq equals the new data files' seq, so (by the
     strictly-smaller rule) it shadows only OLDER copies of those keys —
-    the appended rows survive their own shadow. Commit cost is
-    O(change-set): no existing file is read or rewritten."""
+    the appended rows survive their own shadow. ``eq_col`` generalizes
+    the shadowed identity beyond the partition key: a re-crawled
+    document's fresh postings shadow ALL its old postings by ``doc_id``
+    in one atomic commit, whatever term buckets they sat in. Commit
+    cost is O(change-set): no existing file is read or rewritten."""
     rows = rows.localCheckpoint(eager=False)  # feeds data files AND delete keys
     for _ in range(max_retries + 1):
         version = current_version(table)
         man = read_manifest(table, version)
         part = man["partition"]
         key = part["key"]
+        dcol = eq_col or key
         entries = _write_bucket_files(
             rows, table, key, part["bounds"], version + 1
         )
         dentries = _write_delete_file(
-            spark, table, rows.select(key), key, version + 1
+            spark, table, rows.select(dcol), dcol, version + 1
         )
         manifest = _partitioned_manifest(
             version + 1,
@@ -197,20 +207,41 @@ def materialize_deletes(
         key, bounds = part["key"], part["bounds"]
         from functools import reduce
 
-        del_keys = reduce(
-            lambda a, b: a.unionByName(b),
-            [
-                spark.read.parquet(os.path.join(table, rel)).select(key)
-                for rel in dfiles
-            ],
-        )
-        touched = {
-            r[0]
-            for r in del_keys.select(_bucket_expr(F.col(key), bounds).alias("b"))
-            .distinct()
-            .collect()
-        }
         stats = man["stats"]
+        key_dfiles = [
+            rel for rel, st in dfiles.items() if st.get("col", key) == key
+        ]
+        if len(key_dfiles) == len(dfiles):
+            # all deletes are on the partition key: the router confines a
+            # key's rows to its bucket, so only those buckets need folding
+            del_keys = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    spark.read.parquet(os.path.join(table, rel)).select(key)
+                    for rel in key_dfiles
+                ],
+            )
+            touched = {
+                r[0]
+                for r in del_keys.select(
+                    _bucket_expr(F.col(key), bounds).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+        else:
+            # some delete is on a NON-key column (e.g. the text index's
+            # doc_id): its rows may sit in ANY bucket, so every bucket
+            # holding a data file a delete can shadow (seq strictly
+            # smaller than the newest delete) folds — the price of a
+            # full reclaim, paid only when the maintenance job runs,
+            # never on the read path
+            max_dseq = max(int(st["seq"]) for st in dfiles.values())
+            touched = {
+                stats[f]["bucket"]
+                for f in man["files"]
+                if int(stats[f].get("seq", 0)) < max_dseq
+            }
         touched_files = [f for f in man["files"] if stats[f]["bucket"] in touched]
         untouched = {
             f: stats[f] for f in man["files"] if stats[f]["bucket"] not in touched

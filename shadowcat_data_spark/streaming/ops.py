@@ -1825,3 +1825,87 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"have version {current_version(table)}"
         )
     return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# T28 — streaming RE-CRAWL maintenance of the text index: changed documents
+# arrive on a stream and each trigger atomically replaces their postings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t28_stream_reindex",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT tok, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf WHERE tok IN ('join', 'filter', 'customer')
+) WHERE rnk <= 5
+""",
+    category="streaming",
+)
+def stream_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l36's re-crawl lifecycle as a STANDING stream: the index seeds
+    with STALE text for one corpus slice (a mis-crawl), the corrected
+    documents then arrive in micro-batches, and each trigger REINDEXES
+    its batch — one atomic MOR upsert per trigger whose doc_id delete
+    file shadows the stale postings (O(|batch|) commit: no existing
+    file read or rewritten, the t18 idempotence stamp guards replays).
+    The converged index must answer probes hash-identically to the
+    true-corpus truth — the same oracle l32/l33/t27 carry, proving
+    stream-of-recrawls ≡ batch rebuild."""
+    from ..pipeline.text_index import (
+        _PROBE_TERMS,
+        build_text_index,
+        probe_text_index,
+        reindex_docs,
+    )
+    from ..plans.lakehouse import read_manifest
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    ensure_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    table = _scratch(sf_dir, "t28_text_index")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2, F.lit("stalefiller stalefiller")
+        ).otherwise(F.col("text")),
+    )
+    build_text_index(spark, stale, "doc_id", "text", table)
+    stage = _scratch(sf_dir, "t28_recrawl_stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        d.filter(F.col("doc_id") % 5 == 2)
+        .select("doc_id", "text")
+        .repartitionByRange(3, "doc_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+
+    def recrawl_batch(batch: DataFrame, batch_id: int) -> None:
+        if read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already committed — idempotence guard
+        reindex_docs(
+            batch.sparkSession, batch, "doc_id", "text", table,
+            extra={"batch_id": batch_id},
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(recrawl_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")

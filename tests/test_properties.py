@@ -3726,3 +3726,109 @@ def test_jpeg_noninterleaved_dc_uses_ceil_grid():
     want = J.decode_jpeg(J.encode_jpeg_progressive(px, 90, subsample=True))
     got = J.decode_jpeg(bytes(out))
     assert got.shape == want.shape and (got == want).all()
+
+
+def test_text_index_lifecycle_delete_reindex_mor(spark, tmp_path):
+    """l36's lifecycle in isolation: (1) a doc_id equality-delete erases
+    a document's postings from EVERY term bucket with zero data files
+    rewritten; (2) reindex_docs atomically replaces a re-crawled doc's
+    postings (stale terms stop matching, fresh terms match, other docs
+    untouched); (3) a doc deleted then re-indexed SURVIVES (the Iceberg
+    seq rule); (4) the pre-materialize MOR read answers identically to
+    the post-fold state, and after materialization no delete files
+    remain."""
+    import os
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_mor import materialize_deletes
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 37} beta" if i % 2 else f"gamma w{i % 37}")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "tidx36")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    man1 = LH.read_manifest(table)
+    sizes1 = {f: os.path.getsize(os.path.join(table, f)) for f in man1["files"]}
+
+    # (1) delete doc 3: zero data files rewritten, postings gone everywhere
+    TI.remove_docs_from_index(
+        spark, table, spark.createDataFrame([(3,)], "doc_id long")
+    )
+    man2 = LH.read_manifest(table)
+    assert set(man2["files"]) == set(man1["files"])
+    for f in man1["files"]:
+        assert os.path.getsize(os.path.join(table, f)) == sizes1[f]
+    assert man2.get("delete_files"), "delete commit must add a delete file"
+    snap = LH.read_snapshot(spark, table)
+    assert snap.filter(F.col("doc_id") == 3).count() == 0
+    n_after_delete = snap.count()
+
+    # (2) re-crawl doc 5 ('alpha w5 beta' -> fresh text): atomic replace
+    TI.reindex_docs(
+        spark,
+        spark.createDataFrame([(5, "freshterm freshterm")], "doc_id long, text string"),
+        "doc_id", "text", table,
+    )
+    snap = LH.read_snapshot(spark, table)
+    got5 = {(r.tok, r.tf) for r in snap.filter(F.col("doc_id") == 5).collect()}
+    assert got5 == {("freshterm", 2)}, got5
+    assert snap.filter(F.col("doc_id") == 7).count() == 3  # neighbor intact
+
+    # (3) deleted-then-reindexed doc survives (seq strictly-smaller rule)
+    TI.reindex_docs(
+        spark,
+        spark.createDataFrame([(3, "resurrected")], "doc_id long, text string"),
+        "doc_id", "text", table,
+    )
+    assert TI.probe_text_index(spark, table, ["resurrected"], k=5).count() == 1
+
+    # (4) MOR read == post-materialize read; fold drops the delete files
+    before = sorted(
+        (r.tok, r.doc_id, r.tf)
+        for r in LH.read_snapshot(spark, table).collect()
+    )
+    ndel, _ = materialize_deletes(spark, table)
+    assert ndel >= 2
+    assert not LH.read_manifest(table).get("delete_files")
+    after = sorted(
+        (r.tok, r.doc_id, r.tf)
+        for r in LH.read_snapshot(spark, table).collect()
+    )
+    assert before == after
+    assert len(after) == n_after_delete + 1 + 1 - 3  # -w5/-alpha/-beta +fresh +resurrected... sanity below
+    assert TI.probe_text_index(spark, table, ["freshterm"], k=5).count() == 1
+
+
+def test_mor_mixed_keycol_and_eqcol_deletes(spark, tmp_path):
+    """The generalized MOR read applies EACH delete file on ITS OWN
+    equality column: a partition-key delete and a doc_id delete standing
+    on the same table each erase exactly their rows, legacy entries
+    without a col field still read as key deletes, and key-only delete
+    sets keep the pruned (not full) materialize path."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_mor import (
+        delete_mor,
+        materialize_deletes,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, i % 10, f"p{i}") for i in range(100)],
+        "k long, g long, payload string",
+    )
+    table = str(tmp_path / "mixed")
+    LH.create_partitioned(spark, rows, table, "k long, g long, payload string", "k", n_buckets=4)
+    delete_mor(spark, table, spark.createDataFrame([(7,), (8,)], "k long"))
+    delete_mor(
+        spark, table, spark.createDataFrame([(3,)], "g long"), eq_col="g"
+    )
+    snap = LH.read_snapshot(spark, table)
+    assert snap.filter(F.col("k").isin(7, 8)).count() == 0
+    assert snap.filter(F.col("g") == 3).count() == 0
+    assert snap.count() == 100 - 2 - 10  # disjoint delete sets
+    before = sorted(r.k for r in snap.collect())
+    materialize_deletes(spark, table)
+    assert not LH.read_manifest(table).get("delete_files")
+    assert sorted(r.k for r in LH.read_snapshot(spark, table).collect()) == before
