@@ -307,6 +307,113 @@ def search_all_terms(
     ).select("doc_id", "total_tf", "rnk")
 
 
+def _term_upper_bounds(
+    spark: SparkSession, table: str, terms: list[str]
+) -> dict[str, int]:
+    """WAND-style per-term tf upper bounds from MANIFEST METADATA only:
+    UB(t) = max of the ``tf`` column-stat over the files whose bucket
+    span covers t's hash bucket (the snapshot manifest already records
+    per-file per-column min/max from the parquet footers — no data or
+    footer read happens here). Coarse — a bucket holds many terms — but
+    sound: no posting of t can exceed it."""
+    from ..plans.lakehouse import read_manifest
+
+    man = read_manifest(table)
+    if not terms or not man["files"]:
+        return {t: 0 for t in terms}
+    probe = spark.createDataFrame([(t,) for t in set(terms)], "tok string")
+    tb = {
+        r["tok"]: int(r["b"])
+        for r in probe.select(
+            "tok", F.pmod(F.xxhash64("tok"), F.lit(N_TERM_BUCKETS)).alias("b")
+        ).collect()
+    }
+    stats = man["stats"]
+    ubs: dict[str, int] = {}
+    for t in terms:
+        b = tb[t]
+        ub = 0
+        for f in man["files"]:
+            st = stats[f]
+            lo, hi = st.get("min"), st.get("max")
+            if lo is None or lo <= b <= hi:
+                tf_stat = (st.get("cols") or {}).get("tf")
+                ub = max(ub, int(tf_stat[1])) if tf_stat else ub
+        ubs[t] = ub
+    return ubs
+
+
+def search_any_terms(
+    spark: SparkSession, table: str, terms: list[str], k: int
+) -> DataFrame:
+    """Disjunctive (OR) top-k, EXACT, with WAND-style pruning (r06
+    "What's missing" #2): docs containing ANY probed term ranked by
+    summed tf.
+
+    Naively the ranking aggregate shuffles EVERY matched posting — for
+    common terms that is O(corpus). Instead: (1) a cheap seed — each
+    term's top-k postings (partitioned window over the pruned read) —
+    fully scored gives θ, a lower bound on the final k-th score;
+    (2) terms split into WEAK (the largest ascending-UB prefix with
+    ΣUB < θ — a doc matching only weak terms scores < θ and cannot
+    enter the top-k, even on ties) and STRONG; (3) the ranking input
+    keeps strong postings plus weak postings of docs that also match a
+    strong term. Weak-only docs — the bulk, when a rare-heavy term is
+    probed next to common-light ones — never reach the aggregate
+    (pytest-pinned: strictly fewer postings than the naive OR). Result
+    is hash-identical to the naive ranking (l37's oracle)."""
+    postings = pruned_postings(spark, table, terms)
+    terms = sorted(set(terms))
+
+    def rank(src: DataFrame) -> DataFrame:
+        agg = src.groupBy("doc_id").agg(F.sum("tf").alias("total_tf"))
+        return _global_topk_ranked(
+            agg, [F.col("total_tf").desc(), "doc_id"], k
+        ).select("doc_id", "total_tf", "rnk")
+
+    # seed: ≤ k·|terms| candidate docs, fully scored → θ
+    w = W.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
+    seed_docs = (
+        postings.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("doc_id")
+        .distinct()
+    )
+    seed_scores = sorted(
+        (
+            r["total_tf"]
+            for r in postings.join(F.broadcast(seed_docs), "doc_id")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("total_tf"))
+            .orderBy(F.col("total_tf").desc())
+            .limit(k)
+            .collect()
+        ),
+        reverse=True,
+    )
+    if len(seed_scores) < k:
+        return rank(postings)  # fewer candidates than k: nothing to prune
+    theta = int(seed_scores[k - 1])
+    ubs = _term_upper_bounds(spark, table, terms)
+    weak: list[str] = []
+    acc = 0
+    for t in sorted(terms, key=lambda t: ubs[t]):
+        if acc + ubs[t] < theta:
+            weak.append(t)
+            acc += ubs[t]
+        else:
+            break
+    if not weak:
+        return rank(postings)
+    strong = [t for t in terms if t not in set(weak)]
+    strong_postings = postings.filter(F.col("tok").isin(strong))
+    strong_doc_ids = strong_postings.select("doc_id").distinct()
+    kept_weak = postings.filter(F.col("tok").isin(weak)).join(
+        strong_doc_ids, "doc_id", "left_semi"
+    )
+    return rank(strong_postings.unionByName(kept_weak))
+
+
 def bm25_topk(
     spark: SparkSession,
     table: str,
@@ -382,6 +489,33 @@ def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled (integer arithmetic, deterministic ties)."""
     table = _ensure_text_index(spark, sf_dir)
     return search_all_terms(spark, table, _PROBE_TERMS, k=10).orderBy("rnk")
+
+
+@query(
+    "l37_text_search_or",
+    oracle=_TF_CTE
+    + """
+SELECT doc_id, total_tf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT doc_id, total_tf,
+         ROW_NUMBER() OVER (ORDER BY total_tf DESC, doc_id) AS rnk
+  FROM (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM tf WHERE tok IN ('join', 'filter', 'customer')
+    GROUP BY doc_id
+  )
+) WHERE rnk <= 10
+""",
+    category="pipeline-text",
+)
+def text_search_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive search through the persisted index: top-10 docs
+    containing ANY of the three probed terms, ranked by summed tf —
+    EXACT (the WAND pruning inside ``search_any_terms`` only discards
+    provably non-viable docs), so the naive-OR oracle hash-matches.
+    This is the retrieval shape training-data search actually uses
+    (r06 "What's missing" #2)."""
+    table = _ensure_text_index(spark, sf_dir)
+    return search_any_terms(spark, table, _PROBE_TERMS, k=10).orderBy("rnk")
 
 
 @query(

@@ -3832,3 +3832,62 @@ def test_mor_mixed_keycol_and_eqcol_deletes(spark, tmp_path):
     materialize_deletes(spark, table)
     assert not LH.read_manifest(table).get("delete_files")
     assert sorted(r.k for r in LH.read_snapshot(spark, table).collect()) == before
+
+
+def test_search_any_terms_wand_pruning_exact_and_smaller(spark, tmp_path):
+    """l37's bound: with a rare-HEAVY term probed next to common-LIGHT
+    ones, the weak terms' ΣUB falls below θ and the ranking aggregate
+    receives strictly fewer postings than the naive OR — while the
+    result stays hash-identical to the naive ranking (the pruning only
+    discards provably non-viable docs, ties included)."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    # every doc matches several light terms once; docs 0..9 also say
+    # 'rareheavy' 50x (heavy). k=5 top-k is decided by rareheavy alone.
+    # The per-term UB is a BUCKET-file stat, so the light probe term must
+    # sit in a different bucket file than the heavy one — pick it after
+    # the build (hash placement isn't controllable from here).
+    lights = [f"light{j}" for j in range(8)]
+    rows = [
+        (i, " ".join(lights) + (" rareheavy" * 50 if i < 10 else ""))
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    table = str(tmp_path / "tidx_or")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    ubs = TI._term_upper_bounds(spark, table, lights + ["rareheavy"])
+    assert ubs["rareheavy"] >= 50
+    common = next(t for t in lights if ubs[t] < 50)  # different file
+    terms = [common, "rareheavy"]
+
+    got = TI.search_any_terms(spark, table, terms, k=5).collect()
+    # naive truth: docs 0..9 score 51, everyone else 1 → top-5 = 0..4
+    assert [(r.doc_id, r.total_tf, r.rnk) for r in got] == [
+        (i, 51, i + 1) for i in range(5)
+    ]
+
+    # the bound is live: UB(common) < θ=51 → common is weak, and the
+    # pruned ranking input keeps only strong postings + weak postings of
+    # strong docs (20) vs the naive 510
+    postings = TI.pruned_postings(spark, table, terms)
+    naive_n = postings.count()
+    strong = postings.filter(F.col("tok") == "rareheavy")
+    kept = strong.unionByName(
+        postings.filter(F.col("tok") == common).join(
+            strong.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    )
+    assert kept.count() < naive_n
+    assert kept.count() == 20 and naive_n == 510
+
+    # exactness under ties at theta: every doc scores the same → no
+    # pruning may occur, result equals naive
+    docs2 = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(20)], "doc_id long, text string"
+    )
+    t2 = str(tmp_path / "tidx_or2")
+    TI.build_text_index(spark, docs2, "doc_id", "text", t2)
+    got2 = TI.search_any_terms(spark, t2, ["alpha", "beta"], k=3).collect()
+    assert [(r.doc_id, r.total_tf, r.rnk) for r in got2] == [
+        (0, 2, 1), (1, 2, 2), (2, 2, 3)
+    ]
