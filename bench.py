@@ -56,6 +56,12 @@ EXTRA_QUERIES = [
     # 7-query single-run section; per-query medians are the signal)
     "m47_partition_evolution",  # evolve + cross-spec merge/scan lifecycle
     "mm_jpeg_progressive",      # multi-scan entropy decode kernel
+    # round-7 additions — the text-retrieval lifecycle (same caveat:
+    # compare per-query medians, not extra_total, across rounds; the
+    # entries above this line are FROZEN as of r06 for comparability)
+    "l33_text_index_refresh",   # build + append refresh + pruned probe
+    "l36_text_index_lifecycle", # reindex + equality-delete + materialize
+    "l37_text_search_or",       # WAND-bounded disjunctive top-k
 ]
 
 

@@ -77,6 +77,9 @@ SF10_QUERIES = [
     "m28_cdf_replay",          # CDC replay of the change stream
     "graph_triangle_count",    # degree-ordered wedge join
     "graph_label_propagation", # iterative per-round shuffle discipline
+    # r06 verdict #5: the text-index family gets its own scale story
+    "l32_text_index_probe",    # inverted-index build + pruned probe at 100×
+    "t27_stream_text_index",   # streaming index maintenance at 100×
 ]
 
 # every int64 key-domain column per table (offset per copy so each replica's
@@ -101,10 +104,12 @@ MIN_TASKS_FOR_BIG_STAGE = 8
 MAX_TASK_SECONDS = 120.0
 
 
-# the sf30 tier probes only l2b, which reads only documents — synthesizing
-# the other nine tables at 300× would triple the tier's disk/time for nothing
+# the sf30 tier probes only documents-reading queries — synthesizing the
+# other nine tables at 300× would triple the tier's disk/time for nothing.
+# l32 joined l2b in r07 (verdict #5): the index build is the explode+groupBy
+# word-count shape whose peak task must stay flat as the corpus triples
 SF30_TABLES = {"documents"}
-SF30_QUERIES = ["l2b_minhash_lsh"]
+SF30_QUERIES = ["l2b_minhash_lsh", "l32_text_index_probe"]
 
 
 def synthesize(spark: SparkSession, force: bool = False) -> None:
