@@ -85,6 +85,7 @@ def build_text_index(
         _IDX_DDL,
         "bucket",
         n_buckets=N_TERM_BUCKETS,
+        files_per_bucket="auto",  # bucket write fan-out scales with corpus
     )
 
 

@@ -496,8 +496,11 @@ def _write_bucket_files(
     fpb = max(files_per_bucket, 1)
     staged = df.withColumn("__bucket", _bucket_expr(F.col(key), bounds))
     if fpb > 1:  # spread each bucket across fpb writer tasks
+        # salt over ALL columns, not the key: a low-cardinality key (a
+        # hash shard) would hash to one salt per bucket and the fan-out
+        # would silently collapse back to one file
         staged = staged.withColumn(
-            "__salt", F.pmod(F.xxhash64(F.col(key)), F.lit(fpb))
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(fpb))
         )
         split_cols = ["__bucket", "__salt"]
     else:
@@ -556,6 +559,8 @@ def _partitioned_manifest(
     return manifest
 
 
+_LOW_CARD_KEYS = 1_024  # below this, bounds come from exact per-key counts
+_AUTO_ROWS_PER_FILE = 4_000_000  # files_per_bucket="auto" write sizing
 _BOUNDS_SAMPLE_CAP = 100_000  # exact percentile is a single-reducer agg;
 # past this, bounds come from a deterministic xxhash sample of the key
 
@@ -568,7 +573,7 @@ def create_partitioned(
     key: str,
     n_buckets: int = 8,
     extra: dict | None = None,
-    files_per_bucket: int = 1,
+    files_per_bucket: int | str = 1,
 ) -> int:
     """Create a key-range-partitioned table as snapshot v1.
 
@@ -584,18 +589,64 @@ def create_partitioned(
     Spark's own RangePartitioner makes, except reproducible. Keys beyond
     the sampled range (later inserts) fall into the edge buckets;
     re-bounding is a full-rewrite maintenance job by design (same as
-    Iceberg partition-spec evolution)."""
+    Iceberg partition-spec evolution).
+
+    LOW-CARDINALITY keys (hash shards, categorical codes) skip the
+    sample entirely: the value-hash filter keeps each distinct value
+    all-or-nothing, so with few values it usually keeps none — the r07
+    sf30 probe caught empty bounds routing a 36M-row index into one
+    bucket. Exact per-key counts (tiny by definition there) give
+    deterministic, exact weighted-percentile bounds instead.
+
+    ``files_per_bucket="auto"`` sizes the per-bucket writer fan-out from
+    the row count (~``_AUTO_ROWS_PER_FILE`` rows per file), so one
+    bucket's write task can't become the straggler as the table grows."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     src, n = df, df.count()
-    if n > _BOUNDS_SAMPLE_CAP:
-        m = n // _BOUNDS_SAMPLE_CAP
-        src = df.filter(
-            F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(m)) == 0
+    if files_per_bucket == "auto":
+        files_per_bucket = max(
+            1, -(-n // (max(n_buckets, 1) * _AUTO_ROWS_PER_FILE))
         )
-    row = src.select(
-        F.expr(f"percentile({key}, array({','.join(repr(q) for q in qs)}))")
-    ).first()[0]
-    bounds = sorted({float(b) for b in (row or []) if b is not None})
+    ncd = 0
+    if n > _BOUNDS_SAMPLE_CAP:
+        ncd = int(
+            df.select(F.approx_count_distinct(key).alias("c")).first()["c"]
+        )
+    if n > _BOUNDS_SAMPLE_CAP and ncd <= _LOW_CARD_KEYS:
+        # LOW-CARDINALITY key (a hash-shard / categorical column): the
+        # value-hash sample below keeps each distinct value all-or-nothing,
+        # so with few values it usually keeps NONE — empty bounds routed a
+        # 36M-row index into ONE bucket/file at the sf30 probe (r07).
+        # Exact per-key counts are tiny here; weighted percentiles over
+        # them are deterministic AND exact.
+        counts = sorted(
+            (r[0], r[1])
+            for r in df.groupBy(key).count().collect()
+            if r[0] is not None
+        )
+        bounds_set = set()
+        cum, qi = 0, 0
+        for idx, (v, c) in enumerate(counts):
+            cum += c
+            crossed = False
+            while qi < len(qs) and cum >= qs[qi] * n:
+                qi += 1
+                crossed = True
+            # a boundary after v starts the next bucket at the NEXT
+            # distinct value (bucket(key) = #bounds <= key)
+            if crossed and idx + 1 < len(counts):
+                bounds_set.add(float(counts[idx + 1][0]))
+        bounds = sorted(bounds_set)
+    else:
+        if n > _BOUNDS_SAMPLE_CAP:
+            m = n // _BOUNDS_SAMPLE_CAP
+            src = df.filter(
+                F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(m)) == 0
+            )
+        row = src.select(
+            F.expr(f"percentile({key}, array({','.join(repr(q) for q in qs)}))")
+        ).first()[0]
+        bounds = sorted({float(b) for b in (row or []) if b is not None})
     entries = _write_bucket_files(
         df, table, key, bounds, 1, files_per_bucket=files_per_bucket
     )

@@ -1636,6 +1636,7 @@ def upsert_media_digests(
         create_partitioned(
             spark, partial, table, _T26_DDL, "shard",
             n_buckets=N_DIGEST_SHARDS, extra={"batch_id": batch_id},
+            files_per_bucket="auto",
         )
         return
 

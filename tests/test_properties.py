@@ -3891,3 +3891,55 @@ def test_search_any_terms_wand_pruning_exact_and_smaller(spark, tmp_path):
     assert [(r.doc_id, r.total_tf, r.rnk) for r in got2] == [
         (0, 2, 1), (1, 2, 2), (2, 2, 3)
     ]
+
+
+def test_create_partitioned_low_cardinality_key_bounds(spark, tmp_path, monkeypatch):
+    """r07 sf30-probe regression: bounds sampling hash-filters distinct
+    KEY VALUES all-or-nothing, so a low-cardinality key (hash shard
+    0..15) over the sample cap usually sampled to nothing — empty
+    bounds, one bucket, one straggler write task. The low-card branch
+    derives bounds from exact per-key counts: every distinct value gets
+    its own bucket and the write parallelizes."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    monkeypatch.setattr(LH, "_BOUNDS_SAMPLE_CAP", 500)
+    rows = spark.range(5000).select(
+        F.pmod(F.xxhash64("id"), F.lit(16)).alias("shard"),
+        F.col("id").alias("v"),
+    )
+    table = str(tmp_path / "lowcard")
+    LH.create_partitioned(
+        spark, rows, table, "shard long, v long", "shard", n_buckets=16
+    )
+    man = LH.read_manifest(table)
+    bounds = man["partition"]["bounds"]
+    # near-one-bucket-per-value (weighted split may merge two light
+    # shards) — the regression was bounds == [] with ALL rows in bucket 0
+    assert 10 <= len(bounds) <= 15, bounds
+    assert len(man["files"]) == len(bounds) + 1
+    buckets = {man["stats"][f]["bucket"] for f in man["files"]}
+    assert buckets == set(range(len(bounds) + 1))
+    # every file spans at most two adjacent shard values
+    for f in man["files"]:
+        st = man["stats"][f]
+        assert st["max"] - st["min"] <= 1
+    assert LH.read_snapshot(spark, table).count() == 5000
+
+    # high-cardinality keys keep the sampled-percentile path
+    hi = spark.range(5000).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    t2 = str(tmp_path / "hicard")
+    LH.create_partitioned(spark, hi, t2, "k long, x int", "k", n_buckets=8)
+    b2 = LH.read_manifest(t2)["partition"]["bounds"]
+    assert len(b2) == 7
+    assert LH.read_snapshot(spark, t2).count() == 5000
+
+    # files_per_bucket="auto" fans out when rows demand it
+    monkeypatch.setattr(LH, "_AUTO_ROWS_PER_FILE", 100)
+    t3 = str(tmp_path / "autofpb")
+    LH.create_partitioned(
+        spark, rows, table=t3, schema_ddl="shard long, v long", key="shard",
+        n_buckets=16, files_per_bucket="auto",
+    )
+    m3 = LH.read_manifest(t3)
+    assert len(m3["files"]) > 16  # multiple files per bucket
+    assert LH.read_snapshot(spark, t3).count() == 5000
