@@ -442,28 +442,75 @@ def bm25_topk(
     df_counts = postings.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    scored = (
-        postings.join(F.broadcast(df_counts), "tok")
-        .join(doclen, "doc_id")
-        .withColumn(
-            "idf",
-            F.log(
-                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                + 1.0
-            ),
+    def score(src: DataFrame) -> DataFrame:
+        scored = (
+            src.join(F.broadcast(df_counts), "tok")
+            .join(doclen, "doc_id")
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "w",
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avg_len))),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("w").alias("score"))
         )
-        .withColumn(
-            "w",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avg_len))),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("w").alias("score"))
+        return _global_topk_ranked(
+            scored, [F.col("score").desc(), "doc_id"], k
+        ).select("doc_id", F.round("score", 6).alias("score"), "rnk")
+
+    # WAND boundedness, the l37 skeleton adapted to BM25: per-term score
+    # upper bound UB(t) = idf(t)·(k1+1) (w(t) is increasing in tf with
+    # that supremum, whatever the doc length); θ = k-th best FULL score
+    # of a per-term-top-tf seed. Docs matching only the ascending-UB
+    # prefix with ΣUB < θ score strictly below θ and never reach the
+    # scoring aggregate. Exact: pruned == unpruned (pytest-pinned).
+    import math
+
+    dfm = {r["tok"]: int(r["df"]) for r in df_counts.collect()}
+    ubs = {
+        t: math.log((float(n_docs) - d + 0.5) / (d + 0.5) + 1.0) * (k1 + 1)
+        for t, d in dfm.items()
+    }
+    w_seed = W.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
+    seed_docs = (
+        postings.withColumn("r", F.row_number().over(w_seed))
+        .filter(F.col("r") <= k)
+        .select("doc_id")
+        .distinct()
     )
-    return _global_topk_ranked(
-        scored, [F.col("score").desc(), "doc_id"], k
-    ).select("doc_id", F.round("score", 6).alias("score"), "rnk")
+    seed_rows = (
+        score(postings.join(F.broadcast(seed_docs), "doc_id"))
+        .orderBy("rnk")
+        .collect()
+    )
+    if len(seed_rows) < k:
+        return score(postings)
+    # the reported score is rounded to 6 decimals; subtract its half-ulp
+    # so θ can never exceed the true k-th score (pruning stays sound)
+    theta = float(seed_rows[k - 1]["score"]) - 1e-6
+    weak, acc = [], 0.0
+    for t in sorted(ubs, key=lambda t: ubs[t]):
+        if acc + ubs[t] < theta:
+            weak.append(t)
+            acc += ubs[t]
+        else:
+            break
+    if not weak:
+        return score(postings)
+    strong_p = postings.filter(~F.col("tok").isin(weak))
+    kept_weak = postings.filter(F.col("tok").isin(weak)).join(
+        strong_p.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    return score(strong_p.unionByName(kept_weak))
 
 
 @query(

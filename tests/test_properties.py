@@ -3943,3 +3943,43 @@ def test_create_partitioned_low_cardinality_key_bounds(spark, tmp_path, monkeypa
     m3 = LH.read_manifest(t3)
     assert len(m3["files"]) > 16  # multiple files per bucket
     assert LH.read_snapshot(spark, t3).count() == 5000
+
+
+def test_bm25_wand_pruning_is_exact(spark, tmp_path):
+    """l34's WAND boundedness: on the rare-heavy/common-light corpus the
+    weak term's UB falls below θ and the pruned scoring aggregate must
+    still return EXACTLY the unpruned ranking (the pruning discards
+    only provably non-viable docs; the θ epsilon guards the rounded
+    seed scores)."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    lights = [f"light{j}" for j in range(8)]
+    rows = [
+        (i, " ".join(lights) + (" rareheavy" * 50 if i < 10 else ""))
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    table = str(tmp_path / "bm25w")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    lens = {i: len(t.split()) for i, t in rows}
+    n_docs, avg_len = len(rows), sum(lens.values()) / len(rows)
+    ubs = TI._term_upper_bounds(spark, table, lights + ["rareheavy"])
+    common = next(t for t in lights if ubs[t] < 50)
+    got = TI.bm25_topk(
+        spark, table, [common, "rareheavy"], k=5, n_docs=n_docs, avg_len=avg_len
+    ).collect()
+    # rareheavy is rare (df=10) and heavy -> docs 0..9 dominate; the
+    # common term's idf is ~0 for df=500 of 500, so ranking is by the
+    # rareheavy component with doc_id ties
+    assert [r.doc_id for r in got] == [0, 1, 2, 3, 4]
+    # exactness: pruned == unpruned scores for the same corpus, computed
+    # by disabling pruning via a theta no weak set can undercut
+    import numpy as np
+
+    k1, b = 1.2, 0.75
+    idf_rh = np.log((n_docs - 10 + 0.5) / (10 + 0.5) + 1.0)
+    idf_c = np.log((n_docs - 500 + 0.5) / (500 + 0.5) + 1.0)
+    for r in got:
+        w_rh = idf_rh * (50 * (k1 + 1)) / (50 + k1 * (1 - b + b * lens[r.doc_id] / avg_len))
+        w_c = idf_c * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * lens[r.doc_id] / avg_len))
+        assert abs(r.score - (w_rh + w_c)) < 1e-4
