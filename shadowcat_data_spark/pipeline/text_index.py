@@ -147,16 +147,21 @@ def reindex_docs(
 
 
 def pruned_postings(
-    spark: SparkSession, table: str, terms: list[str]
+    spark: SparkSession,
+    table: str,
+    terms: list[str],
+    cols: tuple = ("tok", "doc_id", "tf"),
+    empty_schema: str = "tok string, doc_id long, tf long",
 ) -> DataFrame:
-    """The probed terms' postings — (tok, doc_id, tf) — reading ONLY the
-    files whose bucket span intersects the probed terms' hash buckets
-    (manifest metadata — skipped files never open). The shared read
-    every retrieval tier (per-term top-k, AND, OR, BM25) builds on."""
+    """The probed terms' postings — reading ONLY the files whose bucket
+    span intersects the probed terms' hash buckets (manifest metadata —
+    skipped files never open). The shared read every retrieval tier
+    (per-term top-k, AND, OR, BM25, phrase) builds on; ``cols`` selects
+    the tf-only or positional projection."""
     from ..plans.lakehouse import _read_files_mor, read_manifest
 
     man = read_manifest(table)
-    empty = spark.createDataFrame([], "tok string, doc_id long, tf long")
+    empty = spark.createDataFrame([], empty_schema)
     if not terms or not man["files"]:
         return empty
     probe = spark.createDataFrame([(t,) for t in terms], "tok string")
@@ -178,7 +183,7 @@ def pruned_postings(
     return (
         _read_files_mor(spark, table, man, keep)
         .filter(F.col("tok").isin(terms))
-        .select("tok", "doc_id", "tf")
+        .select(*cols)
     )
 
 
@@ -281,6 +286,143 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             return table
     build_text_index(spark, d, "doc_id", "text", table)
     return table
+
+
+# --- positional index: phrase search -----------------------------------------
+
+_POS_DDL = (
+    "bucket long, tok string, doc_id long, tf long, positions array<bigint>"
+)
+
+
+def _positional_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = (
+        _fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    return (
+        toks.groupBy("doc_id", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .select(
+            F.pmod(F.xxhash64("tok"), F.lit(N_TERM_BUCKETS)).alias("bucket"),
+            "tok",
+            "doc_id",
+            "tf",
+            "positions",
+        )
+    )
+
+
+def build_positional_index(
+    spark: SparkSession, docs: DataFrame, id_col: str, text_col: str, table: str
+) -> int:
+    """The POSITIONAL tier of the index family: postings carry the
+    token's occurrence positions (raw whitespace-split indices, the same
+    coordinate system any engine's tokenizer yields), enabling phrase
+    and proximity queries. Same bucket partitioning, pruning, and
+    lifecycle machinery as the tf index — positions are just one more
+    array column on the posting row (Lucene's prx file, re-expressed as
+    a lakehouse column)."""
+    import shutil
+
+    from ..plans.lakehouse import create_partitioned
+
+    shutil.rmtree(table, ignore_errors=True)
+    return create_partitioned(
+        spark,
+        _positional_postings(docs, id_col, text_col),
+        table,
+        _POS_DDL,
+        "bucket",
+        n_buckets=N_TERM_BUCKETS,
+        files_per_bucket="auto",
+    )
+
+
+def phrase_search(
+    spark: SparkSession, table: str, phrase: list[str], k: int
+) -> DataFrame:
+    """EXACT phrase top-k through the positional index: docs containing
+    the consecutive token sequence ``phrase``, ranked by occurrence
+    count (ties → lower doc_id). Plan: one pruned read of the phrase
+    terms' postings, a per-term equi-join chain on doc_id (posting-list
+    intersection — each join shrinks the survivor set), then the
+    adjacency count evaluated JVM-side with array HOFs: occurrences =
+    |{s ∈ pos₀ : s+i ∈ posᵢ ∀i}|. No explode of positions ever happens —
+    the arrays stay packed per row through the whole plan."""
+    from functools import reduce as _reduce
+
+    terms = list(phrase)
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, n_matches long, rnk int"
+        )
+    base = pruned_postings(
+        spark,
+        table,
+        sorted(set(terms)),
+        cols=("tok", "doc_id", "positions"),
+        empty_schema="tok string, doc_id long, positions array<bigint>",
+    )
+    cur = None
+    for i, t in enumerate(terms):
+        p = base.filter(F.col("tok") == t).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        cur = p if cur is None else cur.join(p, "doc_id")
+    starts = F.filter(
+        F.col("p0"),
+        lambda s: _reduce(
+            lambda a, b: a & b,
+            [F.array_contains(F.col(f"p{i}"), s + i) for i in range(1, len(terms))],
+            F.lit(True),
+        ),
+    )
+    hits = (
+        cur.select("doc_id", F.size(starts).cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+    return _global_topk_ranked(
+        hits, [F.col("n_matches").desc(), "doc_id"], k
+    ).select("doc_id", "n_matches", "rnk")
+
+
+@query(
+    "l38_phrase_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM toks, UNNEST(range(1, len(l))) AS t(i)
+  WHERE l[i] = 'customer' AND l[i+1] = 'join'
+  GROUP BY doc_id
+)
+SELECT doc_id, n_matches, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT doc_id, n_matches,
+         ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id) AS rnk
+  FROM hits
+) WHERE rnk <= 10
+""",
+    category="pipeline-text",
+)
+def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs for the exact phrase "customer join" through the
+    POSITIONAL index — the retrieval feature tf-only indexes cannot
+    answer (phrase/proximity queries). Fully oracled: the DuckDB twin
+    enumerates adjacent split positions directly, so the index path and
+    the brute-force path must agree to the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    table = _scratch(sf_dir, "l38_pos_index")
+    build_positional_index(spark, d, "doc_id", "text", table)
+    return phrase_search(spark, table, ["customer", "join"], k=10).orderBy("rnk")
 
 
 # --- conjunctive retrieval and BM25 ranking over the same index --------------

@@ -3983,3 +3983,93 @@ def test_bm25_wand_pruning_is_exact(spark, tmp_path):
         w_rh = idf_rh * (50 * (k1 + 1)) / (50 + k1 * (1 - b + b * lens[r.doc_id] / avg_len))
         w_c = idf_c * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * lens[r.doc_id] / avg_len))
         assert abs(r.score - (w_rh + w_c)) < 1e-4
+
+
+def test_phrase_search_semantics(spark, tmp_path):
+    """l38's phrase matcher in isolation: multi-term chains, repeated
+    terms, overlapping occurrences, the raw-split coordinate contract
+    (a double space breaks adjacency — same as the oracle's l[i]/l[i+1]
+    over the unfiltered split), and the no-hit/empty edges."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),          # "a b" twice, "a b c" once
+            (2, "a  b"),               # double space: NOT adjacent
+            (3, "b a"),                # reversed: no match
+            (4, "x a b c y a b c"),    # "a b c" twice
+            (5, "t t t"),              # repeated-term phrase "t t" twice
+        ],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "pidx")
+    TI.build_positional_index(spark, docs, "doc_id", "text", table)
+
+    ab = {r.doc_id: r.n_matches for r in TI.phrase_search(spark, table, ["a", "b"], k=10).collect()}
+    assert ab == {1: 2, 4: 2}
+    abc = {r.doc_id: r.n_matches for r in TI.phrase_search(spark, table, ["a", "b", "c"], k=10).collect()}
+    assert abc == {1: 1, 4: 2}
+    tt = {r.doc_id: r.n_matches for r in TI.phrase_search(spark, table, ["t", "t"], k=10).collect()}
+    assert tt == {5: 2}
+    single = {r.doc_id: r.n_matches for r in TI.phrase_search(spark, table, ["b"], k=10).collect()}
+    assert single == {1: 2, 2: 1, 3: 1, 4: 2}
+    assert TI.phrase_search(spark, table, ["a", "z"], k=10).count() == 0
+    assert TI.phrase_search(spark, table, [], k=10).count() == 0
+    # ranking: n_matches desc, doc_id ties
+    top = TI.phrase_search(spark, table, ["a", "b"], k=1).collect()
+    assert [(r.doc_id, r.rnk) for r in top] == [(1, 1)]
+
+
+def test_text_index_probe_consistent_under_concurrent_reindex(spark, tmp_path):
+    """Snapshot isolation for the retrieval tier: while a writer thread
+    commits re-crawl upserts, every concurrent probe must equal the
+    result at SOME committed version — never a torn mix of two states.
+    (Each probe pins one manifest read; MOR deletes and data files are
+    immutable per version, so this is the table format's isolation
+    contract surfacing through the index API.)"""
+    import threading
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha v0w{i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "cidx")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+
+    def probe_state():
+        rows = TI.probe_text_index(spark, table, ["alpha"], k=100).collect()
+        return sorted((r.doc_id, r.tf) for r in rows)
+
+    states = {0: probe_state()}  # version-0 truth: every doc has alpha x1
+    stop = threading.Event()
+    err = []
+
+    def writer():
+        try:
+            for gen in range(1, 4):
+                fresh = spark.createDataFrame(
+                    [(i, "alpha alpha " + f"g{gen}w{i % 5}") for i in range(0, 60, 2)],
+                    "doc_id long, text string",
+                )
+                TI.reindex_docs(spark, fresh, "doc_id", "text", table)
+                states[gen] = probe_state()
+        except Exception as exc:  # pragma: no cover
+            err.append(exc)
+        finally:
+            stop.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    seen = []
+    while not stop.is_set():
+        seen.append(probe_state())
+    t.join()
+    assert not err, err
+    valid = list(states.values())
+    for s in seen:
+        assert s in valid, "probe observed a state no commit produced"
+    # generations are distinguishable (re-indexed docs have tf 2)
+    assert states[3] != states[0]
+    assert sum(1 for _, tf in states[3] if tf == 2) == 30
