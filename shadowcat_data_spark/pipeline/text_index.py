@@ -425,6 +425,81 @@ def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, table, ["customer", "join"], k=10).orderBy("rnk")
 
 
+def proximity_search(
+    spark: SparkSession, table: str, t1: str, t2: str, slop: int, k: int
+) -> DataFrame:
+    """Proximity (NEAR) top-k through the positional index: docs where
+    ``t2`` occurs within ``slop`` tokens AFTER ``t1`` (ordered window,
+    Lucene's phrase-with-slop shape), ranked by qualifying t1-occurrence
+    count. Same packed-array plan as phrase_search: pruned read, one
+    doc_id join, adjacency generalized to a distance band — evaluated
+    with array HOFs (F.exists over the band), no position ever
+    explodes."""
+    base = pruned_postings(
+        spark,
+        table,
+        sorted({t1, t2}),
+        cols=("tok", "doc_id", "positions"),
+        empty_schema="tok string, doc_id long, positions array<bigint>",
+    )
+    p1 = base.filter(F.col("tok") == t1).select(
+        "doc_id", F.col("positions").alias("pos1")
+    )
+    p2 = base.filter(F.col("tok") == t2).select(
+        "doc_id", F.col("positions").alias("pos2")
+    )
+    near = F.filter(
+        F.col("pos1"),
+        lambda s: F.exists(
+            F.col("pos2"), lambda q: (q > s) & (q <= s + slop)
+        ),
+    )
+    hits = (
+        p1.join(p2, "doc_id")
+        .select("doc_id", F.size(near).cast("long").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+    return _global_topk_ranked(
+        hits, [F.col("n_matches").desc(), "doc_id"], k
+    ).select("doc_id", "n_matches", "rnk")
+
+
+@query(
+    "l39_proximity_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM (
+    SELECT DISTINCT doc_id, i
+    FROM toks, UNNEST(range(1, len(l) + 1)) AS t(i),
+                UNNEST(range(1, len(l) + 1)) AS u(j)
+    WHERE l[i] = 'customer' AND l[j] = 'query'
+      AND j > i AND j <= i + 3
+  ) GROUP BY doc_id
+)
+SELECT doc_id, n_matches, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT doc_id, n_matches,
+         ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id) AS rnk
+  FROM hits
+) WHERE rnk <= 10
+""",
+    category="pipeline-text",
+)
+def proximity_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs where 'query' follows 'customer' within 3 tokens,
+    through the positional index — the NEAR/slop retrieval shape.
+    Fully oracled: the DuckDB twin enumerates position pairs brute-force
+    (DISTINCT start positions = the matcher's qualifying-occurrence
+    count)."""
+    d = load_table(spark, sf_dir, "documents")
+    table = _scratch(sf_dir, "l38_pos_index")
+    build_positional_index(spark, d, "doc_id", "text", table)
+    return proximity_search(
+        spark, table, "customer", "query", slop=3, k=10
+    ).orderBy("rnk")
+
+
 # --- conjunctive retrieval and BM25 ranking over the same index --------------
 
 

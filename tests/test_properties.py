@@ -4073,3 +4073,80 @@ def test_text_index_probe_consistent_under_concurrent_reindex(spark, tmp_path):
     # generations are distinguishable (re-indexed docs have tf 2)
     assert states[3] != states[0]
     assert sum(1 for _, tf in states[3] if tf == 2) == 30
+
+
+def test_proximity_search_semantics(spark, tmp_path):
+    """l39's NEAR matcher: ordered window only (t2 AFTER t1), inclusive
+    slop boundary, one count per qualifying t1 occurrence (not per
+    pair), reversed-order and out-of-band misses."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x b"),        # distance 2: within slop 2/3, not 1
+            (2, "a b"),          # distance 1
+            (3, "b a"),          # reversed: never matches
+            (4, "a x x x b"),    # distance 4: only slop >= 4
+            (5, "a b b a x b"),  # t1@0 (2 bs in band), t1@3 (b@5) -> 2
+        ],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "pxidx")
+    TI.build_positional_index(spark, docs, "doc_id", "text", table)
+
+    def got(slop):
+        return {
+            r.doc_id: r.n_matches
+            for r in TI.proximity_search(spark, table, "a", "b", slop, k=10).collect()
+        }
+
+    # doc5 tokens: a@0 b@1 b@2 a@3 x@4 b@5 — a@0 matches at any slop,
+    # a@3's nearest following b is @5 (distance 2)
+    assert got(1) == {2: 1, 5: 1}
+    assert got(2) == {1: 1, 2: 1, 5: 2}
+    assert got(3) == {1: 1, 2: 1, 5: 2}
+    assert got(4) == {1: 1, 2: 1, 4: 1, 5: 2}
+    assert TI.proximity_search(spark, table, "b", "z", 5, k=10).count() == 0
+
+
+def test_text_index_refresh_then_compaction_preserves_probes(spark, tmp_path):
+    """Lifecycle interplay: N append refreshes leave N small files per
+    touched bucket; compact_partitioned bin-packs them back and every
+    retrieval tier answers identically before and after (the compaction
+    content-preservation contract surfacing through the index API)."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 11} beta") for i in range(100)],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "cmpidx")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    for g in range(3):
+        fresh = spark.createDataFrame(
+            [(1000 + g * 10 + j, f"alpha gamma g{g}") for j in range(5)],
+            "doc_id long, text string",
+        )
+        TI.refresh_text_index(spark, fresh, "doc_id", "text", table)
+
+    def state():
+        return {
+            name: sorted(
+                (r.tok, r.doc_id, r.tf)
+                for r in TI.probe_text_index(spark, table, terms, k=1000).collect()
+            )
+            for name, terms in [("a", ["alpha"]), ("g", ["gamma"]), ("b", ["beta"])]
+        }
+
+    before_files = len(LH.read_manifest(table)["files"])
+    before = state()
+    nb, na = LH.compact_partitioned(spark, table)
+    assert nb == before_files and na < nb, (nb, na)
+    assert state() == before
+    # the conjunctive and OR tiers agree too
+    and_before = sorted(
+        (r.doc_id, r.total_tf)
+        for r in TI.search_all_terms(spark, table, ["alpha", "gamma"], k=50).collect()
+    )
+    assert len(and_before) == 15
