@@ -834,6 +834,64 @@ def text_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")
 
 
+@query(
+    "l40_snippet_extract",
+    oracle=_TF_CTE
+    + """
+, top AS (
+  SELECT doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
+    SELECT doc_id, tf,
+           ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rnk
+    FROM tf WHERE tok = 'customer'
+  ) WHERE rnk <= 5
+)
+SELECT t.doc_id, t.tf, t.rnk,
+       CAST(list_position(string_split(d.text, ' '), 'customer') AS BIGINT)
+         AS first_pos,
+       array_to_string(
+         string_split(d.text, ' ')[
+           greatest(1, list_position(string_split(d.text, ' '), 'customer') - 2)
+           : least(len(string_split(d.text, ' ')),
+                   list_position(string_split(d.text, ' '), 'customer') + 2)],
+         ' ') AS snippet
+FROM top t JOIN documents d USING (doc_id)
+""",
+    category="pipeline-text",
+)
+def snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-render, the shape every search UI runs: the index
+    serves the top-5 docs for a term (tiny), then ONE broadcast
+    fetch-back join against the corpus pulls just those documents'
+    text and a ±2-token snippet around the first occurrence is sliced
+    out JVM-side (split + array_position + slice — no UDF). At 100 TB
+    the corpus side is a semi-join-pruned scan of k rows; the text of
+    non-matching documents never leaves the parquet reader. Fully
+    oracled: both engines slice the identical 1-based split
+    coordinates."""
+    term = "customer"
+    d = load_table(spark, sf_dir, "documents")
+    table = _ensure_text_index(spark, sf_dir)
+    top = probe_text_index(spark, table, [term], k=5).select(
+        "doc_id", "tf", "rnk"
+    )
+    toks = F.split(F.col("text"), " ")
+    pos = F.array_position(toks, F.lit(term))  # 1-based; 0 if absent
+    start = F.greatest(F.lit(1), pos - 2)
+    end = F.least(F.size(toks), pos + 2)
+    return (
+        d.join(F.broadcast(top), "doc_id")
+        .select(
+            "doc_id",
+            "tf",
+            "rnk",
+            pos.alias("first_pos"),
+            F.array_join(
+                F.slice(toks, start, end - start + 1), " "
+            ).alias("snippet"),
+        )
+    )
+
+
 @query("l34_text_bm25", category="pipeline-text")
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the probe terms through the persisted index —

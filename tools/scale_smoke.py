@@ -80,6 +80,7 @@ SF10_QUERIES = [
     # r06 verdict #5: the text-index family gets its own scale story
     "l32_text_index_probe",    # inverted-index build + pruned probe at 100×
     "t27_stream_text_index",   # streaming index maintenance at 100×
+    "t28_stream_reindex",      # streaming MOR re-crawl upserts at 100×
 ]
 
 # every int64 key-domain column per table (offset per copy so each replica's
