@@ -892,6 +892,89 @@ def snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "l41_hybrid_rerank",
+    oracle=_TF_CTE
+    + """
+, cand AS (
+  SELECT doc_id, tf FROM (
+    SELECT doc_id, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS r
+    FROM tf WHERE tok = 'customer'
+  ) WHERE r <= 50
+), q8 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(
+           CAST(x AS DOUBLE) * (127.0 / GREATEST(
+             list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-12))
+           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), qvec AS (
+  SELECT qv AS qe FROM q8 WHERE vec_id = 0
+), scored AS (
+  SELECT c.doc_id, c.tf,
+         CASE WHEN (sqrt(CAST(CAST(list_sum(list_transform(q.qe, x -> x * x)) AS BIGINT) AS DOUBLE))
+                    * sqrt(CAST(CAST(list_sum(list_transform(e.qv, x -> x * x)) AS BIGINT) AS DOUBLE))) > 0
+              THEN CAST(CAST(list_sum(list_transform(list_zip(q.qe, e.qv), p -> p[1] * p[2]))
+                   AS BIGINT) AS DOUBLE)
+                   / (sqrt(CAST(CAST(list_sum(list_transform(q.qe, x -> x * x)) AS BIGINT) AS DOUBLE))
+                      * sqrt(CAST(CAST(list_sum(list_transform(e.qv, x -> x * x)) AS BIGINT) AS DOUBLE)))
+              ELSE 0.0 END AS cos_q8
+  FROM cand c JOIN q8 e ON e.vec_id = c.doc_id CROSS JOIN qvec q
+)
+SELECT doc_id, tf, cos_q8, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT doc_id, tf, cos_q8,
+         ROW_NUMBER() OVER (ORDER BY cos_q8 DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""",
+    category="pipeline-text",
+)
+def hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the modern search shape: a LEXICAL first
+    stage (inverted-index top-50 for the term, cheap and pruned) feeds a
+    DENSE second stage that reranks only those candidates by cosine to
+    a query vector (vec 0 — the deterministic stand-in for an encoded
+    query). The cosine is the l3f int8-quantized tier, so the whole
+    pipeline stays hash-exact across engines. At 100 TB: stage 1 reads
+    probed posting buckets; stage 2 touches exactly 50 embedding rows
+    (broadcast candidate ids; a lakehouse-resident embedding table would
+    use the m45 bloom point-lookup path for the fetch-back)."""
+    from .similarity import _q8
+
+    term = "customer"
+    table = _ensure_text_index(spark, sf_dir)
+    cand = probe_text_index(spark, table, [term], k=50).select("doc_id", "tf")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _q8(F.col("embedding")).alias("qv")
+    )
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qe"))
+    idot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    inorm = lambda col: F.sqrt(
+        F.aggregate(
+            col, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    denom = inorm(F.col("qe")) * inorm(F.col("qv"))
+    scored = (
+        e.join(F.broadcast(cand), e.vec_id == F.col("doc_id"))
+        .crossJoin(F.broadcast(qe))
+        .select(
+            "doc_id",
+            "tf",
+            F.when(denom > 0, idot / denom).otherwise(F.lit(0.0)).alias("cos_q8"),
+        )
+    )
+    return (
+        _global_topk_ranked(scored, [F.col("cos_q8").desc(), "doc_id"], 10)
+        .select("doc_id", "tf", "cos_q8", "rnk")
+        .orderBy("rnk")
+    )
+
+
 @query("l34_text_bm25", category="pipeline-text")
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the probe terms through the persisted index —
