@@ -30,7 +30,10 @@ What is implemented (and what still raises):
   zigzag de-ordering, dequantization, fixed-point integer IDCT, chroma
   upsampling by sample replication, and JFIF YCbCr→RGB. Restart markers
   reset the DC predictors / EOB runs and byte-align, per spec.
-- Arithmetic-coded (SOF9+), 12-bit, lossless, and hierarchical streams
+- ``encode_jpeg_lossless`` / SOF3 decode (r07): predictive Huffman
+  coding per annex H, all seven predictors, components stored raw —
+  bit-exact round-trip, so the query carries a FULL per-pixel oracle.
+- Arithmetic-coded (SOF9+), 12-bit, and hierarchical streams
   raise ``ValueError`` with a named reason — the narrowed gate (now:
   those JPEG rarities and MP3), pinned by pytest like every other
   environment gate.
@@ -824,7 +827,6 @@ def _emit_dc_first(w: _BitWriter, coef, pred: int, al: int, dc_enc: dict) -> int
 
 _UNSUPPORTED_SOF = {
     0xC1: "extended sequential",
-    0xC3: "lossless JPEG",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
     0xC7: "differential lossless",
@@ -898,6 +900,26 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(seg[off + 17 : off + 17 + nv])
                 htables[(cls, tid)] = _HuffTable(bits, vals)
                 off += 17 + nv
+        elif marker == 0xC3:  # SOF3 lossless (predictive, no DCT)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(
+                    f"{prec}-bit lossless precision unsupported (8-bit only)"
+                )
+            if not 1 <= nc <= 4:
+                raise ValueError(f"{nc}-component frame out of range")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled lossless JPEG unsupported (1x1 only)"
+                    )
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "lossless": True}
+            state = {
+                c["id"]: np.zeros((h, w), dtype=np.int64) for c in comps
+            }
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -942,6 +964,15 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 sel.append((cs, tabs >> 4, tabs & 0xF))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
+            if frame.get("lossless"):
+                segments, end = _entropy_segments(buf, pos + ln)
+                _apply_lossless_scan(
+                    frame, state, sel, ss, se, ah, al, segments, htables,
+                    restart_interval,
+                )
+                saw_scan = True
+                pos = end
+                continue
             if not frame["progressive"] and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError("baseline scan with progressive parameters")
             segments, end = _entropy_segments(buf, pos + ln)
@@ -955,7 +986,157 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         pos += ln
     if not saw_scan:
         raise ValueError("EOI before SOS (no image data)")
+    if frame.get("lossless"):
+        return _finish_lossless(frame, state)
     return _finish_frame(frame, state, qtables)
+
+
+def _lossless_predict(plane, y: int, x: int, sv: int, default: int) -> int:
+    """T.81 H.1.2: first sample → 2^(P-1); rest of the first line → Ra;
+    first column → Rb; everywhere else the scan's selected predictor
+    (shifts are arithmetic/floor, per the spec's integer division)."""
+    if y == 0:
+        return int(plane[y, x - 1]) if x else default
+    if x == 0:
+        return int(plane[y - 1, x])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if sv == 1:
+        return ra
+    if sv == 2:
+        return rb
+    if sv == 3:
+        return rc
+    if sv == 4:
+        return ra + rb - rc
+    if sv == 5:
+        return ra + ((rb - rc) >> 1)
+    if sv == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sv == 7
+
+
+def _apply_lossless_scan(
+    frame, state, sel, sv, se, ah, al, segments, htables, restart_interval
+):
+    """One SOF3 scan: raster order, one Huffman-coded DIFF per sample
+    (DC-style categories; SSSS=16 is the no-extra-bits 32768 case),
+    interleaved across the scan's components, modulo-2^16 arithmetic.
+    A restart resets every component's prediction to the default, per
+    H.2.2."""
+    if not 1 <= sv <= 7:
+        raise ValueError(f"lossless predictor {sv} out of range 1-7")
+    if se != 0 or ah != 0:
+        raise ValueError("bad lossless scan parameters (Se/Ah must be 0)")
+    if al != 0:
+        raise ValueError("lossless point transform unsupported")
+    comps = []
+    for cs, dsel, _asel in sel:
+        if cs not in state:
+            raise ValueError(f"scan selects unknown component {cs}")
+        tab = htables.get((0, dsel))
+        if tab is None:
+            raise ValueError(f"scan references missing DC table {dsel}")
+        comps.append((cs, tab))
+    h, w = frame["h"], frame["w"]
+    default = 1 << 7  # 2^(P-1), P=8
+    seg_idx = 0
+    rdr = _BitReader(segments[0])
+    fresh = {cs: False for cs, _ in comps}  # post-restart prediction reset
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment in lossless scan")
+                rdr = _BitReader(segments[seg_idx])
+                for cs, _ in comps:
+                    fresh[cs] = True
+            for cs, tab in comps:
+                plane = state[cs]
+                if fresh[cs]:
+                    pred = default
+                    fresh[cs] = False
+                else:
+                    pred = _lossless_predict(plane, y, x, sv, default)
+                s = tab.decode(rdr)
+                if s > 16:
+                    raise ValueError(f"lossless DIFF category {s} out of range")
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _extend(rdr.bits(s), s)
+                else:
+                    diff = 0
+                plane[y, x] = (pred + diff) & 0xFFFF
+            count += 1
+
+
+def _finish_lossless(frame, state) -> np.ndarray:
+    planes = [
+        np.clip(state[c["id"]], 0, 255).astype(np.uint8)
+        for c in frame["comps"]
+    ]
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) == 3:
+        return np.stack(planes, axis=2)  # components stored raw (RGB)
+    raise ValueError(f"{len(planes)}-component lossless output unsupported")
+
+
+def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
+    """Serialize pixels as a LOSSLESS (SOF3) JPEG: no DCT, no
+    quantization — each sample is a Huffman-coded difference from its
+    neighborhood prediction (T.81 annex H). Components are stored RAW
+    (grayscale or RGB, 1x1 sampling), so decode is bit-exact:
+    decode_jpeg(encode_jpeg_lossless(px)) == px for every input, which
+    is what lets mm_jpeg_lossless carry a FULL per-pixel oracle like
+    PNG/FLAC. Uses a flat 5-bit table over the 17 DIFF categories."""
+    if px.dtype != np.uint8 or px.ndim not in (2, 3):
+        raise ValueError(f"expected (h,w[,3]) uint8 pixels, got {px.shape} {px.dtype}")
+    if px.ndim == 3 and px.shape[2] != 3:
+        raise ValueError("color images must have exactly 3 channels")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} out of range 1-7")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("degenerate image dimensions")
+    planes = [px] if px.ndim == 2 else [px[:, :, i] for i in range(3)]
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    bits, vals, enc = _flat_table(list(range(17)), 5)
+    body = bytes([0x00]) + bytes(bits[1:]) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    hdr = bytes([nc])
+    for i in range(nc):
+        hdr += bytes([i + 1, 0x00])
+    hdr += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, AhAl=0
+    wtr = _BitWriter()
+    default = 1 << 7
+    iplanes = [p.astype(np.int64) for p in planes]
+    for y in range(h):
+        for x in range(w):
+            for p in iplanes:
+                pred = _lossless_predict(p, y, x, predictor, default)
+                d = int(p[y, x]) - pred
+                d = ((d + 32768) & 0xFFFF) - 32768
+                if d == -32768:
+                    s = 16
+                else:
+                    s = abs(d).bit_length()
+                code, ln = enc[s]
+                wtr.put(code, ln)
+                if 0 < s < 16:
+                    wtr.put(d if d >= 0 else d + (1 << s) - 1, s)
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def decode_jpeg_baseline(buf: bytes) -> np.ndarray:
@@ -1463,9 +1644,9 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle. A constant block's DC reaches the identical quantized value
     through the two-pass DC script (first pass codes dc>>1, refinement
     restores bit 0), so the closed form is unchanged from the baseline
-    query's — only the block formula differs. With this the image codec
-    gate is CLOSED for JPEG; what remains external is arithmetic-coded /
-    lossless JPEG variants and MP3."""
+    query's — only the block formula differs. With mm_jpeg_lossless
+    covering SOF3, what remains external is arithmetic-coded JPEG and
+    MP3."""
     jpg_dir = _ensure_jpeg_prog_fixture(spark, sf_dir)
     frames = spark.read.format("binaryFile").load(jpg_dir).select(
         F.regexp_extract(F.col("path"), r"img_(\d+)\.jpg$", 1)
@@ -1474,3 +1655,133 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
     )
     return frames.mapInPandas(_jpeg_kernel, _JPEG_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# mm_jpeg_lossless — the SOF3 predictive path end to end, FULL pixel oracle
+# ---------------------------------------------------------------------------
+
+_JPGL_N = 50
+_JPGL_FIXTURE_TAG = "jpeg-lossless-v1"
+
+
+def _ensure_jpeg_lossless_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """img_<doc_id>.jls per document with doc_id < 50: RGB pixels from
+    the SHARED formula the PPM/PNG fixtures use (so the per-pixel SQL
+    oracle is the same arithmetic), encoded SOF3 with the predictor
+    rotating over all seven (doc_id % 7 + 1) so every prediction path
+    decodes on every real read. Same manifest idempotence."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources.io import _scratch
+    from .multimodal import _img_dims, _img_pixels
+
+    jls_dir = _scratch(sf_dir, "jpeg_lossless_files")
+    manifest = jls_dir.rstrip("/") + ".manifest"
+    ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _JPGL_N)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    tag = (
+        _JPGL_FIXTURE_TAG
+        + ":"
+        + _hashlib.sha256(",".join(map(str, ids)).encode()).hexdigest()
+    )
+    try:
+        with open(manifest) as f:
+            if f.read() == tag:
+                return jls_dir
+    except FileNotFoundError:
+        pass
+    _shutil.rmtree(jls_dir, ignore_errors=True)
+    _os.makedirs(jls_dir, exist_ok=True)
+    for doc_id in ids:
+        w, h = _img_dims(doc_id)
+        payload = encode_jpeg_lossless(
+            _img_pixels(doc_id, w, h), predictor=doc_id % 7 + 1
+        )
+        with open(_os.path.join(jls_dir, f"img_{doc_id}.jls"), "wb") as f:
+            f.write(payload)
+    with open(manifest, "w") as f:  # written LAST: a crash mid-synth re-runs
+        f.write(tag)
+    return jls_dir
+
+
+_JPGL_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+    ]
+)
+
+
+def _jpgl_kernel(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            "media_id": [], "width": [], "height": [],
+            "r_sum": [], "g_sum": [], "b_sum": [],
+        }
+        for media_id, content in zip(pdf["media_id"], pdf["content"]):
+            out["media_id"].append(int(media_id))
+            try:
+                px = decode_jpeg(bytes(content))
+                if px.ndim == 2:
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                out["width"].append(int(px.shape[1]))
+                out["height"].append(int(px.shape[0]))
+                out["r_sum"].append(int(s[0]))
+                out["g_sum"].append(int(s[1]))
+                out["b_sum"].append(int(s[2]))
+            except ValueError:
+                for f in ("width", "height", "r_sum", "g_sum", "b_sum"):
+                    out[f].append(None)
+        yield pd.DataFrame(out)
+
+
+def _jpgl_oracle() -> str:
+    from .multimodal import _IMGS_CTE, _chan_sums_sql
+
+    return f"""{_IMGS_CTE}
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       {_chan_sums_sql("x.x", "y.y")}
+FROM imgs
+CROSS JOIN UNNEST(generate_series(0, w - 1)) AS x(x)
+CROSS JOIN UNNEST(generate_series(0, h - 1)) AS y(y)
+CROSS JOIN UNNEST(generate_series(0, 2)) AS c(c)
+GROUP BY doc_id, w, h
+"""
+
+
+@query(
+    "mm_jpeg_lossless", oracle=_jpgl_oracle(), category="pipeline-multimodal"
+)
+def mm_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS (SOF3) JPEG decode end to end: predictive Huffman coding,
+    no DCT, components stored raw — so unlike the lossy tiers this
+    carries the FULL per-pixel channel-sums oracle (the PNG/PPM
+    arithmetic, byte-exact through a real SOF3 container; all seven
+    T.81 predictors exercised across the fixture). The external-codec
+    gate narrows to arithmetic-coded JPEG and MP3."""
+    jls_dir = _ensure_jpeg_lossless_fixture(spark, sf_dir)
+    frames = spark.read.format("binaryFile").load(jls_dir).select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.jls$", 1)
+        .cast("long")
+        .alias("media_id"),
+        "content",
+    )
+    return frames.mapInPandas(_jpgl_kernel, _JPGL_DECODE_SCHEMA)

@@ -2869,6 +2869,7 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
     from shadowcat_data_spark.pipeline.jpeg import (
         decode_jpeg,
         encode_jpeg_baseline,
+        encode_jpeg_lossless,
         encode_jpeg_progressive,
     )
 
@@ -3516,6 +3517,7 @@ def test_codec_fuzz_only_valueerrors_escape():
     from shadowcat_data_spark.pipeline.jpeg import (
         decode_jpeg,
         encode_jpeg_baseline,
+        encode_jpeg_lossless,
         encode_jpeg_progressive,
     )
     from shadowcat_data_spark.pipeline.multimodal import (
@@ -3535,6 +3537,7 @@ def test_codec_fuzz_only_valueerrors_escape():
         "png": (encode_png(rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8), paeth=True), decode_png),
         "jpeg": (encode_jpeg_baseline(rng.randint(0, 256, size=(17, 13, 3), dtype=np.uint8), subsample=True, restart_interval=2), decode_jpeg),
         "jpeg-prog": (encode_jpeg_progressive(rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8), subsample=True), decode_jpeg),
+        "jpeg-lossless": (encode_jpeg_lossless(rng.randint(0, 256, size=(11, 9, 3), dtype=np.uint8), predictor=5), decode_jpeg),
         "y4m": (encode_y4m(rng.randint(0, 256, size=(2, 6, 6, 3), dtype=np.uint8)), decode_y4m),
         "ppm": (encode_ppm(rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8)), decode_ppm),
         "wav": (encode_wav(rng.randint(-100, 100, size=(64, 2)).astype(np.int16), 8000), decode_wav),
@@ -4150,3 +4153,36 @@ def test_text_index_refresh_then_compaction_preserves_probes(spark, tmp_path):
         for r in TI.search_all_terms(spark, table, ["alpha", "gamma"], k=50).collect()
     )
     assert len(and_before) == 15
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 is LOSSLESS: decode(encode(px, predictor=p)) == px bit-exactly
+    for every one of T.81's seven predictors, gray and RGB, including
+    constant / gradient / extreme-value images and 1x1; malformed
+    parameters raise ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(13)
+    for shape in [(5, 7), (16, 16, 3), (1, 1), (9, 3, 3)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for pred in range(1, 8):
+            back = decode_jpeg(encode_jpeg_lossless(px, predictor=pred))
+            assert back.shape == px.shape and (back == px).all(), (shape, pred)
+    for px in [
+        np.zeros((10, 10), np.uint8),
+        np.full((4, 4, 3), 255, np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), (8, 1)),
+    ]:
+        assert (decode_jpeg(encode_jpeg_lossless(px)) == px).all()
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(np.zeros((4, 4), np.uint8), predictor=0)
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(np.zeros((0, 4), np.uint8))
+    with _pytest.raises(ValueError):
+        encode_jpeg_lossless(np.zeros((4, 4), np.int32))

@@ -81,6 +81,7 @@ ALLOW = {
     "mm_png_decode": {"MapInPandas"},
     "mm_flac_decode": {"MapInPandas"},
     "mm_jpeg_progressive": {"MapInPandas"},
+    "mm_jpeg_lossless": {"MapInPandas"},
     "mm_video_decode": {"MapInPandas"},
     "mm_video_frame_sample": {"MapInPandas"},
     "mm_gif_decode": {"MapInPandas"},
