@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "shadowcat_data_spark.sources.io",
     "shadowcat_data_spark.sources.layout",
     "shadowcat_data_spark.sources.custom",
+    "shadowcat_data_spark.sources.warc",
     "shadowcat_data_spark.streaming.ops",
     "shadowcat_data_spark.udf.surface",
     "shadowcat_data_spark.plans.analytics",

@@ -4186,3 +4186,44 @@ def test_jpeg_lossless_roundtrip_all_predictors():
         encode_jpeg_lossless(np.zeros((0, 4), np.uint8))
     with _pytest.raises(ValueError):
         encode_jpeg_lossless(np.zeros((4, 4), np.int32))
+
+
+def test_warc_container_roundtrip_and_gates():
+    """S18's container in isolation: gzip-member chain and plain streams
+    round-trip; headers parse case-insensitively; warcinfo records are
+    preserved by the parser (the KERNEL filters them); malformed input
+    (bad magic, missing Content-Length, short body, truncated gzip,
+    unterminated headers) raises ValueError — including every 7th-byte
+    truncation of a valid archive."""
+    import pytest as _pytest
+
+    from shadowcat_data_spark.sources.warc import encode_warc, parse_warc
+
+    recs = [
+        {"type": "warcinfo", "uri": "crawl://s/0", "id": "i", "body": b"sw: x"},
+        {"type": "resource", "uri": "http://e/doc/7", "id": "7",
+         "body": "héllo wörld".encode()},
+        {"type": "resource", "uri": "http://e/doc/8", "id": "8", "body": b""},
+    ]
+    for compress in (True, False):
+        got = parse_warc(encode_warc(recs, compress=compress))
+        assert [r["type"] for r in got] == ["warcinfo", "resource", "resource"]
+        assert got[1]["body"].decode() == "héllo wörld"
+        assert got[2]["body"] == b"" and got[2]["uri"] == "http://e/doc/8"
+        assert got[1]["headers"]["warc-record-id"] == "<urn:uuid:7>"
+
+    good = encode_warc(recs, compress=True)
+    for cut in range(1, len(good), 7):
+        with _pytest.raises(ValueError):
+            parse_warc(good[:cut])
+    plain = encode_warc(recs, compress=False)
+    for bad in [
+        b"", b"HTTP/1.0 200 OK\r\n\r\n",
+        plain.replace(b"Content-Length", b"X-Length", 1),
+        plain[:-10],  # short final body
+        b"WARC/1.0\r\nContent-Length: 5\r\n\r\nab",  # short body
+        b"WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n",  # bad version
+        b"WARC/1.0\r\nContent-Length: -1\r\n\r\n\r\n\r\n",
+    ]:
+        with _pytest.raises(ValueError):
+            parse_warc(bad)

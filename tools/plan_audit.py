@@ -82,6 +82,8 @@ ALLOW = {
     "mm_flac_decode": {"MapInPandas"},
     "mm_jpeg_progressive": {"MapInPandas"},
     "mm_jpeg_lossless": {"MapInPandas"},
+    # WARC record split is a map-side container kernel like the codecs
+    "s18_warc_ingest": {"MapInPandas"},
     "mm_video_decode": {"MapInPandas"},
     "mm_video_frame_sample": {"MapInPandas"},
     "mm_gif_decode": {"MapInPandas"},
