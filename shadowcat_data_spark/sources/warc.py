@@ -258,7 +258,7 @@ def _warc_kernel(batches):
     oracle=f"""
 SELECT doc_id,
        'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
-       CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
        sha256(COALESCE(text, '')) AS payload_sha
 FROM documents WHERE doc_id < {_WARC_N}
 """,

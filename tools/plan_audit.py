@@ -84,6 +84,10 @@ ALLOW = {
     "mm_jpeg_lossless": {"MapInPandas"},
     # WARC record split is a map-side container kernel like the codecs
     "s18_warc_ingest": {"MapInPandas"},
+    # the rerank stage applies a ONE-row broadcast query vector to the
+    # <=50 candidate rows — constant-cost keyless apply (q11/q15/l18's
+    # documented one-row-aggregate pattern)
+    "l41_hybrid_rerank": {"BroadcastNestedLoopJoin"},
     "mm_video_decode": {"MapInPandas"},
     "mm_video_frame_sample": {"MapInPandas"},
     "mm_gif_decode": {"MapInPandas"},
