@@ -110,7 +110,13 @@ MAX_TASK_SECONDS = 120.0
 # l32 joined l2b in r07 (verdict #5): the index build is the explode+groupBy
 # word-count shape whose peak task must stay flat as the corpus triples
 SF30_TABLES = {"documents"}
-SF30_QUERIES = ["l2b_minhash_lsh", "l32_text_index_probe"]
+SF30_QUERIES = [
+    "l2b_minhash_lsh",
+    "l32_text_index_probe",
+    # r07: the positional tier (position arrays triple the posting row
+    # weight — the build's write fan-out and probe pruning must hold)
+    "l38_phrase_search",
+]
 
 
 def synthesize(spark: SparkSession, force: bool = False) -> None:
