@@ -547,16 +547,19 @@ def _term_upper_bounds(
         ).collect()
     }
     stats = man["stats"]
-    ubs: dict[str, int] = {}
+    ubs: dict[str, float] = {}
     for t in terms:
         b = tb[t]
-        ub = 0
+        ub = 0.0
         for f in man["files"]:
             st = stats[f]
             lo, hi = st.get("min"), st.get("max")
             if lo is None or lo <= b <= hi:
                 tf_stat = (st.get("cols") or {}).get("tf")
-                ub = max(ub, int(tf_stat[1])) if tf_stat else ub
+                # a covering file WITHOUT tf stats makes the bound
+                # unknowable — it must become +inf, never silently 0,
+                # or the pruning would discard viable docs
+                ub = max(ub, float(tf_stat[1]) if tf_stat else float("inf"))
         ubs[t] = ub
     return ubs
 
