@@ -847,9 +847,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     successive approximation (including the AC refinement correction-bit
     protocol), and EOB runs are all implemented; the dequant/IDCT tail
     is shared with baseline, so a coefficient reaching the same value by
-    either route decodes to the same pixel. Raises ``ValueError`` on
-    anything malformed or outside the gate (arithmetic/12-bit/lossless)
-    — callers in the media kernels quarantine such rows."""
+    either route decodes to the same pixel. LOSSLESS (SOF3) streams
+    decode through the predictive path (r07). Raises ``ValueError`` on
+    anything malformed or outside the gate (arithmetic-coded / 12-bit /
+    hierarchical) — callers in the media kernels quarantine such rows."""
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -894,6 +895,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
+                if off + 17 > len(seg):
+                    raise ValueError("short DHT segment")
                 cls, tid = seg[off] >> 4, seg[off] & 0xF
                 bits = [0] + list(seg[off + 1 : off + 17])
                 nv = sum(bits)
@@ -901,7 +904,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 htables[(cls, tid)] = _HuffTable(bits, vals)
                 off += 17 + nv
         elif marker == 0xC3:  # SOF3 lossless (predictive, no DCT)
+            if len(seg) < 6:
+                raise ValueError("short SOF3 segment")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("short SOF3 component list")
             if prec != 8:
                 raise ValueError(
                     f"{prec}-bit lossless precision unsupported (8-bit only)"
@@ -921,7 +928,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 c["id"]: np.zeros((h, w), dtype=np.int64) for c in comps
             }
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if len(seg) < 6:
+                raise ValueError("short SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("short SOF component list")
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision unsupported (8-bit only)")
             if not 1 <= nc <= 4:
@@ -953,10 +964,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 for c in comps
             }
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("short DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
+                raise ValueError("short SOS segment")
             ns = seg[0]
             sel = []
             for i in range(ns):

@@ -86,6 +86,9 @@ def build_text_index(
         "bucket",
         n_buckets=N_TERM_BUCKETS,
         files_per_bucket="auto",  # bucket write fan-out scales with corpus
+        # the bucket domain is 0..15 BY CONSTRUCTION (pmod of xxhash64):
+        # explicit bounds skip sampling and pin one bucket per value
+        bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
     )
 
 
@@ -137,12 +140,19 @@ def reindex_docs(
     column, not partition key). Replaces refresh_text_index's
     "caller dedups upstream" contract for changed documents: commit cost
     stays O(re-crawled docs), and a probe after reindex hash-equals a
-    from-scratch rebuild (l36's oracle)."""
+    from-scratch rebuild (l36's oracle). The shadow keys come from the
+    DOCUMENTS, not the generated postings: a re-crawled doc whose new
+    text tokenizes to nothing must still erase its stale postings
+    (review-found hole, pytest-pinned)."""
     from ..plans.lakehouse_mor import upsert_mor
 
     return upsert_mor(
-        spark, table, _postings(docs, id_col, text_col), eq_col="doc_id",
+        spark,
+        table,
+        _postings(docs, id_col, text_col),
+        eq_col="doc_id",
         extra=extra,
+        delete_keys=docs.select(F.col(id_col).alias("doc_id")).distinct(),
     )
 
 
@@ -264,15 +274,9 @@ def text_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")
 
 
-def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-on-miss with a row census (the _ensure_ann_index contract):
-    a committed index is reused iff its posting count still matches the
-    corpus's distinct (doc, token) count — stale scratch rebuilds."""
-    from ..plans.lakehouse import current_version, read_manifest
-
-    table = _scratch(sf_dir, "l32_text_index")
+def _corpus_census(spark: SparkSession, sf_dir: str) -> int:
     d = load_table(spark, sf_dir, "documents")
-    n = (
+    return (
         _fan_out(d)
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -280,12 +284,36 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
         .distinct()
         .count()
     )
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str, name: str, builder) -> str:
+    """Build-on-miss with a row census (the _ensure_ann_index contract):
+    a committed index is reused iff its posting count still matches the
+    corpus's distinct (doc, token) count — stale scratch rebuilds.
+    The positional index has the SAME row grain (one posting per
+    distinct (doc, token)), so the census is shared."""
+    from ..plans.lakehouse import current_version, read_manifest
+
+    table = _scratch(sf_dir, name)
+    n = _corpus_census(spark, sf_dir)
     if current_version(table) > 0:
         man = read_manifest(table)
         if sum(man["stats"][f]["rows"] for f in man["files"]) == n:
             return table
-    build_text_index(spark, d, "doc_id", "text", table)
+    builder(
+        spark, load_table(spark, sf_dir, "documents"), "doc_id", "text", table
+    )
     return table
+
+
+def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure_index(spark, sf_dir, "l32_text_index", build_text_index)
+
+
+def _ensure_positional_index(spark: SparkSession, sf_dir: str) -> str:
+    return _ensure_index(
+        spark, sf_dir, "l38_pos_index", build_positional_index
+    )
 
 
 # --- positional index: phrase search -----------------------------------------
@@ -343,6 +371,7 @@ def build_positional_index(
         "bucket",
         n_buckets=N_TERM_BUCKETS,
         files_per_bucket="auto",
+        bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
     )
 
 
@@ -419,9 +448,7 @@ def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer (phrase/proximity queries). Fully oracled: the DuckDB twin
     enumerates adjacent split positions directly, so the index path and
     the brute-force path must agree to the hash."""
-    d = load_table(spark, sf_dir, "documents")
-    table = _scratch(sf_dir, "l38_pos_index")
-    build_positional_index(spark, d, "doc_id", "text", table)
+    table = _ensure_positional_index(spark, sf_dir)
     return phrase_search(spark, table, ["customer", "join"], k=10).orderBy("rnk")
 
 
@@ -492,9 +519,7 @@ def proximity_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracled: the DuckDB twin enumerates position pairs brute-force
     (DISTINCT start positions = the matcher's qualifying-occurrence
     count)."""
-    d = load_table(spark, sf_dir, "documents")
-    table = _scratch(sf_dir, "l38_pos_index")
-    build_positional_index(spark, d, "doc_id", "text", table)
+    table = _ensure_positional_index(spark, sf_dir)
     return proximity_search(
         spark, table, "customer", "query", slop=3, k=10
     ).orderBy("rnk")
@@ -583,7 +608,12 @@ def search_any_terms(
     probed next to common-light ones — never reach the aggregate
     (pytest-pinned: strictly fewer postings than the naive OR). Result
     is hash-identical to the naive ranking (l37's oracle)."""
-    postings = pruned_postings(spark, table, terms)
+    # consumed by seed window, seed scoring, and the final rank —
+    # materialize once instead of re-running the MOR read per consumer
+    # (merge_partitioned's change-set pattern; review-found)
+    postings = pruned_postings(spark, table, terms).localCheckpoint(
+        eager=False
+    )
     terms = sorted(set(terms))
 
     def rank(src: DataFrame) -> DataFrame:
@@ -651,7 +681,9 @@ def bm25_topk(
     this ranking against an independent numpy reference). Doc length is
     approximated by the doc's total indexed tf — exact for the
     whitespace tokenizer the index uses."""
-    postings = pruned_postings(spark, table, terms)
+    postings = pruned_postings(spark, table, terms).localCheckpoint(
+        eager=False
+    )  # consumed by df-count, seed, and the scoring pass
     from ..plans.lakehouse import read_snapshot
 
     doclen = (

@@ -140,6 +140,7 @@ def upsert_mor(
     max_retries: int = 5,
     extra: dict | None = None,
     eq_col: str | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> int:
     """UPSERT, merge-on-read: append ``rows`` as ordinary bucket data
     files and add a delete file of their keys in the SAME commit. The
@@ -148,9 +149,15 @@ def upsert_mor(
     the appended rows survive their own shadow. ``eq_col`` generalizes
     the shadowed identity beyond the partition key: a re-crawled
     document's fresh postings shadow ALL its old postings by ``doc_id``
-    in one atomic commit, whatever term buckets they sat in. Commit
-    cost is O(change-set): no existing file is read or rewritten."""
+    in one atomic commit, whatever term buckets they sat in.
+    ``delete_keys`` overrides the shadow set when it must be WIDER than
+    the new rows' own keys — a re-crawled doc whose new text yields
+    ZERO postings still needs its old postings shadowed (review-found
+    hole). Commit cost is O(change-set): no existing file is read or
+    rewritten."""
     rows = rows.localCheckpoint(eager=False)  # feeds data files AND delete keys
+    if delete_keys is not None:
+        delete_keys = delete_keys.localCheckpoint(eager=False)
     for _ in range(max_retries + 1):
         version = current_version(table)
         man = read_manifest(table, version)
@@ -161,7 +168,11 @@ def upsert_mor(
             rows, table, key, part["bounds"], version + 1
         )
         dentries = _write_delete_file(
-            spark, table, rows.select(dcol), dcol, version + 1
+            spark,
+            table,
+            delete_keys if delete_keys is not None else rows.select(dcol),
+            dcol,
+            version + 1,
         )
         manifest = _partitioned_manifest(
             version + 1,

@@ -172,13 +172,16 @@ def _ensure_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id", "text")
         .collect()
     )
-    tag = (
-        _WARC_FIXTURE_TAG
-        + ":"
-        + _hashlib.sha256(
-            ";".join(f"{i}:{len(t)}" for i, t in rows).encode()
-        ).hexdigest()
-    )
+    # hash the CONTENT, not lengths: unlike the formula-derived image
+    # fixtures, the payload here IS the text, so a regenerated corpus
+    # with length-preserving changes must invalidate the shards
+    # (review-found)
+    h = _hashlib.sha256()
+    for i, t in rows:
+        h.update(str(i).encode())
+        h.update(t.encode())
+        h.update(b"\x00")
+    tag = _WARC_FIXTURE_TAG + ":" + h.hexdigest()
     try:
         with open(manifest) as f:
             if f.read() == tag:

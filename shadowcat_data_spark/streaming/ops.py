@@ -1633,10 +1633,14 @@ def upsert_media_digests(
         )
     )
     if not current_version(table):
+        # the shard domain is 0..N-1 BY CONSTRUCTION — pass the bounds
+        # explicitly so a small first batch cannot freeze a collapsed
+        # bucket layout for the table's lifetime (review-found)
         create_partitioned(
             spark, partial, table, _T26_DDL, "shard",
             n_buckets=N_DIGEST_SHARDS, extra={"batch_id": batch_id},
             files_per_bucket="auto",
+            bounds=[float(i) for i in range(1, N_DIGEST_SHARDS)],
         )
         return
 

@@ -4227,3 +4227,75 @@ def test_warc_container_roundtrip_and_gates():
     ]:
         with _pytest.raises(ValueError):
             parse_warc(bad)
+
+
+def test_reindex_empty_text_erases_stale_postings(spark, tmp_path):
+    """Review-found hole: a re-crawled doc whose corrected text yields
+    ZERO tokens (empty/whitespace/NULL) produced no postings and
+    therefore no delete keys — its stale postings stayed live forever.
+    The shadow set now comes from the DOCUMENTS: after reindexing doc 1
+    to '', its old postings stop matching and the index equals a
+    from-scratch rebuild of the corrected corpus."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "beta")],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "emptyreidx")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    TI.reindex_docs(
+        spark,
+        spark.createDataFrame([(1, ""), (3, None)], "doc_id long, text string"),
+        "doc_id", "text", table,
+    )
+    snap = sorted(
+        (r.doc_id, r.tok, r.tf)
+        for r in LH.read_snapshot(spark, table).collect()
+    )
+    assert snap == [(2, "alpha", 1), (2, "gamma", 1)], snap
+    assert TI.probe_text_index(spark, table, ["beta"], k=5).count() == 0
+
+
+def test_jpeg_marker_length_corruption_raises_valueerror():
+    """Review-found quarantine breach: a corrupt marker LENGTH field can
+    shrink a segment below its fixed header size, which used to escape
+    as struct.error/IndexError. Every such truncation must be
+    ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from shadowcat_data_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_lossless,
+    )
+
+    def with_short_len(buf: bytes, marker: int, new_len: int) -> bytes:
+        i = buf.find(bytes([0xFF, marker]))
+        assert i >= 0
+        old_len = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+        # shrink the declared length and splice out the dropped bytes so
+        # the parser's seg-length check passes with a SHORT segment
+        return (
+            buf[: i + 2]
+            + struct.pack(">H", new_len)
+            + buf[i + 4 : i + 2 + new_len]
+            + buf[i + 2 + old_len :]
+        )
+
+    base = encode_jpeg_baseline(
+        np.zeros((8, 8), np.uint8), quality=90
+    )
+    jls = encode_jpeg_lossless(np.zeros((8, 8), np.uint8))
+    for payload, marker, ln in [
+        (base, 0xC0, 5), (base, 0xC0, 7),   # short SOF0 / short comp list
+        (jls, 0xC3, 5), (jls, 0xC3, 7),     # short SOF3
+        (base, 0xC4, 10),                   # short DHT
+        (base, 0xDA, 2), (base, 0xDA, 4),   # empty/short SOS
+    ]:
+        with _pytest.raises(ValueError):
+            decode_jpeg(with_short_len(payload, marker, ln))
