@@ -525,6 +525,56 @@ def proximity_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rnk")
 
 
+@query(
+    "m48_index_auto_optimize",
+    oracle=_TF_CTE
+    + """
+SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT tok, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf WHERE tok IN ('join', 'filter', 'customer')
+) WHERE rnk <= 5
+""",
+    category="maintenance",
+)
+def index_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index's SCHEDULED-MAINTENANCE story: a lifetime of small
+    commits — build on a mis-crawled slice, two append refreshes
+    (small files accumulate per bucket), one MOR re-crawl (a standing
+    doc_id delete file) — then ONE ``auto_optimize`` call must decide,
+    from manifest stats alone, to materialize the delete and compact
+    the buckets; the optimized index answers probes hash-identically to
+    the full-corpus truth (the same oracle every index tier carries).
+    A pytest additionally pins the action list and the file-count
+    shrink; this registered query is the driver-checkable behavior."""
+    from ..plans.lakehouse import auto_optimize
+
+    d = load_table(spark, sf_dir, "documents")
+    table = _scratch(sf_dir, "m48_text_index")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 4, F.lit("stalefiller stalefiller")
+        ).otherwise(F.col("text")),
+    )
+    build_text_index(
+        spark, stale.filter(F.col("doc_id") < 300), "doc_id", "text", table
+    )
+    refresh_text_index(
+        spark,
+        stale.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
+        "doc_id", "text", table,
+    )
+    refresh_text_index(
+        spark, stale.filter(F.col("doc_id") >= 400), "doc_id", "text", table
+    )
+    reindex_docs(
+        spark, d.filter(F.col("doc_id") % 9 == 4), "doc_id", "text", table
+    )
+    auto_optimize(spark, table)
+    return probe_text_index(spark, table, _PROBE_TERMS, k=5).orderBy("tok", "rnk")
+
+
 # --- conjunctive retrieval and BM25 ranking over the same index --------------
 
 

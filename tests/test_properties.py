@@ -4299,3 +4299,98 @@ def test_jpeg_marker_length_corruption_raises_valueerror():
     ]:
         with _pytest.raises(ValueError):
             decode_jpeg(with_short_len(payload, marker, ln))
+
+
+def test_index_auto_optimize_actions_and_files(spark, tmp_path):
+    """m48's decision layer: after two append refreshes (multi-file
+    buckets) and one MOR re-crawl (standing delete file),
+    auto_optimize must choose materialize THEN compact from manifest
+    stats alone, the optimized table must hold strictly fewer files
+    with zero standing deletes, and every retrieval tier answers
+    identically before/after."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i % 13} beta") for i in range(120)],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "m48idx")
+    TI.build_text_index(
+        spark, docs.filter(F.col("doc_id") < 60), "doc_id", "text", table
+    )
+    TI.refresh_text_index(
+        spark,
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)),
+        "doc_id", "text", table,
+    )
+    TI.refresh_text_index(
+        spark, docs.filter(F.col("doc_id") >= 90), "doc_id", "text", table
+    )
+    TI.reindex_docs(
+        spark,
+        spark.createDataFrame([(7, "alpha recrawled")], "doc_id long, text string"),
+        "doc_id", "text", table,
+    )
+    man = LH.read_manifest(table)
+    files_before = len(man["files"])
+    assert man.get("delete_files"), "re-crawl must leave a standing delete"
+    before = sorted(
+        (r.tok, r.doc_id, r.tf)
+        for r in TI.probe_text_index(spark, table, ["alpha", "beta"], k=1000).collect()
+    )
+    actions = LH.auto_optimize(spark, table)
+    # materialize must run FIRST (the standing delete gates everything);
+    # what follows depends on layout state — the eq-col fold already
+    # leaves single-file buckets, so compact may be unnecessary while
+    # term-frequency skew legitimately triggers rebound
+    assert actions and actions[0].startswith("materialize"), actions
+    man2 = LH.read_manifest(table)
+    assert not man2.get("delete_files")
+    assert len(man2["files"]) < files_before
+    after = sorted(
+        (r.tok, r.doc_id, r.tf)
+        for r in TI.probe_text_index(spark, table, ["alpha", "beta"], k=1000).collect()
+    )
+    assert before == after
+
+
+def test_wand_pruning_exact_on_random_corpora(spark, tmp_path):
+    """Randomized exactness sweep for the WAND tiers: over several
+    random corpora/term mixes, search_any_terms must equal the naive
+    OR ranking computed directly from the postings — whatever the
+    seed/UB/theta interplay does (prune a lot, a little, or nothing)."""
+    import random
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    rng = random.Random(23)
+    vocab = [f"w{j}" for j in range(12)]
+    for trial in range(3):
+        rows = []
+        for i in range(150):
+            n = rng.randint(1, 25)
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+            # a rare-heavy injection on some trials to force pruning
+            if trial and i % 37 == 0:
+                words += ["heavy"] * rng.randint(20, 60)
+            rows.append((i, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        table = str(tmp_path / f"rnd{trial}")
+        TI.build_text_index(spark, docs, "doc_id", "text", table)
+        terms = rng.sample(vocab, 3) + (["heavy"] if trial else [])
+        k = rng.choice([3, 5, 10])
+        got = [
+            (r.doc_id, r.total_tf, r.rnk)
+            for r in TI.search_any_terms(spark, table, terms, k).collect()
+        ]
+        # naive truth straight from the postings
+        tf: dict[int, int] = {}
+        for i, t in rows:
+            c = sum(t.split().count(term) for term in set(terms))
+            if c:
+                tf[i] = c
+        ref = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        assert got == [(d, c, j + 1) for j, (d, c) in enumerate(ref)], (
+            trial, terms, k
+        )
