@@ -1749,7 +1749,7 @@ def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tf AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok FROM documents)
   WHERE tok <> '' GROUP BY doc_id, tok
 )
 SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -1843,7 +1843,7 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tf AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok FROM documents)
   WHERE tok <> '' GROUP BY doc_id, tok
 )
 SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (

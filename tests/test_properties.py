@@ -3990,15 +3990,16 @@ def test_bm25_wand_pruning_is_exact(spark, tmp_path):
 
 def test_phrase_search_semantics(spark, tmp_path):
     """l38's phrase matcher in isolation: multi-term chains, repeated
-    terms, overlapping occurrences, the raw-split coordinate contract
-    (a double space breaks adjacency — same as the oracle's l[i]/l[i+1]
-    over the unfiltered split), and the no-hit/empty edges."""
+    terms, overlapping occurrences, the ANALYZED coordinate contract
+    (case and punctuation/whitespace runs normalize away, so
+    "a,  B." is adjacent to a following token — same as the oracle's
+    l[i]/l[i+1] over the analyzed split), and the no-hit/empty edges."""
     from shadowcat_data_spark.pipeline import text_index as TI
 
     docs = spark.createDataFrame(
         [
             (1, "a b c a b"),          # "a b" twice, "a b c" once
-            (2, "a  b"),               # double space: NOT adjacent
+            (2, "a  B."),              # analyzer: still adjacent "a b"
             (3, "b a"),                # reversed: no match
             (4, "x a b c y a b c"),    # "a b c" twice
             (5, "t t t"),              # repeated-term phrase "t t" twice
@@ -4009,7 +4010,11 @@ def test_phrase_search_semantics(spark, tmp_path):
     TI.build_positional_index(spark, docs, "doc_id", "text", table)
 
     ab = {r.doc_id: r.n_matches for r in TI.phrase_search(spark, table, ["a", "b"], k=10).collect()}
-    assert ab == {1: 2, 4: 2}
+    assert ab == {1: 2, 2: 1, 4: 2}
+    # probe-side analyzer: a punctuated phrase string analyzes to the
+    # same token sequence
+    ab2 = {r.doc_id: r.n_matches for r in TI.phrase_search(spark, table, ["A,", "b!"], k=10).collect()}
+    assert ab2 == ab
     abc = {r.doc_id: r.n_matches for r in TI.phrase_search(spark, table, ["a", "b", "c"], k=10).collect()}
     assert abc == {1: 1, 4: 2}
     tt = {r.doc_id: r.n_matches for r in TI.phrase_search(spark, table, ["t", "t"], k=10).collect()}
@@ -4394,3 +4399,191 @@ def test_wand_pruning_exact_on_random_corpora(spark, tmp_path):
         assert got == [(d, c, j + 1) for j, (d, c) in enumerate(ref)], (
             trial, terms, k
         )
+
+
+def test_bm25_probe_reads_only_probed_buckets(spark, tmp_path, monkeypatch):
+    """The r07 plan-weak fix, pinned: a BM25 probe opens ONLY the files
+    whose bucket span covers the probed terms (postings AND the __terms
+    sidecar), and the plan contains NO full-index read (read_snapshot is
+    bombed for the duration) and NO corpus scan (the scoring constants
+    come from the manifest's corpus_stats)."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha w{i % 97} beta" if i % 2 else f"gamma w{i % 97} delta")
+            for i in range(400)
+        ],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "bidx")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    terms = ["alpha"]
+    probed = {
+        int(r[0])
+        for r in spark.createDataFrame([(t,) for t in terms], "tok string")
+        .select(F.pmod(F.xxhash64("tok"), F.lit(TI.N_TERM_BUCKETS)))
+        .collect()
+    }
+    opened: list[tuple[str, list]] = []
+    orig = LH._read_files_mor
+
+    def spy(spark_, table_, man_, files_, *a, **k):
+        opened.append((table_, list(files_)))
+        return orig(spark_, table_, man_, files_, *a, **k)
+
+    monkeypatch.setattr(LH, "_read_files_mor", spy)
+
+    def bomb(*a, **k):
+        raise AssertionError("bm25 probe scanned a full snapshot")
+
+    monkeypatch.setattr(LH, "read_snapshot", bomb)
+    got = TI.bm25_topk(spark, table, terms, k=5).collect()
+    assert len(got) == 5 and all(r.score > 0 for r in got)
+    assert opened, "probe did not go through the pruned read"
+    for tbl, files in opened:
+        man = LH.read_manifest(tbl)
+        stats = man["stats"]
+        for f in files:
+            lo, hi = stats[f]["min"], stats[f]["max"]
+            assert lo is None or any(lo <= b <= hi for b in probed), (
+                tbl, f, lo, hi,
+            )
+        assert len(files) < len(man["files"]), f"no pruning on {tbl}"
+
+
+def test_term_sidecar_bounds_sound_and_recompute_exact(spark, tmp_path):
+    """The __terms sidecar invariant across the full lifecycle: after
+    build + refresh + re-crawl + delete, UB(t) >= the true max live tf
+    for EVERY live term (stale-high is allowed — Lucene's
+    deleted-docs-until-merge), a term introduced only by the re-crawl
+    has a nonzero bound, and recompute_index_stats re-exacts both the
+    bounds and the corpus_stats to the from-scratch values."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7}" if i % 2 else f"gamma alpha") for i in range(60)],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "sidx")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    TI.refresh_text_index(
+        spark,
+        spark.createDataFrame(
+            [(100 + i, "alpha alpha alpha fresh") for i in range(5)],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", table,
+    )
+    TI.reindex_docs(
+        spark,
+        spark.createDataFrame(
+            [(0, "brandnew brandnew"), (2, "beta beta beta beta")],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", table,
+    )
+    TI.remove_docs_from_index(
+        spark,
+        table,
+        spark.createDataFrame([(100 + i,) for i in range(5)], "doc_id long"),
+    )
+    live = (
+        LH.read_snapshot(spark, table)
+        .groupBy("tok")
+        .agg(F.max("tf").alias("mx"))
+        .collect()
+    )
+    truth = {r.tok: r.mx for r in live}
+    ubs = TI._term_upper_bounds(spark, table, sorted(truth))
+    for t, mx in truth.items():
+        assert ubs[t] >= mx, (t, ubs[t], mx)
+    assert ubs["brandnew"] >= 2  # re-crawl-introduced term has a bound
+    # stale-high is expected here: the deleted docs' alpha=3 postings
+    # still back the bound
+    assert ubs["alpha"] >= 3
+    TI.recompute_index_stats(spark, table)
+    ubs2 = TI._term_upper_bounds(spark, table, sorted(truth) + ["fresh"])
+    for t, mx in truth.items():
+        assert ubs2[t] == mx, (t, ubs2[t], mx)
+    assert ubs2["fresh"] == 0  # erased with its only docs
+    # corpus_stats re-exacted to the live corpus
+    cs = TI.index_corpus_stats(table)
+    live_docs = (
+        LH.read_snapshot(spark, table)
+        .groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+    )
+    assert cs == {"n_docs": int(live_docs["n"]), "sum_dl": int(live_docs["s"])}
+    # and the recomputed sidecar matches a from-scratch build's sidecar
+    live_df = LH.read_snapshot(spark, table).select("doc_id", "tok", "tf")
+    scratch = str(tmp_path / "scratch")
+    docs_live = (
+        LH.read_snapshot(spark, table)
+        .groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.flatten(F.collect_list(F.array_repeat("tok", F.col("tf").cast("int"))))).alias("text"))
+    )
+    TI.build_text_index(spark, docs_live, "doc_id", "text", scratch)
+    a = sorted(
+        (r.tok, r.df, r.max_tf)
+        for r in LH.read_snapshot(spark, TI._terms_table(table))
+        .groupBy("tok").agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+        .select("tok", "df", "max_tf").collect()
+    )
+    b = sorted(
+        (r.tok, r.df, r.max_tf)
+        for r in LH.read_snapshot(spark, TI._terms_table(scratch))
+        .groupBy("tok").agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf"))
+        .select("tok", "df", "max_tf").collect()
+    )
+    assert a == b
+
+
+def test_ensure_index_stamp_probe_never_rescans_corpus(spark, tmp_path, monkeypatch):
+    """VERDICT r07 #6 + ADVICE: the build-on-miss ensure trusts a current
+    index from the manifest's corpus STAMP alone (no corpus read, no
+    re-tokenize on the probe path), rebuilds when the fixture file
+    changes, and refuses to trust an index carrying standing delete
+    files."""
+    import os
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    sf_dir = str(tmp_path / "sf")
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i} beta") for i in range(50)], "doc_id long, text string"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    table = TI._ensure_index(spark, sf_dir, "tidx", TI.build_text_index)
+    v1 = LH.current_version(table)
+
+    def bomb(*a, **k):
+        raise AssertionError("ensure re-tokenized a current corpus")
+
+    monkeypatch.setattr(TI, "_postings", bomb)
+    # current index: reused with zero corpus work
+    assert TI._ensure_index(spark, sf_dir, "tidx", TI.build_text_index) == table
+    assert LH.current_version(table) == v1
+    assert TI.probe_text_index(spark, table, ["alpha"], k=3).count() == 3
+    monkeypatch.undo()
+    # corpus changed on disk -> stamp mismatch -> rebuild
+    spark.createDataFrame(
+        [(i, f"zeta w{i}") for i in range(50)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    TI._ensure_index(spark, sf_dir, "tidx", TI.build_text_index)
+    assert TI.probe_text_index(spark, table, ["zeta"], k=3).count() == 3
+    assert TI.probe_text_index(spark, table, ["alpha"], k=3).count() == 0
+    # a standing delete file disqualifies reuse even with a matching stamp
+    TI.remove_docs_from_index(
+        spark, table, spark.createDataFrame([(0,)], "doc_id long")
+    )
+    assert LH.read_manifest(table).get("delete_files")
+    TI._ensure_index(spark, sf_dir, "tidx", TI.build_text_index)
+    assert not LH.read_manifest(table).get("delete_files"), "rebuild expected"
