@@ -779,6 +779,64 @@ def proximity_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l42_positional_lifecycle",
+    oracle=f"""
+WITH live AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 5
+), toks AS (
+  SELECT doc_id, {_an_duck()} AS l FROM live
+), hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM toks, UNNEST(range(1, len(l))) AS t(i)
+  WHERE l[i] = 'customer' AND l[i+1] = 'join'
+  GROUP BY doc_id
+)
+SELECT doc_id, n_matches, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT doc_id, n_matches,
+         ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id) AS rnk
+  FROM hits
+) WHERE rnk <= 10
+""",
+    category="pipeline-text",
+)
+def positional_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l36 lifecycle, POSITIONAL tier (VERDICT r07 #2 — a re-crawled
+    document must not leave stale phrase matches): seed the positional
+    index with a mis-crawl whose stale text CONTAINS the probed phrase
+    (so any erasure failure surfaces as top-ranked ghosts), then
+    (1) re-index the slice with the true text — same atomic MOR upsert,
+    ``postings_fn=_positional_postings`` is the only delta, (2) DELETE
+    another slice, (3) fold with ``materialize_deletes``. The phrase
+    probe must hash-equal a brute-force phrase count over the surviving
+    true corpus — which is what the oracle computes directly."""
+    from ..plans.lakehouse_mor import materialize_deletes
+
+    d = load_table(spark, sf_dir, "documents")
+    table = _scratch(sf_dir, "l42_pos_index")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.lit("customer join customer join customer join"),
+        ).otherwise(F.col("text")),
+    )
+    build_positional_index(spark, stale, "doc_id", "text", table)
+    reindex_docs(
+        spark,
+        d.filter(F.col("doc_id") % 7 == 3),
+        "doc_id",
+        "text",
+        table,
+        postings_fn=_positional_postings,
+    )
+    remove_docs_from_index(
+        spark, table, d.filter(F.col("doc_id") % 11 == 5).select("doc_id")
+    )
+    materialize_deletes(spark, table)
+    return phrase_search(spark, table, ["customer", "join"], k=10).orderBy("rnk")
+
+
+@query(
     "m48_index_auto_optimize",
     oracle=_TF_CTE
     + """

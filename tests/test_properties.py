@@ -4587,3 +4587,70 @@ def test_ensure_index_stamp_probe_never_rescans_corpus(spark, tmp_path, monkeypa
     assert LH.read_manifest(table).get("delete_files")
     TI._ensure_index(spark, sf_dir, "tidx", TI.build_text_index)
     assert not LH.read_manifest(table).get("delete_files"), "rebuild expected"
+
+
+def test_positional_lifecycle_erases_stale_phrases(spark, tmp_path):
+    """l42/t29's core claim in isolation: after a re-crawl through
+    ``reindex_docs(postings_fn=_positional_postings)``, the OLD text's
+    phrase matches are gone (one atomic commit — probe sees either all
+    stale or all fresh, never a mix), a DELETE erases the doc's phrase
+    matches entirely, and the folded index hash-equals a from-scratch
+    positional rebuild of the surviving corpus."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans.lakehouse_mor import materialize_deletes
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b x"),
+            (2, "a b a b"),      # re-crawled: stale phrase twice
+            (3, "c d"),
+            (4, "a b"),          # deleted
+        ],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "plc")
+    TI.build_positional_index(spark, docs, "doc_id", "text", table)
+    assert {
+        r.doc_id: r.n_matches
+        for r in TI.phrase_search(spark, table, ["a", "b"], k=10).collect()
+    } == {1: 1, 2: 2, 4: 1}
+    # re-crawl doc 2: phrase gone from its new text, new phrase appears
+    TI.reindex_docs(
+        spark,
+        spark.createDataFrame([(2, "c d c")], "doc_id long, text string"),
+        "doc_id", "text", table,
+        postings_fn=TI._positional_postings,
+    )
+    TI.remove_docs_from_index(
+        spark, table, spark.createDataFrame([(4,)], "doc_id long")
+    )
+    got = {
+        r.doc_id: r.n_matches
+        for r in TI.phrase_search(spark, table, ["a", "b"], k=10).collect()
+    }
+    assert got == {1: 1}, got  # stale matches erased, deleted doc gone
+    assert {
+        r.doc_id: r.n_matches
+        for r in TI.phrase_search(spark, table, ["c", "d"], k=10).collect()
+    } == {2: 1, 3: 1}
+    # folding changes nothing a probe can see, and equals a rebuild
+    materialize_deletes(spark, table)
+    rebuilt = str(tmp_path / "plc2")
+    TI.build_positional_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "a b x"), (2, "c d c"), (3, "c d")],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", rebuilt,
+    )
+    for terms in (["a", "b"], ["c", "d"], ["b"]):
+        a = sorted(
+            (r.doc_id, r.n_matches, r.rnk)
+            for r in TI.phrase_search(spark, table, terms, k=10).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.n_matches, r.rnk)
+            for r in TI.phrase_search(spark, rebuilt, terms, k=10).collect()
+        )
+        assert a == b, (terms, a, b)
