@@ -4654,3 +4654,63 @@ def test_positional_lifecycle_erases_stale_phrases(spark, tmp_path):
             for r in TI.phrase_search(spark, rebuilt, terms, k=10).collect()
         )
         assert a == b, (terms, a, b)
+
+
+def test_hybrid_rerank_fetchback_is_bloom_point_lookup(spark, tmp_path, monkeypatch):
+    """VERDICT r07 #4, pinned: l41's dense stage fetches candidates from
+    the lakehouse embedding table through the m45 bloom point-lookup —
+    the warm probe (both ensure-tables current) touches NO fixture table
+    (load_table is bombed) and opens strictly fewer embedding files than
+    the table holds; quantization therefore runs on the fetched rows
+    only. Results are identical across cold and warm runs."""
+    import os
+
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    sf = str(tmp_path / "sf")
+    rng = np.random.RandomState(11)
+    docs = [
+        (i, "customer alpha beta" if i in (3, 7, 11) else f"w{i % 13} gamma")
+        for i in range(200)
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        2
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    emb = [
+        (i, [float(x) for x in rng.standard_normal(8).astype(np.float32)])
+        for i in range(200)
+    ]
+    spark.createDataFrame(emb, "vec_id long, embedding array<float>").coalesce(
+        2
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    cold = TI.hybrid_rerank(spark, sf).collect()
+    assert [r.doc_id for r in cold] and len(cold) <= 10
+    opened: list[tuple[str, int]] = []
+    orig = LH._read_files_mor
+
+    def spy(spark_, table_, man_, files_, *a, **k):
+        opened.append((table_, len(list(files_))))
+        return orig(spark_, table_, man_, files_, *a, **k)
+
+    from shadowcat_data_spark.plans import lakehouse_zorder as LZ
+
+    monkeypatch.setattr(LH, "_read_files_mor", spy)
+    # scan_point binds the name at import time — patch that module too
+    monkeypatch.setattr(LZ, "_read_files_mor", spy)
+
+    def bomb(*a, **k):
+        raise AssertionError("warm l41 probe read a fixture table")
+
+    monkeypatch.setattr(TI, "load_table", bomb)
+    warm = TI.hybrid_rerank(spark, sf).collect()
+    assert warm == cold
+    etable = TI._scratch(sf, "l41_emb_table")
+    eman = LH.read_manifest(etable)
+    eopens = [n for t, n in opened if os.path.normpath(t) == os.path.normpath(etable)]
+    assert eopens, "dense stage did not go through the lakehouse table"
+    assert all(n < len(eman["files"]) for n in eopens), (
+        eopens, len(eman["files"]),
+    )
