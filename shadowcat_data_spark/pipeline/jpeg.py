@@ -1038,8 +1038,11 @@ def _apply_lossless_scan(
     """One SOF3 scan: raster order, one Huffman-coded DIFF per sample
     (DC-style categories; SSSS=16 is the no-extra-bits 32768 case),
     interleaved across the scan's components, modulo-2^16 arithmetic.
-    A restart resets every component's prediction to the default, per
-    H.2.2."""
+    A restart resets prediction to the SCAN-START rules, per H.1.1: the
+    interval's first sample predicts from the default (2^(P-1)) and the
+    REMAINDER OF THAT LINE uses the Ra (left-neighbor) predictor — not
+    just the single restart sample (ADVICE r07); later lines resume the
+    selected predictor."""
     if not 1 <= sv <= 7:
         raise ValueError(f"lossless predictor {sv} out of range 1-7")
     if se != 0 or ah != 0:
@@ -1059,6 +1062,7 @@ def _apply_lossless_scan(
     seg_idx = 0
     rdr = _BitReader(segments[0])
     fresh = {cs: False for cs, _ in comps}  # post-restart prediction reset
+    restart_y = 0  # row holding the current interval's first line
     count = 0
     for y in range(h):
         for x in range(w):
@@ -1069,11 +1073,16 @@ def _apply_lossless_scan(
                 rdr = _BitReader(segments[seg_idx])
                 for cs, _ in comps:
                     fresh[cs] = True
+                restart_y = y
             for cs, tab in comps:
                 plane = state[cs]
                 if fresh[cs]:
                     pred = default
                     fresh[cs] = False
+                elif y == restart_y:
+                    # the interval's first line: Ra to the row's end
+                    # (scan start is interval 0 — same first-line rule)
+                    pred = int(plane[y, x - 1]) if x else default
                 else:
                     pred = _lossless_predict(plane, y, x, sv, default)
                 s = tab.decode(rdr)
@@ -1101,14 +1110,20 @@ def _finish_lossless(frame, state) -> np.ndarray:
     raise ValueError(f"{len(planes)}-component lossless output unsupported")
 
 
-def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
+def encode_jpeg_lossless(
+    px: np.ndarray, predictor: int = 4, restart_interval: int = 0
+) -> bytes:
     """Serialize pixels as a LOSSLESS (SOF3) JPEG: no DCT, no
     quantization — each sample is a Huffman-coded difference from its
     neighborhood prediction (T.81 annex H). Components are stored RAW
     (grayscale or RGB, 1x1 sampling), so decode is bit-exact:
     decode_jpeg(encode_jpeg_lossless(px)) == px for every input, which
     is what lets mm_jpeg_lossless carry a FULL per-pixel oracle like
-    PNG/FLAC. Uses a flat 5-bit table over the 17 DIFF categories."""
+    PNG/FLAC. Uses a flat 5-bit table over the 17 DIFF categories.
+    ``restart_interval`` > 0 emits DRI + byte-aligned RSTn every that
+    many samples with the H.1.1 prediction reset (default at the
+    interval start, Ra for the rest of that line) — the round-trip
+    oracle for the decoder's restart path (ADVICE r07)."""
     if px.dtype != np.uint8 or px.ndim not in (2, 3):
         raise ValueError(f"expected (h,w[,3]) uint8 pixels, got {px.shape} {px.dtype}")
     if px.ndim == 3 and px.shape[2] != 3:
@@ -1128,6 +1143,8 @@ def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
     bits, vals, enc = _flat_table(list(range(17)), 5)
     body = bytes([0x00]) + bytes(bits[1:]) + bytes(vals)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     hdr = bytes([nc])
     for i in range(nc):
         hdr += bytes([i + 1, 0x00])
@@ -1135,10 +1152,26 @@ def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
     wtr = _BitWriter()
     default = 1 << 7
     iplanes = [p.astype(np.int64) for p in planes]
+    scan = bytearray()
+    rst = count = 0
+    fresh = False
+    restart_y = 0
     for y in range(h):
         for x in range(w):
+            if restart_interval and count and count % restart_interval == 0:
+                scan += wtr.flush()
+                scan += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                wtr = _BitWriter()
+                fresh = True
+                restart_y = y
             for p in iplanes:
-                pred = _lossless_predict(p, y, x, predictor, default)
+                if fresh:
+                    pred = default
+                elif y == restart_y:
+                    pred = int(p[y, x - 1]) if x else default
+                else:
+                    pred = _lossless_predict(p, y, x, predictor, default)
                 d = int(p[y, x]) - pred
                 d = ((d + 32768) & 0xFFFF) - 32768
                 if d == -32768:
@@ -1149,7 +1182,9 @@ def encode_jpeg_lossless(px: np.ndarray, predictor: int = 4) -> bytes:
                 wtr.put(code, ln)
                 if 0 < s < 16:
                     wtr.put(d if d >= 0 else d + (1 << s) - 1, s)
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + wtr.flush()
+            fresh = False
+            count += 1
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + scan + wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
 

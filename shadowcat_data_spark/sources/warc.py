@@ -44,6 +44,19 @@ def encode_warc(records: list[dict], compress: bool = True) -> bytes:
     out = bytearray()
     for rec in records:
         body = rec["body"]
+        # header values are interpolated into the CRLF-delimited header
+        # block: an embedded CR/LF would smuggle extra header lines and
+        # corrupt record framing for every downstream parser (ADVICE r07)
+        for s in (
+            rec["type"],
+            rec["uri"],
+            rec.get("id", "0"),
+            *(x for kv in rec.get("extra", {}).items() for x in kv),
+        ):
+            if "\r" in s or "\n" in s:
+                raise ValueError(
+                    f"WARC header field contains CR/LF: {s!r}"
+                )
         hdrs = [
             b"WARC/1.0",
             b"WARC-Type: " + rec["type"].encode(),

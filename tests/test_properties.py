@@ -4714,3 +4714,62 @@ def test_hybrid_rerank_fetchback_is_bloom_point_lookup(spark, tmp_path, monkeypa
     assert all(n < len(eman["files"]) for n in eopens), (
         eopens, len(eman["files"]),
     )
+
+
+def test_lossless_jpeg_restart_intervals_roundtrip():
+    """ADVICE r07: SOF3 restart handling per T.81 H.1.1 — after an RST
+    the whole remainder of that LINE uses the scan-start rules (default
+    prediction at the restart sample, Ra afterwards), not just one
+    sample. Pinned by bit-exact round-trips across every predictor,
+    gray and RGB, and intervals that land at row starts, mid-row, and
+    every-sample."""
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(5)
+    for trial in range(6):
+        h, w = rng.randint(2, 13), rng.randint(2, 13)
+        color = trial % 2 == 0
+        px = rng.randint(
+            0, 256, size=(h, w, 3) if color else (h, w), dtype=np.uint8
+        )
+        for pred in range(1, 8):
+            for ri in (1, 3, w, w + 2):
+                buf = encode_jpeg_lossless(px, predictor=pred, restart_interval=ri)
+                assert np.array_equal(decode_jpeg(buf), px), (trial, pred, ri)
+    # truncated restart stream fails clean
+    import pytest as _pytest
+
+    px = rng.randint(0, 256, size=(6, 6), dtype=np.uint8)
+    buf = encode_jpeg_lossless(px, restart_interval=3)
+    with _pytest.raises(ValueError):
+        decode_jpeg(buf[: len(buf) // 2] + b"\xff\xd9")
+
+
+def test_warc_header_values_reject_crlf():
+    """ADVICE r07: a header value containing CR/LF would smuggle extra
+    header lines into the CRLF-delimited block and corrupt record
+    framing — encode_warc refuses it."""
+    import pytest as _pytest
+
+    from shadowcat_data_spark.sources.warc import encode_warc, parse_warc
+
+    ok = encode_warc(
+        [{"type": "response", "uri": "http://x/a", "body": b"hi",
+          "extra": {"X-K": "v"}}]
+    )
+    assert parse_warc(ok)
+    for bad in (
+        {"type": "response", "uri": "http://x/a\r\nWARC-Evil: 1", "body": b""},
+        {"type": "res\nponse", "uri": "http://x/a", "body": b""},
+        {"type": "response", "uri": "http://x/a", "body": b"",
+         "extra": {"X-K": "v\r\n"}},
+        {"type": "response", "uri": "http://x/a", "body": b"",
+         "extra": {"X\rK": "v"}},
+    ):
+        with _pytest.raises(ValueError):
+            encode_warc([bad])
