@@ -980,7 +980,11 @@ def _term_upper_bounds(
 
 
 def search_any_terms(
-    spark: SparkSession, table: str, terms: list[str], k: int
+    spark: SparkSession,
+    table: str,
+    terms: list[str],
+    k: int,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Disjunctive (OR) top-k, EXACT, with WAND-style pruning (r06
     "What's missing" #2): docs containing ANY probed term ranked by
@@ -1032,7 +1036,21 @@ def search_any_terms(
         ),
         reverse=True,
     )
+    def measure(kept: DataFrame | None, n_weak: int, theta) -> None:
+        # diagnostics only (BASELINE.md's pruning-ratio rows): counting
+        # costs extra actions, so it runs ONLY when a dict is passed
+        if stats_out is None:
+            return
+        naive = postings.count()
+        stats_out.update(
+            naive_postings=naive,
+            kept_postings=naive if kept is None else kept.count(),
+            n_weak=n_weak,
+            theta=theta,
+        )
+
     if len(seed_scores) < k:
+        measure(None, 0, None)
         return rank(postings)  # fewer candidates than k: nothing to prune
     theta = int(seed_scores[k - 1])
     ubs = _term_upper_bounds(spark, table, terms)
@@ -1045,6 +1063,7 @@ def search_any_terms(
         else:
             break
     if not weak:
+        measure(None, 0, theta)
         return rank(postings)
     strong = [t for t in terms if t not in set(weak)]
     strong_postings = postings.filter(F.col("tok").isin(strong))
@@ -1052,7 +1071,9 @@ def search_any_terms(
     kept_weak = postings.filter(F.col("tok").isin(weak)).join(
         strong_doc_ids, "doc_id", "left_semi"
     )
-    return rank(strong_postings.unionByName(kept_weak))
+    kept = strong_postings.unionByName(kept_weak)
+    measure(kept, len(weak), theta)
+    return rank(kept)
 
 
 def bm25_topk(
@@ -1064,6 +1085,7 @@ def bm25_topk(
     avg_len: float | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """BM25-ranked retrieval over the index's exact (tf, df, dl)
     columns. The log idf is a transcendental, so this tier is rows-only
@@ -1142,7 +1164,19 @@ def bm25_topk(
         .orderBy("rnk")
         .collect()
     )
+    def measure(kept: DataFrame | None, n_weak: int, theta) -> None:
+        if stats_out is None:  # diagnostics only — see search_any_terms
+            return
+        naive = postings.count()
+        stats_out.update(
+            naive_postings=naive,
+            kept_postings=naive if kept is None else kept.count(),
+            n_weak=n_weak,
+            theta=theta,
+        )
+
     if len(seed_rows) < k:
+        measure(None, 0, None)
         return score(postings)
     # the reported score is rounded to 6 decimals; subtract its half-ulp
     # so θ can never exceed the true k-th score (pruning stays sound)
@@ -1155,12 +1189,15 @@ def bm25_topk(
         else:
             break
     if not weak:
+        measure(None, 0, theta)
         return score(postings)
     strong_p = postings.filter(~F.col("tok").isin(weak))
     kept_weak = postings.filter(F.col("tok").isin(weak)).join(
         strong_p.select("doc_id").distinct(), "doc_id", "left_semi"
     )
-    return score(strong_p.unionByName(kept_weak))
+    kept = strong_p.unionByName(kept_weak)
+    measure(kept, len(weak), theta)
+    return score(kept)
 
 
 @query(

@@ -45,6 +45,12 @@ DIRTY_DOCS = [
     (9, "caf\u00e9 \u2615 caf\u00e9\u0301 \U0001f600\U0001f680", "fr", "src2", 14),
     (10, "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\u3067\u3059", "ja", "src2", 10),
     (11, "\u05e9\u05dc\u05d5\u05dd abc \u05e2\u05d5\u05dc\u05dd", "he", "src2", 12),
+    # analyzer stress (r08): mixed case + punctuation \u2014 the shared
+    # build/probe analyzer and every retrieval oracle twin must agree on
+    # "Customer, JOIN!" == "customer join" (case fold, punct-run fold)
+    (12, "Customer, JOIN! filter; Customer-join?", "en", "src0", 38),
+    (13, "CUSTOMER   join...customer (join) [filter]", "en", "src0", 42),
+    (14, "a.b,c;d:e!f?g-h_i+j=k", "en", "src0", 21),
 ]
 
 _OTHER_TABLES = re.compile(

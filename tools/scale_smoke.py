@@ -79,6 +79,9 @@ SF10_QUERIES = [
     "graph_label_propagation", # iterative per-round shuffle discipline
     # r06 verdict #5: the text-index family gets its own scale story
     "l32_text_index_probe",    # inverted-index build + pruned probe at 100×
+    # r07 verdict #5: the bounded retrieval tiers get their own scale rows
+    "l37_text_search_or",      # WAND-pruned OR top-k at 100×
+    "l34_text_bm25",           # bounded BM25 probe (dl-on-posting, post-fix)
     "t27_stream_text_index",   # streaming index maintenance at 100×
     "t28_stream_reindex",      # streaming MOR re-crawl upserts at 100×
 ]
