@@ -247,7 +247,15 @@ def refresh_text_index(
     append to the sidecar and its (n_docs, sum_dl) adds to the
     manifest's corpus_stats — per-trigger cost stays O(batch).
     ``postings_fn`` selects the tier's postings generator (the
-    positional index passes ``_positional_postings``)."""
+    positional index passes ``_positional_postings``).
+
+    Concurrency note: corpus_stats is read-modify-written OUTSIDE the
+    append's commit-retry loop, so it assumes ONE refresh maintainer at
+    a time (the t18 streaming-writer contract). A lost stats update
+    only skews the BM25 scoring constants, never correctness of any
+    oracled tier; ``recompute_index_stats`` re-exacts it. The WAND
+    bounds are immune by design: a sidecar delta that never lands
+    fails OPEN in ``_term_upper_bounds``."""
     from ..plans.lakehouse import append_partitioned, read_manifest
 
     p = (postings_fn or _postings)(docs, id_col, text_col).localCheckpoint(
@@ -923,18 +931,24 @@ def _term_upper_bounds(
     sidecar — a bucket-pruned read of ONLY the probed terms' stat deltas,
     folded with max() (r07 #1: per-term exact under build/refresh, exact-
     or-high after delete/re-crawl — one hot term no longer poisons its
-    whole bucket's bound). A term absent from the sidecar has no live
-    postings BY INVARIANT (every posting-writing commit appends its
-    deltas), so UB=0 is sound. Fallback when the index carries no sidecar
-    (a bare table built by hand): the r06 bucket-coarse manifest bound —
-    max of the ``tf`` column-stat over the files whose bucket span covers
-    t's hash bucket; a covering file without stats degrades to +inf
-    (fail-open), never silently 0."""
+    whole bucket's bound). A term ABSENT from the sidecar fails OPEN to
+    +inf: normally every posting-writing commit appends its deltas, but
+    the sidecar append is a SEPARATE commit from the postings append, so
+    a crash (or a replayed batch skipped by the idempotence guard) can
+    leave a just-introduced term without a delta — UB=0 there would
+    wrongly prune a live term, while +inf merely makes it strong (it
+    sorts last in the ascending-UB prefix, so it never blocks other
+    terms' pruning either; a truly-unindexed probe term has no postings
+    to keep, so the fail-open costs nothing). Fallback when the index
+    carries no sidecar (a bare table built by hand): the r06
+    bucket-coarse manifest bound — max of the ``tf`` column-stat over
+    the files whose bucket span covers t's hash bucket; a covering file
+    without stats degrades the same way, never silently 0."""
     from ..plans.lakehouse import current_version, read_manifest
 
     tt = _terms_table(table)
     if current_version(tt) > 0:
-        ubs = {t: 0 for t in terms}
+        ubs = {t: float("inf") for t in terms}
         folded = (
             pruned_postings(
                 spark,

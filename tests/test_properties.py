@@ -4508,7 +4508,10 @@ def test_term_sidecar_bounds_sound_and_recompute_exact(spark, tmp_path):
     ubs2 = TI._term_upper_bounds(spark, table, sorted(truth) + ["fresh"])
     for t, mx in truth.items():
         assert ubs2[t] == mx, (t, ubs2[t], mx)
-    assert ubs2["fresh"] == 0  # erased with its only docs
+    # erased with its only docs → absent from the recomputed sidecar →
+    # fail-OPEN (+inf): an absent term must never be wrongly pruned
+    # (the sidecar append is a separate commit from the postings append)
+    assert ubs2["fresh"] == float("inf")
     # corpus_stats re-exacted to the live corpus
     cs = TI.index_corpus_stats(table)
     live_docs = (
@@ -4773,3 +4776,33 @@ def test_warc_header_values_reject_crlf():
     ):
         with _pytest.raises(ValueError):
             encode_warc([bad])
+
+
+def test_wand_bound_fails_open_for_missing_sidecar_terms(spark, tmp_path, monkeypatch):
+    """The sidecar append is a SEPARATE commit from the postings append,
+    so a crash or a replay-skipped batch can leave a just-introduced
+    term with postings but no stats delta. UB=0 for that term would
+    classify it weak and silently DROP the top document (it was even in
+    the fully-scored seed). The bound must fail OPEN (+inf = strong):
+    simulated here by suppressing the sidecar append during a reindex
+    that introduces the corpus's best-scoring term."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    docs = spark.createDataFrame(
+        [(i, "common1 common2") for i in range(300)],
+        "doc_id long, text string",
+    )
+    table = str(tmp_path / "failopen")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    monkeypatch.setattr(TI, "_append_term_deltas", lambda *a, **k: None)
+    TI.reindex_docs(
+        spark,
+        spark.createDataFrame(
+            [(999, " ".join(["uniq"] * 100))], "doc_id long, text string"
+        ),
+        "doc_id", "text", table,
+    )
+    monkeypatch.undo()
+    assert TI._term_upper_bounds(spark, table, ["uniq"])["uniq"] == float("inf")
+    got = TI.search_any_terms(spark, table, ["uniq", "common1"], k=5).collect()
+    assert got[0].doc_id == 999 and got[0].total_tf == 100, got
