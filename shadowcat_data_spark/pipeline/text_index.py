@@ -153,8 +153,11 @@ def _term_stat_deltas(postings: DataFrame) -> DataFrame:
 
 
 def _corpus_stats_of(postings: DataFrame) -> dict:
-    row = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    # Σ tf over ALL postings ≡ Σ dl over docs (every token instance
+    # lands in exactly one posting's tf), so the stats are ONE flat
+    # aggregate — no per-doc groupBy stage
+    row = postings.agg(
+        F.countDistinct("doc_id").alias("n"), F.sum("tf").alias("s")
     ).first()
     return {"n_docs": int(row["n"] or 0), "sum_dl": int(row["s"] or 0)}
 
