@@ -61,27 +61,42 @@ _TERMS_DDL = "bucket long, tok string, df long, max_tf long"
 #
 # ONE normalization, applied identically at index build and probe-term
 # hashing across every retrieval tier (VERDICT r07 "What's missing" #3):
-# lowercase, fold every non-alphanumeric run to a single space, split.
-# The raw whitespace split passed only because the synthetic corpus is
-# pre-normalized; the first real corpus ("Customer," vs "customer")
-# silently misses without this. The DuckDB oracle twin is _AN_DUCK —
-# byte-identical semantics on both engines (dirty-probe-pinned on
-# mixed-case/punctuated documents).
+# fold every non-ASCII-alphanumeric run to a single space FIRST, then
+# lowercase, then split. The raw whitespace split passed only because
+# the synthetic corpus is pre-normalized; the first real corpus
+# ("Customer," vs "customer") silently misses without this.
+#
+# Order matters for the cross-engine contract (round-8 review finding):
+# lowercasing BEFORE the fold would feed non-ASCII through each engine's
+# own case mapping — Java's full Unicode mapping expands U+0130 to
+# 'i'+U+0307 (token 'i') where DuckDB's utf8proc simple mapping yields
+# U+0069 inside 'ix' — and the oracles diverge. Folding first means
+# lower() only ever sees ASCII, where every engine agrees byte-for-byte
+# (dirty-probe-pinned on mixed-case/punctuated/unicode documents).
 
-_AN_RE = _re.compile(r"[^a-z0-9]+")
+_AN_RE = _re.compile(r"[^A-Za-z0-9]+")
+
+# Bumped on ANY analyzer semantics change: it salts the ensure-table
+# corpus stamp, so an index tokenized under an older analyzer can never
+# be reused against probes hashed under the new one (same-corpus,
+# different-postings — the one staleness the fixture stamp can't see).
+_ANALYZER_VERSION = 2
 
 
 def analyze(col: Column) -> Column:
     """Analyzed token array of a text column (may hold '' at the ends —
     the shared convention: consumers filter empties, positions are
     coordinates into THIS array)."""
-    return F.split(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "), " ")
+    return F.split(F.lower(F.regexp_replace(col, "[^A-Za-z0-9]+", " ")), " ")
 
 
 def _an_duck(col: str = "text") -> str:
     """The DuckDB twin of ``analyze`` (regexp dialects agree on this
     pattern; 'g' makes DuckDB replace every run like Spark does)."""
-    return f"string_split(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'), ' ')"
+    return (
+        "string_split(lower(regexp_replace("
+        f"{col}, '[^A-Za-z0-9]+', ' ', 'g')), ' ')"
+    )
 
 
 def analyze_terms(terms: list[str]) -> list[str]:
@@ -90,7 +105,7 @@ def analyze_terms(terms: list[str]) -> list[str]:
     punctuated phrase analyzes to its token sequence)."""
     out: list[str] = []
     for t in terms:
-        out.extend(x for x in _AN_RE.sub(" ", t.lower()).split(" ") if x)
+        out.extend(x for x in _AN_RE.sub(" ", t).lower().split(" ") if x)
     return out
 
 
@@ -225,7 +240,17 @@ def _append_term_deltas(
 ) -> None:
     """Append one commit's term-stat deltas to the sidecar — iff the
     index HAS one (the tf index builds it; the positional tier, which
-    never serves WAND bounds, doesn't)."""
+    never serves WAND bounds, doesn't).
+
+    ORDERING CONTRACT (round-8 review): callers run this BEFORE the
+    postings commit. The two commits cannot be atomic across tables, so
+    some crash window always exists — sidecar-first makes every window
+    SOUND: a delta whose postings never land only leaves bounds
+    stale-HIGH (weaker pruning), while the postings-first order could
+    leave a term's bound stale-LOW (a lost delta for a term with older,
+    smaller deltas) and silently prune a live top-k document. A crashed
+    batch that replays re-appends its delta (duplicate deltas fold to
+    the same max, df goes stale-high — both sound)."""
     from ..plans.lakehouse import append_partitioned, current_version
 
     tt = _terms_table(table)
@@ -274,9 +299,8 @@ def refresh_text_index(
             },
             **(extra or {}),
         }
-    v = append_partitioned(spark, table, p, extra=extra)
-    _append_term_deltas(spark, table, p)
-    return v
+    _append_term_deltas(spark, table, p)  # sidecar FIRST — see its docstring
+    return append_partitioned(spark, table, p, extra=extra)
 
 
 def remove_docs_from_index(
@@ -328,7 +352,8 @@ def reindex_docs(
     p = (postings_fn or _postings)(docs, id_col, text_col).localCheckpoint(
         eager=False
     )
-    v = upsert_mor(
+    _append_term_deltas(spark, table, p)  # sidecar FIRST — see its docstring
+    return upsert_mor(
         spark,
         table,
         p,
@@ -336,8 +361,6 @@ def reindex_docs(
         extra=extra,
         delete_keys=docs.select(F.col(id_col).alias("doc_id")).distinct(),
     )
-    _append_term_deltas(spark, table, p)
-    return v
 
 
 def recompute_index_stats(spark: SparkSession, table: str) -> dict:
@@ -510,7 +533,7 @@ def _corpus_stamp(sf_dir: str, fixture: str = "documents") -> str:
     import os
 
     root = os.path.join(sf_dir, f"{fixture}.parquet")
-    parts: list[str] = []
+    parts: list[str] = [f"an{_ANALYZER_VERSION}"]
     if os.path.isfile(root):
         st = os.stat(root)
         parts.append(f"{fixture}.parquet:{st.st_size}:{st.st_mtime_ns}")
@@ -526,23 +549,36 @@ def _corpus_stamp(sf_dir: str, fixture: str = "documents") -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str, name: str, builder) -> str:
-    """Build-on-miss with a manifest CONTENT STAMP: a committed index is
-    reused iff the stamp written at build time still matches the source
-    fixture's filesystem identity — a changed corpus rebuilds, a current
-    index is trusted without any data read (the probe path touches zero
-    corpus bytes). Reuse additionally requires NO standing delete files:
-    ensure-tables are build/refresh-only by contract, and a delete would
-    make the stamp vouch for rows the MOR read no longer serves
-    (ADVICE r07 — latent census hole, closed)."""
+def _reuse_current(table: str, stamp: str, require=None) -> bool:
+    """The shared ensure-table reuse predicate: a committed table is
+    trusted iff (1) the corpus stamp written at build time still matches
+    the source fixture's filesystem identity, (2) NO delete files stand
+    (ensure-tables are build/refresh-only by contract — a delete would
+    make the stamp vouch for rows the MOR read no longer serves; ADVICE
+    r07), and (3) the caller's ``require`` predicate holds on the
+    manifest (e.g. the embedding table demanding its bloom sidecar —
+    a crash between the create and the bloom commit must rebuild, not
+    silently serve unpruned scans; round-8 review)."""
     from ..plans.lakehouse import current_version, read_manifest
 
+    if current_version(table) <= 0:
+        return False
+    man = read_manifest(table)
+    return (
+        man.get("corpus_stamp") == stamp
+        and not man.get("delete_files")
+        and (require is None or bool(require(man)))
+    )
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str, name: str, builder) -> str:
+    """Build-on-miss with a manifest CONTENT STAMP: a changed corpus
+    rebuilds, a current index is trusted without any data read (the
+    probe path touches zero corpus bytes; VERDICT r07 #6)."""
     table = _scratch(sf_dir, name)
     stamp = _corpus_stamp(sf_dir)
-    if current_version(table) > 0:
-        man = read_manifest(table)
-        if man.get("corpus_stamp") == stamp and not man.get("delete_files"):
-            return table
+    if _reuse_current(table, stamp):
+        return table
     builder(
         spark,
         load_table(spark, sf_dir, "documents"),
@@ -996,6 +1032,23 @@ def _term_upper_bounds(
     return ubs
 
 
+def _record_pruning(
+    stats_out: dict | None, postings: DataFrame, kept, n_weak: int, theta
+) -> None:
+    """Fill the opt-in pruning diagnostics (tools/wand_ratio.py /
+    BASELINE.md rows). Counting costs extra actions, so it runs ONLY
+    when a dict is passed; ``kept=None`` means no pruning happened."""
+    if stats_out is None:
+        return
+    naive = postings.count()
+    stats_out.update(
+        naive_postings=naive,
+        kept_postings=naive if kept is None else kept.count(),
+        n_weak=n_weak,
+        theta=theta,
+    )
+
+
 def search_any_terms(
     spark: SparkSession,
     table: str,
@@ -1053,21 +1106,8 @@ def search_any_terms(
         ),
         reverse=True,
     )
-    def measure(kept: DataFrame | None, n_weak: int, theta) -> None:
-        # diagnostics only (BASELINE.md's pruning-ratio rows): counting
-        # costs extra actions, so it runs ONLY when a dict is passed
-        if stats_out is None:
-            return
-        naive = postings.count()
-        stats_out.update(
-            naive_postings=naive,
-            kept_postings=naive if kept is None else kept.count(),
-            n_weak=n_weak,
-            theta=theta,
-        )
-
     if len(seed_scores) < k:
-        measure(None, 0, None)
+        _record_pruning(stats_out, postings, None, 0, None)
         return rank(postings)  # fewer candidates than k: nothing to prune
     theta = int(seed_scores[k - 1])
     ubs = _term_upper_bounds(spark, table, terms)
@@ -1080,7 +1120,7 @@ def search_any_terms(
         else:
             break
     if not weak:
-        measure(None, 0, theta)
+        _record_pruning(stats_out, postings, None, 0, theta)
         return rank(postings)
     strong = [t for t in terms if t not in set(weak)]
     strong_postings = postings.filter(F.col("tok").isin(strong))
@@ -1089,7 +1129,7 @@ def search_any_terms(
         strong_doc_ids, "doc_id", "left_semi"
     )
     kept = strong_postings.unionByName(kept_weak)
-    measure(kept, len(weak), theta)
+    _record_pruning(stats_out, postings, kept, len(weak), theta)
     return rank(kept)
 
 
@@ -1165,8 +1205,20 @@ def bm25_topk(
     import math
 
     dfm = {r["tok"]: int(r["df"]) for r in df_counts.collect()}
+    # clamp at 0 (round-8 review): with STALE corpus_stats (re-crawl can
+    # introduce docs without bumping n_docs — the documented Lucene
+    # staleness), a term's live df can exceed n_docs and its idf goes
+    # NEGATIVE. Every posting of such a term then contributes w < 0, so
+    # 0 is its true score ceiling — while the unclamped idf·(k1+1) would
+    # be a FLOOR, inverting the weak-prefix arithmetic (negative acc let
+    # over-θ terms into the weak set; in the extreme the pruned result
+    # went empty). With all UBs ≥ 0 the prefix invariant Σ_weak UB < θ
+    # is sound again, and a θ ≤ 0 disables pruning entirely (0 + 0 < θ
+    # never holds).
     ubs = {
-        t: math.log((float(n_docs) - d + 0.5) / (d + 0.5) + 1.0) * (k1 + 1)
+        t: max(
+            0.0, math.log((float(n_docs) - d + 0.5) / (d + 0.5) + 1.0)
+        ) * (k1 + 1)
         for t, d in dfm.items()
     }
     w_seed = W.partitionBy("tok").orderBy(F.col("tf").desc(), "doc_id")
@@ -1181,19 +1233,8 @@ def bm25_topk(
         .orderBy("rnk")
         .collect()
     )
-    def measure(kept: DataFrame | None, n_weak: int, theta) -> None:
-        if stats_out is None:  # diagnostics only — see search_any_terms
-            return
-        naive = postings.count()
-        stats_out.update(
-            naive_postings=naive,
-            kept_postings=naive if kept is None else kept.count(),
-            n_weak=n_weak,
-            theta=theta,
-        )
-
     if len(seed_rows) < k:
-        measure(None, 0, None)
+        _record_pruning(stats_out, postings, None, 0, None)
         return score(postings)
     # the reported score is rounded to 6 decimals; subtract its half-ulp
     # so θ can never exceed the true k-th score (pruning stays sound)
@@ -1206,14 +1247,14 @@ def bm25_topk(
         else:
             break
     if not weak:
-        measure(None, 0, theta)
+        _record_pruning(stats_out, postings, None, 0, theta)
         return score(postings)
     strong_p = postings.filter(~F.col("tok").isin(weak))
     kept_weak = postings.filter(F.col("tok").isin(weak)).join(
         strong_p.select("doc_id").distinct(), "doc_id", "left_semi"
     )
     kept = strong_p.unionByName(kept_weak)
-    measure(kept, len(weak), theta)
+    _record_pruning(stats_out, postings, kept, len(weak), theta)
     return score(kept)
 
 
@@ -1383,22 +1424,21 @@ def _ensure_emb_table(spark: SparkSession, sf_dir: str) -> str:
     """Embeddings as a LAKEHOUSE table (vec_id-partitioned, 4 files per
     bucket, bloom index on vec_id) — the m45 point-lookup substrate the
     hybrid reranker fetches candidates from. Build-on-miss with the
-    corpus-stamp contract shared with the text ensure-tables."""
+    shared ``_reuse_current`` contract, additionally requiring the bloom
+    sidecar to exist (the bloom build is a second commit; a crash
+    between the two must rebuild rather than silently serve unpruned
+    scans forever)."""
     import shutil
 
-    from ..plans.lakehouse import (
-        create_partitioned,
-        current_version,
-        read_manifest,
-    )
+    from ..plans.lakehouse import create_partitioned
     from ..plans.lakehouse_zorder import add_bloom_filters
 
     table = _scratch(sf_dir, "l41_emb_table")
     stamp = _corpus_stamp(sf_dir, "embeddings")
-    if current_version(table) > 0:
-        man = read_manifest(table)
-        if man.get("corpus_stamp") == stamp and not man.get("delete_files"):
-            return table
+    if _reuse_current(
+        table, stamp, require=lambda man: (man.get("bloom") or {}).get("vec_id")
+    ):
+        return table
     shutil.rmtree(table, ignore_errors=True)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     create_partitioned(

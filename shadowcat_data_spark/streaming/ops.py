@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..pipeline.text_index import _an_duck  # shared analyzer oracle twin
 from ..registry import query
 from ..session import ensure_session
 
@@ -1746,10 +1747,10 @@ def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t27_stream_text_index",
-    oracle="""
+    oracle=f"""
 WITH tf AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest({_an_duck()}) AS tok FROM documents)
   WHERE tok <> '' GROUP BY doc_id, tok
 )
 SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -1840,10 +1841,10 @@ def stream_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t28_stream_reindex",
-    oracle="""
+    oracle=f"""
 WITH tf AS (
   SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest({_an_duck()}) AS tok FROM documents)
   WHERE tok <> '' GROUP BY doc_id, tok
 )
 SELECT tok, doc_id, tf, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -1925,11 +1926,9 @@ def stream_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t29_stream_positional_reindex",
-    oracle="""
+    oracle=f"""
 WITH toks AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS l
-  FROM documents
+  SELECT doc_id, {_an_duck()} AS l FROM documents
 ), hits AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
   FROM toks, UNNEST(range(1, len(l))) AS t(i)

@@ -4806,3 +4806,98 @@ def test_wand_bound_fails_open_for_missing_sidecar_terms(spark, tmp_path, monkey
     assert TI._term_upper_bounds(spark, table, ["uniq"])["uniq"] == float("inf")
     got = TI.search_any_terms(spark, table, ["uniq", "common1"], k=5).collect()
     assert got[0].doc_id == 999 and got[0].total_tf == 100, got
+
+
+def test_bm25_pruning_sound_with_stale_corpus_stats(spark, tmp_path):
+    """Round-8 review finding: re-crawl can introduce docs without
+    bumping corpus_stats.n_docs (documented Lucene staleness), so a
+    term's live df can exceed n_docs and its idf goes NEGATIVE — the
+    unclamped UB = idf·(k1+1) was then a floor, not a ceiling, and the
+    weak-prefix arithmetic inverted (in the extreme the pruned result
+    went EMPTY). UBs clamp at 0 now: pruned must equal unpruned."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], "doc_id long, text string"
+    )
+    table = str(tmp_path / "staleidf")
+    TI.build_text_index(spark, docs, "doc_id", "text", table)
+    # 50 brand-new docs, all containing 'hot' — n_docs stays 10 in the
+    # manifest while live df('hot') = 50 → idf('hot') < 0
+    TI.reindex_docs(
+        spark,
+        spark.createDataFrame(
+            [(100 + i, f"hot w{i % 7}") for i in range(50)],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", table,
+    )
+    assert TI.index_corpus_stats(table)["n_docs"] == 10  # stale by design
+    got = TI.bm25_topk(spark, table, ["hot", "alpha"], k=5).collect()
+    # unpruned truth computed in pure python over the LIVE postings with
+    # the SAME stale scoring constants (the engine's own pruned path
+    # cannot serve as its own reference)
+    import math
+
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    cs = TI.index_corpus_stats(table)
+    n, avg = cs["n_docs"], cs["sum_dl"] / cs["n_docs"]
+    rows = [
+        r
+        for r in LH.read_snapshot(spark, table)
+        .select("doc_id", "tok", "tf", "dl")
+        .collect()
+        if r.tok in ("hot", "alpha")
+    ]
+    dfm = {}
+    for r in rows:
+        dfm[r.tok] = dfm.get(r.tok, 0) + 1
+    assert dfm["hot"] > n  # the negative-idf condition is actually live
+    k1, b = 1.2, 0.75
+    scores: dict[int, float] = {}
+    for r in rows:
+        idf = math.log((n - dfm[r.tok] + 0.5) / (dfm[r.tok] + 0.5) + 1.0)
+        w = idf * (r.tf * (k1 + 1)) / (r.tf + k1 * (1 - b + b * r.dl / avg))
+        scores[r.doc_id] = scores.get(r.doc_id, 0.0) + w
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert len(got) == 5
+    assert [r.doc_id for r in got] == [d for d, _ in ref]
+    for r, (_, sc) in zip(got, ref):
+        assert abs(r.score - sc) < 1e-4, (r.doc_id, r.score, sc)
+
+
+def test_ensure_emb_table_requires_bloom_sidecar(spark, tmp_path):
+    """Round-8 review finding: a crash between the embedding table's
+    create commit and the bloom commit must NOT be trusted forever —
+    the ensure rebuilds when the manifest lacks the vec_id bloom."""
+    import os
+
+    import numpy as np
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    sf = str(tmp_path / "sf")
+    rng = np.random.RandomState(3)
+    emb = [
+        (i, [float(x) for x in rng.standard_normal(4).astype(np.float32)])
+        for i in range(50)
+    ]
+    spark.createDataFrame(emb, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    table = TI._ensure_emb_table(spark, sf)
+    assert (LH.read_manifest(table).get("bloom") or {}).get("vec_id")
+    # simulate the crash window: re-commit the manifest without bloom
+    man = LH.read_manifest(table)
+    man.pop("bloom", None)
+    for st in man["stats"].values():
+        st.pop("bloom", None)
+    LH._commit_manifest(table, LH.current_version(table) + 1, man)
+    assert not (LH.read_manifest(table).get("bloom") or {}).get("vec_id")
+    t2 = TI._ensure_emb_table(spark, sf)
+    assert t2 == table
+    assert (LH.read_manifest(table).get("bloom") or {}).get("vec_id"), (
+        "ensure trusted a table whose bloom sidecar is missing"
+    )
