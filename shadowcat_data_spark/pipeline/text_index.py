@@ -73,8 +73,16 @@ _TERMS_DDL = "bucket long, tok string, df long, max_tf long"
 # U+0069 inside 'ix' — and the oracles diverge. Folding first means
 # lower() only ever sees ASCII, where every engine agrees byte-for-byte
 # (dirty-probe-pinned on mixed-case/punctuated/unicode documents).
+#
+# The class is spelled [\W_] (≡ [^A-Za-z0-9] in ASCII regex mode, both
+# verified byte-identical across Java/RE2/Python on the dirty corpus)
+# because Spark's codegen'd regexp_replace hits a slow path the moment a
+# character class contains an A-Z range: measured 17.8s vs 0.5s for the
+# SAME fold over the sf10 corpus — a 35× cliff that tripled every index
+# build. Python needs re.ASCII so \w stays [a-zA-Z0-9_] like the other
+# two engines.
 
-_AN_RE = _re.compile(r"[^A-Za-z0-9]+")
+_AN_RE = _re.compile(r"[\W_]+", _re.ASCII)
 
 # Bumped on ANY analyzer semantics change: it salts the ensure-table
 # corpus stamp, so an index tokenized under an older analyzer can never
@@ -87,7 +95,7 @@ def analyze(col: Column) -> Column:
     """Analyzed token array of a text column (may hold '' at the ends —
     the shared convention: consumers filter empties, positions are
     coordinates into THIS array)."""
-    return F.split(F.lower(F.regexp_replace(col, "[^A-Za-z0-9]+", " ")), " ")
+    return F.split(F.lower(F.regexp_replace(col, "[\\W_]+", " ")), " ")
 
 
 def _an_duck(col: str = "text") -> str:
@@ -95,7 +103,7 @@ def _an_duck(col: str = "text") -> str:
     pattern; 'g' makes DuckDB replace every run like Spark does)."""
     return (
         "string_split(lower(regexp_replace("
-        f"{col}, '[^A-Za-z0-9]+', ' ', 'g')), ' ')"
+        f"{col}, '[\\W_]+', ' ', 'g')), ' ')"
     )
 
 
