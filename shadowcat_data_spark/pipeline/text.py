@@ -1122,9 +1122,38 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def bpe_merges(
+_BPE_EOW = "</w>"
+
+
+def _bpe_word_string(w: Column) -> Column:
+    """A word as its BPE symbol STRING: every symbol wrapped in single
+    spaces, so symbol adjacency reads as exactly two spaces and applying
+    a merge (a, b) → ab is ONE literal string replace —
+    ``replace(s, ' a  b ', ' ab ')``. Words come from splitting the text
+    ON spaces, so no symbol can ever contain the separator: the encoding
+    is collision-free by construction, in both engines. Leftmost
+    non-overlapping literal replace ≡ the greedy BPE merge pass: the
+    wrap makes adjacent matches share no characters, and neither engine
+    rescans replaced output, so a just-merged ab can never act as the
+    left element a of a following match (a+b = a needs an empty b)."""
+    return F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.concat(F.split(w, ""), F.array(F.lit(_BPE_EOW))), "  "
+        ),
+        F.lit(" "),
+    )
+
+
+def _bpe_syms(s) -> Column:
+    """Symbol array back out of the symbol string (inverse of
+    ``_bpe_word_string`` at any merge depth)."""
+    return F.split(F.trim(F.col(s) if isinstance(s, str) else s), "  ")
+
+
+def _bpe_train(
     spark: SparkSession, docs: DataFrame, text_col: str, n_merges: int
-) -> DataFrame:
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merge rules from a corpus — the tokenizer-
     training step of an LLM data pipeline, shaped for scale the way the
     algorithm demands:
@@ -1138,30 +1167,29 @@ def bpe_merges(
     - Each round is Catalyst-only: adjacent-pair counts via
       arrays_zip(slice, slice) → explode → sum, the argmax pair via ONE
       driver row (deterministic tie-break: count desc, then lexicographic
-      pair), and the merge applied to every word with an ``F.aggregate``
-      fold — greedy left-to-right non-overlapping replacement, provably
-      equal to the reference scan (the just-merged symbol a+b can never
-      re-match the pair's left element a, so the fold cannot chain) —
-      no Python UDF anywhere.
-    - ``localCheckpoint`` per round truncates the lineage (20 rounds of
-      nested lambda expressions would otherwise stack in the optimizer).
+      pair), and the merge applied to every word with one literal string
+      replace over the symbol-string representation (``_bpe_word_string``)
+      — greedy left-to-right non-overlapping by the replace operator's own
+      contract, no Python UDF and no lambda fold anywhere. Chained
+      replaces are plain codegen string ops, so rounds need no
+      per-round lineage checkpoint (round r re-runs r replaces over the
+      checkpointed vocab — O(rounds²) work on a vocabulary-sized table
+      beats 1 materialization job per round).
 
     Words carry an explicit ``</w>`` end-of-word symbol (Sennrich's
     formulation), so merges distinguish word-final units. Returns the
-    merge table (rank, left, right, merged, pair_count); stops early if
-    the vocabulary runs out of pairs. Property-tested against a pure-
-    Python reference implementation on random corpora."""
+    merge list [(rank, left, right, merged, pair_count)] — stopping early
+    if the vocabulary runs out of pairs — AND the final encoded vocabulary
+    (w, s, cnt): every distinct word with its symbol string after all
+    merges, which is exactly the word→tokens cache an encoder needs.
+    Property-tested against a pure-Python reference implementation on
+    random corpora; l29's oracle replays the whole loop in unrolled CTEs."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.concat(
-                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
-            ).alias("syms"),
-            "cnt",
-        )
+        .select("w", _bpe_word_string(F.col("w")).alias("s"), "cnt")
         # the vocab is corpus-independent-small after saturation; 8
         # partitions keep the 2 jobs/round from scheduling 32 near-empty
         # tasks each (measured 32.7s → 13.0s for 20 rounds at sf0.01).
@@ -1172,13 +1200,14 @@ def bpe_merges(
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        n = F.size("syms")
+        syms = _bpe_syms("s")
+        n = F.size(syms)
         pair_rows = (
             words.select(
                 F.explode(
                     F.arrays_zip(
-                        F.slice("syms", F.lit(1), n - 1).alias("a"),
-                        F.slice("syms", F.lit(2), n - 1).alias("b"),
+                        F.slice(syms, F.lit(1), n - 1).alias("a"),
+                        F.slice(syms, F.lit(2), n - 1).alias("b"),
                     )
                 ).alias("p"),
                 "cnt",
@@ -1194,34 +1223,227 @@ def bpe_merges(
         a, b, pc = pair_rows[0]["a"], pair_rows[0]["b"], int(pair_rows[0]["pc"])
         merged = a + b
         merges.append((rank, a, b, merged, pc))
-        fold = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(merged)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+        words = words.select(
+            "w",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {merged} ")
+            ).alias("s"),
+            "cnt",
         )
-        words = words.select(fold.alias("syms"), "cnt").localCheckpoint()
+    return merges, words
+
+
+def bpe_merges(
+    spark: SparkSession, docs: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """The learned merge table (rank, left, right, merged, pair_count) —
+    see ``_bpe_train`` for the algorithm and its scale shape."""
+    merges, _ = _bpe_train(spark, docs, text_col, n_merges)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
 
 
-@query("l29_bpe_vocab", category="pipeline-text")
+def _bpe_train_ctes(
+    n_merges: int, train_where: str = "", table: str = "documents"
+) -> tuple[list[str], str]:
+    """Unrolled-CTE replay of the ENTIRE BPE training loop — the l30
+    trick (replay a driver-side iteration as one query) applied to
+    tokenizer training. Round r is three CTEs: adjacent-pair counts
+    ``bp{r}`` from the previous vocab (correlated generate_series — the
+    l21 pattern), the 1-row argmax ``bm{r}`` (count desc, lexicographic
+    tie-break — binary collation in both engines), and the merge applied
+    to every word with the SAME literal-free replace the Spark side uses
+    (``bw{r}``). MATERIALIZED where a CTE is referenced twice (DuckDB
+    inlines plain CTEs; bw{r} feeds both bp{r+1} and bw{r+1} — inlining
+    would re-evaluate the chain exponentially). Every quantity is an
+    exact integer or a byte-exact string, so the replay hash-matches.
+    Returns (ctes, final_vocab_cte_name); callers pick their output
+    (l29 unions the bm rows; l43 encodes through the final vocab)."""
+    where = f" WHERE {train_where}" if train_where else ""
+    ctes = [
+        f"""bw0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(list_append(string_split(w, ''), '{_BPE_EOW}'), '  ') || ' ' AS s,
+         CAST(cnt AS BIGINT) AS cnt
+  FROM (SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table}{where})
+        WHERE w <> '' GROUP BY w)
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""bp{r} AS (
+  SELECT syms[j] AS a, syms[j + 1] AS b, SUM(cnt) AS pc
+  FROM (SELECT string_split(trim(s), '  ') AS syms, cnt FROM bw{r - 1})
+  CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS u(j)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"bm{r} AS MATERIALIZED (SELECT a, b, a || b AS m, pc "
+            f"FROM bp{r} ORDER BY pc DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"bw{r} AS MATERIALIZED (SELECT w.w, "
+            f"replace(w.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.m || ' ') AS s, "
+            f"w.cnt FROM bw{r - 1} w CROSS JOIN bm{r} m)"
+        )
+    return ctes, f"bw{n_merges}"
+
+
+_L29_MERGES = 20
+
+
+def _l29_oracle() -> str:
+    """The merge table, replayed: 20 unrolled training rounds, then the
+    20 argmax rows unioned with their literal ranks. Early-stop parity
+    holds by construction — an exhausted vocabulary makes bp{r} empty,
+    so bm{r} contributes no row and bw{r} (cross join with an empty
+    1-row table) empties every later round, exactly like the Spark
+    loop's break."""
+    ctes, _ = _bpe_train_ctes(_L29_MERGES)
+    unions = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS INTEGER) AS rank, a AS "left", b AS "right", '
+        f"m AS merged, CAST(pc AS BIGINT) AS pair_count FROM bm{r}"
+        for r in range(1, _L29_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@query("l29_bpe_vocab", oracle=_l29_oracle(), category="pipeline-text")
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first 20 BPE merges learned from the documents corpus. No SQL
-    oracle — the merge recurrence (argmax, rewrite, repeat) is not
-    expressible in one query; correctness is pinned instead by the
-    hypothesis twin against a pure-Python BPE reference
-    (tests/test_hypothesis_props.py) and the deterministic tie-break."""
+    """The first 20 BPE merges learned from the documents corpus. The
+    oracle replays the full training recurrence (argmax, rewrite,
+    repeat) in unrolled MATERIALIZED CTEs — possible because the merge
+    rewrite is ONE literal string replace over the symbol-string
+    representation, identical byte-for-byte in both engines — and the
+    hypothesis twin (tests/test_hypothesis_props.py) pins the same loop
+    against a pure-Python BPE reference on random corpora."""
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_merges(spark, docs, "text", 20)
+    return bpe_merges(spark, docs, "text", _L29_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# L43 — BPE tokenizer APPLICATION (encode the corpus with trained merges)
+# ---------------------------------------------------------------------------
+
+
+def bpe_encode_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, str, int]],
+) -> DataFrame:
+    """Tokenize every document with a TRAINED merge list — the deploy
+    half of the tokenizer lifecycle (l29 trains, this serves), and the
+    single most common pass a training-data pipeline runs at full
+    corpus scale (every token-count budget, packing plan, and billing
+    estimate starts here). Scale shape:
+
+    - The merge table is tokenizer-sized (a few 10k rules at web scale,
+      20 here) — it ships as PLAN LITERALS, the t22 model-serving trick:
+      one chained literal-replace expression, whole-stage codegen,
+      nothing to join against.
+    - Encoding work is VOCABULARY-sized, not corpus-sized: each distinct
+      word is encoded once (the word-cache every practical BPE encoder
+      uses), then per-(doc, word) counts join against the encoded vocab
+      — broadcast, because vocabulary saturates while the corpus grows.
+    - Unseen words need no special path: greedy merge application works
+      on ANY word (chars + </w>), trained-on or not — which is why l43
+      deliberately trains on half the corpus and encodes all of it.
+
+    Returns (doc_id, n_words, n_tokens, n_chars): exact integers, so the
+    oracle — which replays training AND encoding through the same
+    symbol-string replaces — hash-matches bit-for-bit."""
+    wc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s: Column = _bpe_word_string(F.col("w"))
+    for _, a, b, merged, _ in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {merged} "))
+    enc = wc.select("w").distinct().select(
+        "w",
+        # every symbol wraps in exactly 2 spaces → n_tok = spaces / 2
+        ((F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit(""))))
+         / 2).cast("long").alias("n_tok"),
+    )
+    return (
+        wc.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_tok")).cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.length("w")).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _l43_oracle() -> str:
+    """Training replayed on the even-doc_id slice, then the encode chain
+    applied to the FULL corpus vocabulary. The encode steps LEFT JOIN
+    the per-round argmax row (not cross join): if a tiny corpus exhausts
+    its pairs before 20 rounds, bm{r} is empty and the word string rides
+    through unchanged — byte-identical to the Spark loop's break."""
+    ctes, _ = _bpe_train_ctes(_L29_MERGES, train_where="doc_id % 2 = 0")
+    ctes.append(
+        f"""enc0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(list_append(string_split(w, ''), '{_BPE_EOW}'), '  ') || ' ' AS s
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)"""
+    )
+    for r in range(1, _L29_MERGES + 1):
+        ctes.append(
+            f"enc{r} AS (SELECT e.w, CASE WHEN m.a IS NULL THEN e.s ELSE "
+            f"replace(e.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.m || ' ') "
+            f"END AS s FROM enc{r - 1} e LEFT JOIN bm{r} m ON TRUE)"
+        )
+    ctes.append(
+        f"""word_tok AS MATERIALIZED (
+  SELECT w, CAST((length(s) - length(replace(s, ' ', ''))) / 2 AS BIGINT) AS n_tok
+  FROM enc{_L29_MERGES}
+)"""
+    )
+    ctes.append(
+        """wc AS (
+  SELECT doc_id, w, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY doc_id, w
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT wc.doc_id,
+       CAST(SUM(wc.n) AS BIGINT) AS n_words,
+       CAST(SUM(wc.n * wt.n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(wc.n * length(wc.w)) AS BIGINT) AS n_chars
+FROM wc JOIN word_tok wt ON wc.w = wt.w
+GROUP BY wc.doc_id"""
+    )
+
+
+@query("l43_bpe_encode", oracle=_l43_oracle(), category="pipeline-text")
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 20 merges on HALF the corpus (even doc_ids), then encode
+    EVERY document — per-doc exact word/token/char counts. Splitting
+    train from apply exercises the real deployment path: the encoder
+    must handle words the trainer never saw (greedy merge application
+    needs no vocabulary membership). Oracle: the l29 training replay
+    (restricted to the slice) plus an unrolled encode chain over the
+    full vocabulary — every step byte-exact string work, so the counts
+    hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = _bpe_train(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), "text", _L29_MERGES
+    )
+    return bpe_encode_corpus(spark, docs, "text", merges)
 
 
 # ---------------------------------------------------------------------------

@@ -2007,3 +2007,120 @@ def stream_positional_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return phrase_search(spark, table, ["customer", "join"], k=10).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# T30 — streaming tokenizer serving: BPE merges deployed as plan literals
+# ---------------------------------------------------------------------------
+
+
+def _t30_oracle() -> str:
+    """Training replayed on the even-doc_id slice (the unrolled-CTE BPE
+    loop l29/l43 share), the encode chain applied to the full
+    vocabulary, then per-language totals. LEFT JOIN + COALESCE: a
+    language whose every document is token-free still reports a row
+    (the stream counts the doc; its sums are zero)."""
+    from ..pipeline.text import _BPE_EOW, _L29_MERGES, _bpe_train_ctes
+
+    ctes, _ = _bpe_train_ctes(_L29_MERGES, train_where="doc_id % 2 = 0")
+    ctes.append(
+        f"""enc0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(list_append(string_split(w, ''), '{_BPE_EOW}'), '  ') || ' ' AS s
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)"""
+    )
+    for r in range(1, _L29_MERGES + 1):
+        ctes.append(
+            f"enc{r} AS (SELECT e.w, CASE WHEN m.a IS NULL THEN e.s ELSE "
+            f"replace(e.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.m || ' ') "
+            f"END AS s FROM enc{r - 1} e LEFT JOIN bm{r} m ON TRUE)"
+        )
+    ctes.append(
+        f"""word_tok AS MATERIALIZED (
+  SELECT w, CAST((length(s) - length(replace(s, ' ', ''))) / 2 AS BIGINT) AS n_tok
+  FROM enc{_L29_MERGES}
+)"""
+    )
+    ctes.append(
+        """lang_words AS (
+  SELECT lang, CAST(SUM(c.n) AS BIGINT) AS n_words,
+         CAST(SUM(c.n * wt.n_tok) AS BIGINT) AS n_tokens
+  FROM (SELECT lang, w, COUNT(*) AS n
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY lang, w) c
+  JOIN word_tok wt ON c.w = wt.w
+  GROUP BY lang
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       COALESCE(ANY_VALUE(lw.n_words), 0) AS n_words,
+       COALESCE(ANY_VALUE(lw.n_tokens), 0) AS n_tokens
+FROM documents d LEFT JOIN lang_words lw ON d.lang = lw.lang
+GROUP BY d.lang"""
+    )
+
+
+@query("t30_stream_bpe_encode", oracle=_t30_oracle(), category="streaming")
+def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tokenizer serving: BPE merges are trained batch-side
+    (l29's loop, on the even-doc_id slice) and DEPLOYED into the
+    streaming plan as a chained literal-replace expression — the t22
+    model-serving shape applied to the tokenizer. Every arriving
+    document is encoded STATELESSLY (split → per-word symbol string →
+    merge replaces → token count, all whole-stage-codegen expressions,
+    no join, no Python), and the only streaming state is the tiny
+    per-language counter row. The streamed totals hash-match the same
+    unrolled-CTE oracle that replays training — batch-trained and
+    stream-served tokenizers are provably the one tokenizer. At 100
+    TB/day this is the ingest-side token-budget meter: per-trigger cost
+    is pure map work proportional to the batch, and a real 50k-rule
+    vocabulary ships the same way (the replace chain is
+    tokenizer-sized, not corpus-sized — it rides the broadcast plan)."""
+    from ..pipeline.text import (
+        _L29_MERGES,
+        _bpe_train,
+        _bpe_word_string,
+    )
+    from ..session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = _bpe_train(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), "text", _L29_MERGES
+    )
+
+    def n_tok(w: Column) -> Column:
+        s = _bpe_word_string(w)
+        for _, a, b, merged, _ in merges:
+            s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {merged} "))
+        return (
+            (F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit("")))) / 2
+        ).cast("long")
+
+    ensure_session(spark)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stream = table_stream(spark, sf_dir, "documents", schema)
+    words = F.coalesce(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != ""),
+        F.array().cast("array<string>"),
+    )
+    per_doc = stream.select(
+        "lang",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(words, n_tok),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_tokens"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return run_to_memory(agg, "t30_token_meter", "complete")

@@ -554,3 +554,83 @@ def test_bpe_matches_python_reference(spark, words_list, n_merges):
         .collect()
     ]
     assert got == reference(words_list, n_merges)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bpe_encode_matches_python_reference(spark, words_list, n_merges):
+    """The l43 encoder (trained merges applied as chained literal
+    replaces over the symbol-string representation) must reproduce the
+    pure-Python greedy encoder's per-doc token counts — INCLUDING on
+    words the trainer never saw: merges train on the even docs only and
+    encode everything, and hypothesis freely generates train/apply
+    vocabulary mismatches. Early-stop is exercised too (n_merges can
+    exceed the available pairs of a tiny corpus)."""
+    from collections import Counter
+
+    from shadowcat_data_spark.pipeline.text import (
+        _bpe_train,
+        bpe_encode_corpus,
+    )
+
+    def train_reference(tokens, n):
+        vocab = Counter(tuple(list(w) + ["</w>"]) for w in tokens)
+        out = []
+        for _ in range(n):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            (a, b), _pc = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((a, b))
+            vocab = Counter(
+                {tuple(_apply(syms, a, b)): c for syms, c in vocab.items()}
+            )
+        return out
+
+    def _apply(syms, a, b):
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        return res
+
+    def encode_len(w, merges):
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            syms = _apply(syms, a, b)
+        return len(syms)
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words_list)], "doc_id long, text string"
+    )
+    train_tokens = [w for i, w in enumerate(words_list) if i % 2 == 0]
+    ref_merges = train_reference(train_tokens, n_merges)
+    expected = {
+        i: (1, encode_len(w, ref_merges), len(w))
+        for i, w in enumerate(words_list)
+    }
+    merges, _ = _bpe_train(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), "text", n_merges
+    )
+    assert [(m[1], m[2]) for m in merges] == ref_merges
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.n_chars)
+        for r in bpe_encode_corpus(spark, docs, "text", merges).collect()
+    }
+    assert got == expected
