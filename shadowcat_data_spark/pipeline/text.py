@@ -1447,6 +1447,134 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L44 — duplicated-substring coverage (sliding k-token window dedup signal)
+# ---------------------------------------------------------------------------
+
+_L44_K = 8
+
+
+@query(
+    "l44_dup_ngram_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n, toks FROM tok
+), wins AS (
+  SELECT doc_id, j AS strt,
+         md5(array_to_string(list_slice(toks, j + 1, j + {_L44_K}), ' ')) AS h
+  FROM base CROSS JOIN UNNEST(generate_series(0, n - {_L44_K})) AS u(j)
+), hot AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT doc_id, strt,
+         GREATEST((strt + {_L44_K} - 1) - GREATEST(strt - 1,
+           COALESCE(MAX(strt + {_L44_K} - 1) OVER (
+             PARTITION BY doc_id ORDER BY strt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)), 0)
+           AS contrib
+  FROM wins JOIN hot USING (h)
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+         CAST(SUM(contrib) AS BIGINT) AS n_dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(GREATEST(b.n - {_L44_K} + 1, 0) AS BIGINT) AS n_windows,
+       COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(a.n_dup_tokens, 0) AS n_dup_tokens
+FROM base b LEFT JOIN agg a USING (doc_id)
+""",
+    category="pipeline-text",
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal: slide an 8-token window over
+    every position of every document, mark the windows whose exact text
+    occurs ≥2 times anywhere in the corpus, and report per doc the
+    window count, the duplicated-window count, and the number of TOKENS
+    covered by at least one duplicated window — the quantity an
+    exact-substring dedup pass trims. This catches SHIFTED duplication
+    that l21's fixed non-overlapping spans miss (a copied passage at a
+    different word offset hits zero fixed spans but every sliding one).
+
+    Scale shape: window text never shuffles — each window becomes a
+    16-byte md5 before the groupBy, so shuffle rows are (digest, doc,
+    start) regardless of k; duplicate detection is a map-side-combinable
+    count; the membership probe is a LEFT SEMI join against the deduped
+    hot set (one row per digest — a million-fold boilerplate window
+    cannot fan out). Covered tokens come from the classic
+    max-end-so-far interval-union window (per-doc partition, unique
+    start ordering), not an O(n·dups) per-token scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_coverage_frame(docs, _L44_K)
+
+
+def dup_ngram_coverage_frame(docs: DataFrame, k: int) -> DataFrame:
+    """The l44 computation over any documents frame at any window size —
+    see ``dup_ngram_coverage`` for semantics and scale shape.
+    Hypothesis-twinned against a brute-force per-token reference."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = docs.select(
+        "doc_id", F.size(toks).alias("n"), toks.alias("toks")
+    )
+    wins = base.filter(F.col("n") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - k),
+                lambda j: F.struct(
+                    j.alias("strt"),
+                    F.md5(F.array_join(F.slice("toks", j + 1, k), " ")).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.strt").alias("strt"), F.col("w.h").alias("h"))
+    hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    dup = wins.join(hot, "h", "left_semi")
+    prev_end = F.max(F.col("strt") + (k - 1)).over(
+        W.partitionBy("doc_id")
+        .orderBy("strt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cov = dup.select(
+        "doc_id",
+        F.greatest(
+            (F.col("strt") + (k - 1))
+            - F.greatest(F.col("strt") - 1, F.coalesce(prev_end, F.lit(-1))),
+            F.lit(0),
+        ).alias("contrib"),
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+        F.sum("contrib").cast("long").alias("n_dup_tokens"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.greatest(F.col("n") - (k - 1), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_dup_tokens", F.lit(0).cast("long")).alias(
+                "n_dup_tokens"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L30 — quality classifier trained IN the engine (quantized batch GD)
 # ---------------------------------------------------------------------------
 

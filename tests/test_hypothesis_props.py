@@ -634,3 +634,47 @@ def test_bpe_encode_matches_python_reference(spark, words_list, n_merges):
         for r in bpe_encode_corpus(spark, docs, "text", merges).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_dup_ngram_coverage_matches_bruteforce(spark, texts, k):
+    """l44's covered-token count comes from a max-end-so-far interval
+    union computed with a window function; the reference marks every
+    token under every duplicated window one token at a time. A 2-letter
+    alphabet makes duplicated windows (including heavy overlaps and
+    same-doc repeats) the common case rather than the edge case."""
+    from collections import Counter
+
+    from shadowcat_data_spark.pipeline.text import dup_ngram_coverage_frame
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    tok = {i: [w for w in t.split(" ") if w != ""] for i, t in docs}
+    wins = Counter()
+    for i, ts in tok.items():
+        for j in range(len(ts) - k + 1):
+            wins[" ".join(ts[j : j + k])] += 1
+    expected = {}
+    for i, ts in tok.items():
+        starts = [
+            j
+            for j in range(len(ts) - k + 1)
+            if wins[" ".join(ts[j : j + k])] >= 2
+        ]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + k))
+        expected[i] = (max(len(ts) - k + 1, 0), len(starts), len(covered))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.n_dup_tokens)
+        for r in dup_ngram_coverage_frame(df, k).collect()
+    }
+    assert got == expected
