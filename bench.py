@@ -62,6 +62,10 @@ EXTRA_QUERIES = [
     "l33_text_index_refresh",   # build + append refresh + pruned probe
     "l36_text_index_lifecycle", # reindex + equality-delete + materialize
     "l37_text_search_or",       # WAND-bounded disjunctive top-k
+    # round-8 additions — the tokenizer pipeline and the dup-substring
+    # signal (same caveat: per-query medians, not extra_total)
+    "l43_bpe_encode",           # BPE train (20 argmax rounds) + encode
+    "l44_dup_ngram_coverage",   # sliding-window dup detection + coverage
 ]
 
 

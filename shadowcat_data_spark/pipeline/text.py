@@ -1452,10 +1452,9 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _L44_K = 8
 
-
-@query(
-    "l44_dup_ngram_coverage",
-    oracle=f"""
+# shared verbatim with t31: the streaming index maintenance must converge
+# to exactly the one-shot answer, so the two queries carry ONE oracle
+_L44_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
@@ -1485,7 +1484,12 @@ SELECT b.doc_id,
        COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
        COALESCE(a.n_dup_tokens, 0) AS n_dup_tokens
 FROM base b LEFT JOIN agg a USING (doc_id)
-""",
+"""
+
+
+@query(
+    "l44_dup_ngram_coverage",
+    oracle=_L44_ORACLE,
     category="pipeline-text",
 )
 def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,10 +1514,14 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_coverage_frame(docs, _L44_K)
 
 
-def dup_ngram_coverage_frame(docs: DataFrame, k: int) -> DataFrame:
-    """The l44 computation over any documents frame at any window size —
-    see ``dup_ngram_coverage`` for semantics and scale shape.
-    Hypothesis-twinned against a brute-force per-token reference."""
+def ngram_window_digests(
+    docs: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(base, wins) for the sliding-window family: base = (doc_id, n)
+    token counts, wins = one row per window position (doc_id, strt, h)
+    where h is the 16-byte md5 of the k-token window text — digested
+    MAP-SIDE, so window text never shuffles. Shared by l44 (one-shot)
+    and t31 (streaming index maintenance)."""
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     base = docs.select(
         "doc_id", F.size(toks).alias("n"), toks.alias("toks")
@@ -1532,10 +1540,28 @@ def dup_ngram_coverage_frame(docs: DataFrame, k: int) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.strt").alias("strt"), F.col("w.h").alias("h"))
+    return base.select("doc_id", "n"), wins
+
+
+def dup_ngram_coverage_frame(docs: DataFrame, k: int) -> DataFrame:
+    """The l44 computation over any documents frame at any window size —
+    see ``dup_ngram_coverage`` for semantics and scale shape.
+    Hypothesis-twinned against a brute-force per-token reference."""
+    base, wins = ngram_window_digests(docs, k)
     hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
-    dup = wins.join(hot, "h", "left_semi")
+    return dup_coverage_from(base, wins.join(hot, "h", "left_semi"), k)
+
+
+def dup_coverage_from(
+    base: DataFrame, dup: DataFrame, k: int
+) -> DataFrame:
+    """Per-doc (n_windows, n_dup_windows, n_dup_tokens) from the marked
+    duplicate window positions ``dup`` = (doc_id, strt): the
+    max-end-so-far interval-union window inside per-doc partitions
+    (unique strt ordering), then a LEFT join so dup-free docs report
+    zeros."""
     prev_end = F.max(F.col("strt") + (k - 1)).over(
         W.partitionBy("doc_id")
         .orderBy("strt")

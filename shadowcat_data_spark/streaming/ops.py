@@ -2124,3 +2124,122 @@ def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
     )
     return run_to_memory(agg, "t30_token_meter", "complete")
+
+
+# ---------------------------------------------------------------------------
+# T31 — streaming duplicated-substring index maintenance (l44's state)
+# ---------------------------------------------------------------------------
+
+N_NGRAM_SHARDS = 16
+_T31_DDL = "shard long, h string, n_occ long"
+
+
+def upsert_ngram_counts(
+    spark: SparkSession, table: str, wins: DataFrame, batch_id: int
+) -> None:
+    """One t31 trigger: fold a batch's window digests into the
+    SHARD-PARTITIONED occurrence-count index — the t26 additive-merge
+    shape on l44's state. shard = xxhash64(h) mod 16 keys the table, so
+    ``merge_partitioned`` rewrites only the shards the batch touches
+    (per-trigger written bytes ∝ batch); the combine is a pure SUM, the
+    exact cross-batch associativity the converged-equals-one-shot oracle
+    equality rests on."""
+    from ..plans.lakehouse import (
+        create_partitioned,
+        current_version,
+        merge_partitioned,
+    )
+
+    partial = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .select(
+            F.pmod(F.xxhash64("h"), F.lit(N_NGRAM_SHARDS)).alias("shard"),
+            "h",
+            "n_occ",
+        )
+    )
+    if not current_version(table):
+        create_partitioned(
+            spark, partial, table, _T31_DDL, "shard",
+            n_buckets=N_NGRAM_SHARDS, extra={"batch_id": batch_id},
+            files_per_bucket="auto",
+            bounds=[float(i) for i in range(1, N_NGRAM_SHARDS)],
+        )
+        return
+
+    def combine(base: DataFrame, changes: DataFrame) -> DataFrame:
+        return base.unionByName(changes).groupBy("shard", "h").agg(
+            F.sum("n_occ").alias("n_occ")
+        )
+
+    merge_partitioned(
+        spark, table, partial, extra={"batch_id": batch_id}, combine=combine
+    )
+
+
+from ..pipeline.text import _L44_ORACLE  # noqa: E402
+
+
+@query("t31_stream_ngram_index", oracle=_L44_ORACLE, category="streaming")
+def stream_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l44's duplicated-substring detection as a STANDING INGEST: the
+    corpus-global state an exact-substring dedup pass needs is the
+    window-digest occurrence count, and this query maintains it
+    incrementally — documents arrive in three micro-batches, each
+    trigger digests its own windows map-side (window text never leaves
+    the executor, only 16-byte md5s shuffle) and additively MERGEs the
+    per-digest counts into a shard-partitioned snapshot-log table under
+    the t18 batch-id idempotence guard. Count-sum is associative and
+    commutative, so ANY arrival order converges to the one-shot counts;
+    the final probe marks hot digests (n_occ ≥ 2) from the INDEX alone
+    and must hash-equal l44's one-shot oracle — the two queries share
+    the oracle string verbatim. At 100 TB/day: per-trigger cost is
+    O(batch windows) digest + a partition-pruned merge that rewrites
+    only touched shards; the coverage computation stays a cheap
+    per-document pass at serve time, which is exactly how an
+    incremental dedup pipeline splits the work (global state
+    maintained online, local trims decided per document)."""
+    import shutil
+
+    from ..pipeline.text import (
+        _L44_K,
+        dup_coverage_from,
+        ngram_window_digests,
+    )
+    from ..plans.lakehouse import current_version, read_manifest, read_snapshot
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = _scratch(sf_dir, "t31_docs_stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        docs.select("doc_id", "text")
+        .repartitionByRange(3, "doc_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    table = _scratch(sf_dir, "t31_ngram_index")
+    shutil.rmtree(table, ignore_errors=True)
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        if current_version(table) and read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch: already committed — idempotence guard
+        _, wins = ngram_window_digests(batch, _L44_K)
+        upsert_ngram_counts(batch.sparkSession, table, wins, batch_id)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(upsert_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hot = read_snapshot(spark, table).filter(F.col("n_occ") >= 2).select("h")
+    base, wins = ngram_window_digests(docs, _L44_K)
+    return dup_coverage_from(base, wins.join(hot, "h", "left_semi"), _L44_K)

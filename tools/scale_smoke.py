@@ -84,6 +84,11 @@ SF10_QUERIES = [
     "l34_text_bm25",           # bounded BM25 probe (dl-on-posting, post-fix)
     "t27_stream_text_index",   # streaming index maintenance at 100×
     "t28_stream_reindex",      # streaming MOR re-crawl upserts at 100×
+    # r08: tokenizer train+encode (the word-count explode and the
+    # per-round vocab jobs must stay flat at 100×) and the dup-substring
+    # window sweep (≈100M digest rows through one groupBy + semi join)
+    "l43_bpe_encode",
+    "l44_dup_ngram_coverage",
 ]
 
 # every int64 key-domain column per table (offset per copy so each replica's
@@ -267,6 +272,12 @@ def main() -> None:
         # what must stay flat per pass at scale)
         "m40_runtime_filter_join",
         "l30_quality_logreg",
+        # r08: the tokenizer pipeline (train = 20 vocab-sized argmax
+        # rounds after ONE corpus word count; encode = broadcast join)
+        # and the sliding-window dup-substring signal (per-token window
+        # explode — the largest shuffle row count of any text query)
+        "l43_bpe_encode",
+        "l44_dup_ngram_coverage",
     ]
 
     specs = registry.load_all()
