@@ -403,3 +403,63 @@ def test_t26_cross_batch_duplicate_media_collapse(spark, tmp_path):
         r.payload_sha: (r.n_copies, r.canonical_id)
         for r in read_snapshot(spark, table).collect()
     } == got
+
+
+def test_t31_cross_batch_window_counts_converge(spark, tmp_path):
+    """t31's merge property driven through the REAL helper: an 8-token
+    window whose two occurrences arrive in DIFFERENT micro-batches must
+    still reach n_occ 2 in the maintained index (count-sum
+    associativity — the converged-equals-one-shot oracle equality), the
+    replay guard must make a re-committed batch_id a no-op, and a
+    single-doc trigger must rewrite only the shards its windows touch —
+    every other shard's files carry forward byte-identical."""
+    import os
+
+    from shadowcat_data_spark.pipeline.text import (
+        _L44_K,
+        ngram_window_digests,
+    )
+    from shadowcat_data_spark.plans.lakehouse import (
+        current_version,
+        read_manifest,
+        read_snapshot,
+    )
+    from shadowcat_data_spark.streaming.ops import upsert_ngram_counts
+
+    table = str(tmp_path / "nidx")
+    phrase = " ".join(f"tok{i}" for i in range(_L44_K))  # one exact window
+
+    def upsert(batch_rows, batch_id):
+        if current_version(table) and read_manifest(table).get("batch_id", -1) >= batch_id:
+            return
+        b = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        _, wins = ngram_window_digests(b, _L44_K)
+        upsert_ngram_counts(spark, table, wins, batch_id)
+
+    # seed WIDE (many distinct windows → many shards hold files), one
+    # occurrence of the tracked phrase
+    seed = [(i, " ".join(f"w{i}_{j}" for j in range(_L44_K))) for i in range(40)]
+    seed.append((100, phrase))
+    upsert(seed, 0)
+    man0 = read_manifest(table)
+    sizes0 = {f: os.path.getsize(os.path.join(table, f)) for f in man0["files"]}
+
+    upsert([(200, phrase)], 1)  # the cross-batch duplicate occurrence
+
+    idx = {r.h: r.n_occ for r in read_snapshot(spark, table).collect()}
+    assert sum(1 for n in idx.values() if n == 2) == 1
+    assert sum(idx.values()) == 42  # 41 singles + the tracked pair
+
+    # incrementality: the single-doc trigger touches ONE shard
+    man1 = read_manifest(table)
+    carried = [f for f in man1["files"] if f in sizes0]
+    assert carried, "untouched shards must carry forward by reference"
+    for f in carried:
+        assert os.path.getsize(os.path.join(table, f)) == sizes0[f]
+    assert len([f for f in man1["files"] if f not in sizes0]) <= 1
+
+    # replay guard: batch 1 again → no new snapshot, nothing double-counted
+    v = current_version(table)
+    upsert([(200, phrase)], 1)
+    assert current_version(table) == v
+    assert {r.h: r.n_occ for r in read_snapshot(spark, table).collect()} == idx
