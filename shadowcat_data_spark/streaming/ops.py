@@ -2019,7 +2019,11 @@ def _t30_oracle() -> str:
     loop l29/l43 share), the encode chain applied to the full
     vocabulary, then per-language totals. LEFT JOIN + COALESCE: a
     language whose every document is token-free still reports a row
-    (the stream counts the doc; its sums are zero)."""
+    (the stream counts the doc; its sums are zero). The join is
+    null-safe (IS NOT DISTINCT FROM): Spark's groupBy treats NULL lang
+    as an ordinary group, so a NULL-lang document's token sums must
+    reach the same group here — a plain equi-join would silently zero
+    them."""
     from ..pipeline.text import _BPE_EOW, _L29_MERGES, _bpe_train_ctes
 
     ctes, _ = _bpe_train_ctes(_L29_MERGES, train_where="doc_id % 2 = 0")
@@ -2061,7 +2065,8 @@ SELECT d.lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        COALESCE(ANY_VALUE(lw.n_words), 0) AS n_words,
        COALESCE(ANY_VALUE(lw.n_tokens), 0) AS n_tokens
-FROM documents d LEFT JOIN lang_words lw ON d.lang = lw.lang
+FROM documents d
+LEFT JOIN lang_words lw ON d.lang IS NOT DISTINCT FROM lw.lang
 GROUP BY d.lang"""
     )
 

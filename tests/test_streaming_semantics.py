@@ -463,3 +463,42 @@ def test_t31_cross_batch_window_counts_converge(spark, tmp_path):
     upsert([(200, phrase)], 1)
     assert current_version(table) == v
     assert {r.h: r.n_occ for r in read_snapshot(spark, table).collect()} == idx
+
+
+def test_t30_null_lang_group_parity(spark, tmp_path):
+    """A NULL-lang document WITH tokens must land its token sums in the
+    NULL group on both sides: Spark's groupBy treats NULL as an ordinary
+    key, so the oracle's doc→lang_words join must be null-safe (IS NOT
+    DISTINCT FROM) — a plain equi-join silently zeroes the group's sums
+    (review-found, fixture-verified)."""
+    import os
+
+    import duckdb
+
+    from shadowcat_data_spark.compare import compare_frames
+    from shadowcat_data_spark.registry import load_all
+
+    fix = str(tmp_path / "fix")
+    os.makedirs(fix)
+    rows = [
+        (0, "alpha beta gamma alpha", "en", "s0", 22),
+        (1, "beta beta", None, None, 9),  # NULL lang WITH tokens
+        (2, None, None, "s1", None),  # NULL text
+        (3, "", "fr", "s0", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(fix, "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{fix}/documents.parquet/*.parquet')"
+    )
+    spec = load_all()["t30_stream_bpe_encode"]
+    got = spec.fn(spark, fix).toPandas()
+    res = compare_frames("t30", got, con.sql(spec.oracle).df())
+    assert res.ok, res.detail
+    null_row = got[got["lang"].isna()].iloc[0]
+    assert (null_row["n_docs"], null_row["n_words"]) == (2, 2)
