@@ -1230,6 +1230,12 @@ def _bpe_train(
             ).alias("s"),
             "cnt",
         )
+        # lineage guard for big vocabularies: chained replaces are cheap
+        # to EXECUTE but each round's pair-count re-ANALYZES the whole
+        # chain, which grows quadratic in n_merges — truncate every 16
+        # rounds (one materialization job per 16, vs. the old 1-per-round)
+        if rank % 16 == 0:
+            words = words.localCheckpoint()
     return merges, words
 
 
