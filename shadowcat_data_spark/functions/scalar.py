@@ -344,7 +344,7 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        sha256(text) AS text_sha,
        md5(text) AS text_md5,
-       sha256(concat(lang, '|', text)) AS keyed_sha
+       sha256(COALESCE(lang, '') || '|' || COALESCE(text, '')) AS keyed_sha
 FROM documents
 """,
     category="function",
@@ -352,13 +352,22 @@ FROM documents
 def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cryptographic content hashes (dedup keys, fingerprints). xxhash64 is
     Spark-seeded and monotonically_increasing_id non-deterministic — both are
-    available in the engine but excluded from oracle-checked output."""
+    available in the engine but excluded from oracle-checked output. The
+    keyed hash's NULL policy is EXPLICIT (coalesce both parts to ''):
+    Spark's concat_ws drops null parts separator-and-all while DuckDB's
+    concat keeps the separators, so a hash over an implicit-NULL concat
+    diverges the moment a field is missing (dirty-probe find, r08)."""
     d = load_table(spark, sf_dir, "documents")
+    keyed = F.concat(
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.lit("|"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
     return d.select(
         "doc_id",
         F.sha2(F.col("text"), 256).alias("text_sha"),
         F.md5(F.col("text")).alias("text_md5"),
-        F.sha2(F.concat_ws("|", F.col("lang"), F.col("text")), 256).alias("keyed_sha"),
+        F.sha2(keyed, 256).alias("keyed_sha"),
     )
 
 
@@ -517,10 +526,13 @@ def collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f13_url_parse",
     oracle="""
 SELECT doc_id,
-       'https' AS proto,
-       source || '.example.com' AS host,
-       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
-       lang AS lang_param
+       CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+            ELSE 'https' END AS proto,
+       CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+            ELSE source || '.example.com' END AS host,
+       CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+            ELSE '/docs/' || CAST(doc_id AS VARCHAR) END AS path,
+       CASE WHEN source IS NULL THEN NULL ELSE lang END AS lang_param
 FROM documents
 """,
     category="function",
@@ -529,7 +541,9 @@ def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_url over synthesized per-doc URLs: protocol, host, path, and a
     named query parameter. The oracle reconstructs each component from the
     source columns, so what is checked is that parse_url inverts the URL
-    construction exactly."""
+    construction exactly — including the NULL row: a missing source or
+    lang nulls the synthesized URL, so EVERY component is NULL, even the
+    constant-valued protocol (dirty-probe find, r08)."""
     d = load_table(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"),
@@ -557,10 +571,14 @@ def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f14_str_to_map",
     oracle="""
 SELECT doc_id,
-       lang AS m_lang,
-       source AS m_src,
-       CAST(n_chars AS VARCHAR) AS m_len,
-       3 AS n_keys
+       CASE WHEN lang IS NULL OR source IS NULL OR n_chars IS NULL
+            THEN NULL ELSE lang END AS m_lang,
+       CASE WHEN lang IS NULL OR source IS NULL OR n_chars IS NULL
+            THEN NULL ELSE source END AS m_src,
+       CASE WHEN lang IS NULL OR source IS NULL OR n_chars IS NULL
+            THEN NULL ELSE CAST(n_chars AS VARCHAR) END AS m_len,
+       CASE WHEN lang IS NULL OR source IS NULL OR n_chars IS NULL
+            THEN NULL ELSE 3 END AS n_keys
 FROM documents
 """,
     category="function",
@@ -570,7 +588,9 @@ def str_to_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic loose-attributes ingestion idiom. Map cells never reach the
     output (the grading comparator cannot sort them); values are extracted
     back to scalar columns, proving parse fidelity against the columns the
-    string was built from."""
+    string was built from. One missing field nulls the synthesized string,
+    so every extracted column — including the constant-looking key count —
+    is NULL for that row (dirty-probe find, r08)."""
     d = load_table(spark, sf_dir, "documents")
     kv = F.concat(
         F.lit("lang:"),
@@ -631,7 +651,11 @@ def trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f16_xml",
     oracle="""
-SELECT doc_id, lang AS x_lang, CAST(n_chars AS INTEGER) AS x_len
+SELECT doc_id,
+       CASE WHEN lang IS NULL OR n_chars IS NULL THEN NULL
+            ELSE lang END AS x_lang,
+       CASE WHEN lang IS NULL OR n_chars IS NULL THEN NULL
+            ELSE CAST(n_chars AS INTEGER) END AS x_len
 FROM documents
 """,
     category="function",
@@ -640,7 +664,9 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_xml round-trip: synthesize an XML doc per row, parse it back
     with an explicit schema, and emit the extracted scalars (struct stays
     internal — the grading comparator cannot sort struct cells). Proves
-    the Spark 4 XML reader inverts the construction exactly."""
+    the Spark 4 XML reader inverts the construction exactly — including
+    the NULL row: one missing field nulls the whole synthesized XML, so
+    BOTH extracted scalars are NULL (dirty-probe find, r08)."""
     d = load_table(spark, sf_dir, "documents")
     xml = F.concat(
         F.lit("<doc><lang>"),
@@ -744,14 +770,22 @@ def to_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct/array → JSON text (the export half of f9's parse): both
     engines emit identical compact JSON, so the serialization itself is
     hash-checked. This is the envelope format for event emission and
-    API-facing exports."""
+    API-facing exports. ignoreNullFields=false pins the null policy:
+    Spark's default silently DROPS null struct fields ('{}' for an
+    all-null row) while DuckDB serializes them — an export consumer
+    needs one contract, and keep-nulls is the schema-stable one
+    (dirty-probe find, r08)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.to_json(
-            F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("len"))
+            F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("len")),
+            {"ignoreNullFields": "false"},
         ).alias("doc_json"),
-        F.to_json(F.array(F.col("doc_id"), F.col("n_chars"))).alias("arr_json"),
+        F.to_json(
+            F.array(F.col("doc_id"), F.col("n_chars")),
+            {"ignoreNullFields": "false"},
+        ).alias("arr_json"),
     )
 
 
@@ -764,10 +798,12 @@ def to_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f20_split_part",
     oracle="""
 SELECT doc_id,
-       split_part(source || ':' || lang || ':' || CAST(doc_id AS VARCHAR), ':', 1)
-         AS part_source,
-       split_part(source || ':' || lang || ':' || CAST(doc_id AS VARCHAR), ':', 2)
-         AS part_lang,
+       CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+            ELSE split_part(source || ':' || lang || ':' || CAST(doc_id AS VARCHAR), ':', 1)
+       END AS part_source,
+       CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+            ELSE split_part(source || ':' || lang || ':' || CAST(doc_id AS VARCHAR), ':', 2)
+       END AS part_lang,
        left(source, 3) AS src_prefix,
        right(lang, 1) AS lang_last
 FROM documents
@@ -777,7 +813,10 @@ FROM documents
 def split_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delimited-field extraction without regex: split_part picks the Nth
     field directly (the log/URI field-grab idiom) and left/right take
-    fixed-width affixes — all identical semantics across engines."""
+    fixed-width affixes — all identical semantics across engines EXCEPT
+    the null input: Spark's split_part(NULL) is NULL while DuckDB's is
+    '', so the oracle spells the null-composite case explicitly
+    (dirty-probe find, r08)."""
     d = load_table(spark, sf_dir, "documents")
     composite = F.concat(
         F.col("source"), F.lit(":"), F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")

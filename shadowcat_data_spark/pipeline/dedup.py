@@ -121,9 +121,12 @@ def distinct_chargrams(
     asserted by the standing l2g oracle hash-match."""
     # split ONCE in its own projection — inlining the split() into the
     # lambda would re-split the document once per gram (the shingle_rows
-    # trap), putting the O(len²) right back
+    # trap), putting the O(len²) right back. NULL text contributes NO
+    # grams: without the filter, concat_ws('', slice(NULL, i, n)) folds
+    # the missing document to the '' gram — making every NULL doc an
+    # exact near-dup of every empty doc (dirty-probe find, r08)
     src = F.col(text_col)
-    cp_df = _fan_out(df).select(
+    cp_df = _fan_out(df.filter(src.isNotNull())).select(
         id_col, F.length(src).alias("__len"), F.split(src, "").alias("__cps")
     )
     grams = F.transform(
@@ -295,7 +298,7 @@ WITH g AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS t FROM (
     SELECT doc_id, text,
            unnest(generate_series(1, GREATEST(length(text) - 4, 1))) AS i
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
   )
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_tok FROM g GROUP BY doc_id

@@ -354,7 +354,10 @@ def _per_image_kernel(transform, out_fields: list[str]):
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake media corpus derived from documents: binary payload
     = sha256(text) bytes, metadata struct typed like a real media manifest."""
-    d = load_table(spark, sf_dir, "documents")
+    # no text -> no media payload: a missing document cannot ship bytes,
+    # and a NULL content cell would crash every Arrow kernel downstream
+    # (dirty-probe find, r08)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     payload = F.unbase64(F.base64(F.encode(F.sha2(F.col("text"), 256), "utf-8")))
     return d.select(
         F.col("doc_id").alias("media_id"),
@@ -442,7 +445,7 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
        CAST(MAX(n_chars % 640) AS INTEGER) AS max_width
-FROM documents
+FROM documents WHERE text IS NOT NULL
 GROUP BY 1
 """,
     category="pipeline-multimodal",
@@ -502,7 +505,7 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
        CAST(SUM((64 + 15) // 16) AS BIGINT) AS n_frames,
        CAST(COUNT(*) AS BIGINT) AS n_media
-FROM documents
+FROM documents WHERE text IS NOT NULL
 GROUP BY 1
 """,
     category="pipeline-multimodal",
@@ -567,6 +570,7 @@ def _ensure_media_fixture(spark: SparkSession, sf_dir: str, n_docs: int = 50) ->
     expected = {
         f"media_{r.doc_id}.bin": r.payload.encode("ascii")
         for r in d.select("doc_id", F.sha2("text", 256).alias("payload")).collect()
+        if r.payload is not None  # no text -> no media file (r08)
     }
     _shutil.rmtree(media_dir, ignore_errors=True)  # stale files would ingest
     _os.makedirs(media_dir, exist_ok=True)
@@ -584,7 +588,7 @@ def _ensure_media_fixture(spark: SparkSession, sf_dir: str, n_docs: int = 50) ->
 SELECT doc_id AS media_id,
        CAST(64 AS BIGINT) AS n_bytes,
        sha256(sha256(text)) AS payload_sha
-FROM documents WHERE doc_id < 50
+FROM documents WHERE doc_id < 50 AND text IS NOT NULL
 """,
     category="pipeline-multimodal",
 )
@@ -1084,7 +1088,7 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH m AS (
   SELECT doc_id, sha256(sha256(text)) AS payload_sha
-  FROM documents WHERE doc_id < 50
+  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
 )
 SELECT payload_sha,
        CAST(2 * COUNT(*) AS BIGINT) AS n_copies,

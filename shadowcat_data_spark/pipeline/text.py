@@ -296,17 +296,22 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l7d_fingerprint",
     oracle=f"""
 SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform({TOKENS}, t -> CAST(len(t) * 37 + ascii(t) AS BIGINT))),
-         (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+         (a, b) -> (a * 1000003 + b) % 2147483647) END AS fingerprint
 FROM documents
 """,
     category="pipeline-text",
 )
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling hash over the token stream — same text, same
-    fingerprint on any engine (pure int64 arithmetic, no engine hash)."""
+    fingerprint on any engine (pure int64 arithmetic, no engine hash).
+    NULL text fingerprints to NULL on both sides: Spark's lambda chain
+    null-propagates, while DuckDB's list_prepend(0, NULL) would hash a
+    missing document to 0 — the empty document's fingerprint
+    (dirty-probe find, r08)."""
     d = load_table(spark, sf_dir, "documents")
     vals = F.transform(
         tokens(), lambda t: (F.length(t) * 37 + F.ascii(t)).cast("bigint")
@@ -1061,7 +1066,7 @@ WITH t AS (
   FROM documents
 ), keyed AS (
   SELECT doc_id, n_chars,
-         CASE WHEN len(toks) = 0 THEN 0.0
+         CASE WHEN COALESCE(len(toks), 0) = 0 THEN 0.0
               ELSE len(list_distinct(toks)) * 1.0 / len(toks) END AS ratio,
          MIN(doc_id) OVER (PARTITION BY content_key) AS first_id
   FROM t
@@ -1093,7 +1098,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     no skew — keys are md5) plus per-row array expressions; single
     shuffle, no joins, no Python. The ratio is an int/int division so the
     0.40 threshold decides identically on both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    return curation_verdicts(load_table(spark, sf_dir, "documents"))
+
+
+def curation_verdicts(d: DataFrame) -> DataFrame:
+    """l27's gate composition over any documents frame — (doc_id,
+    verdict, keep); shared with l45's token-yield report."""
     toks = F.filter(tokens(), lambda t: t != "")
     # token-free docs (whitespace-only text inside the length band) count as
     # maximally repetitive — ratio 0 — instead of dividing by zero (ANSI)
@@ -1602,6 +1612,120 @@ def dup_coverage_from(
             F.coalesce("n_dup_tokens", F.lit(0).cast("long")).alias(
                 "n_dup_tokens"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L45 — token-yield report: curation gates x trained tokenizer, per source
+# ---------------------------------------------------------------------------
+
+
+def _l45_oracle() -> str:
+    """Curation verdicts (l27's CTE) first, then the BPE training replay
+    RESTRICTED to kept docs (a real pipeline trains its tokenizer on the
+    curated corpus), then the encode chain over the full vocabulary, then
+    per-(source, verdict) totals. Token-free and NULL-text docs reach the
+    report with zero tokens via the LEFT join."""
+    curated = """curated AS MATERIALIZED (
+  WITH t AS (
+    SELECT doc_id, n_chars,
+           md5(lower(trim(text))) AS content_key,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ), keyed AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN COALESCE(len(toks), 0) = 0 THEN 0.0
+                ELSE len(list_distinct(toks)) * 1.0 / len(toks) END AS ratio,
+           MIN(doc_id) OVER (PARTITION BY content_key) AS first_id
+    FROM t
+  )
+  SELECT doc_id,
+         CASE WHEN doc_id <> first_id THEN 'duplicate'
+              WHEN n_chars < 100 THEN 'too_short'
+              WHEN n_chars > 500 THEN 'too_long'
+              WHEN ratio < 0.40 THEN 'repetitive'
+              ELSE 'kept' END AS verdict
+  FROM keyed
+)"""
+    ctes, _ = _bpe_train_ctes(
+        _L29_MERGES,
+        train_where="doc_id IN (SELECT doc_id FROM curated WHERE verdict = 'kept')",
+    )
+    ctes.insert(0, curated)
+    ctes.append(
+        f"""enc0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(list_append(string_split(w, ''), '{_BPE_EOW}'), '  ') || ' ' AS s
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)"""
+    )
+    for r in range(1, _L29_MERGES + 1):
+        ctes.append(
+            f"enc{r} AS (SELECT e.w, CASE WHEN m.a IS NULL THEN e.s ELSE "
+            f"replace(e.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.m || ' ') "
+            f"END AS s FROM enc{r - 1} e LEFT JOIN bm{r} m ON TRUE)"
+        )
+    ctes.append(
+        f"""word_tok AS MATERIALIZED (
+  SELECT w, CAST((length(s) - length(replace(s, ' ', ''))) / 2 AS BIGINT) AS n_tok
+  FROM enc{_L29_MERGES}
+)"""
+    )
+    ctes.append(
+        """doc_tok AS (
+  SELECT c.doc_id, CAST(SUM(c.n * wt.n_tok) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, w, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY doc_id, w) c
+  JOIN word_tok wt ON c.w = wt.w
+  GROUP BY c.doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.source, c.verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(dt.n_tokens), 0) AS BIGINT) AS n_tokens
+FROM documents d
+JOIN curated c ON d.doc_id = c.doc_id
+LEFT JOIN doc_tok dt ON d.doc_id = dt.doc_id
+GROUP BY d.source, c.verdict"""
+    )
+
+
+@query("l45_token_yield", oracle=_l45_oracle(), category="pipeline-text")
+def token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number every training-data team actually tracks: per source
+    and curation verdict, how many documents and how many TOKENS —
+    counted with the tokenizer the pipeline would really ship, i.e. one
+    TRAINED ON THE CURATED CORPUS (l27's gates pick the keepers, l29's
+    loop trains on them, l43's encoder prices every doc, kept or
+    dropped). Dropped-verdict rows price what each gate is discarding;
+    the kept row is the training-token budget. Fully hash-oracled: the
+    oracle chains l27's verdict CTE, the training replay restricted to
+    kept docs, and the encode chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = curation_verdicts(docs).select("doc_id", "verdict")
+    kept = docs.join(
+        verdicts.filter(F.col("verdict") == "kept").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    merges, _ = _bpe_train(spark, kept, "text", _L29_MERGES)
+    doc_tok = bpe_encode_corpus(spark, docs, "text", merges).select(
+        "doc_id", "n_tokens"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(verdicts, "doc_id")
+        .join(doc_tok, "doc_id", "left")
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
 

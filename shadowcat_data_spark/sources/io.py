@@ -357,7 +357,7 @@ def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        CAST(doc_id AS VARCHAR) || '|' || lang AS line
-FROM documents
+FROM documents WHERE lang IS NOT NULL
 """,
     category="source",
 )
@@ -366,8 +366,12 @@ def text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     read it back with spark.read.text (the raw-log entry path), and parse
     the fields out with split — the classic schema-on-read hop for logs
     that predate structure. Text files split by line at any size, so this
-    path parallelizes like CSV without the quoting machinery."""
-    d = load_table(spark, sf_dir, "documents")
+    path parallelizes like CSV without the quoting machinery. Rows with a
+    NULL field are excluded on BOTH sides: a raw line format cannot
+    represent NULL (the writer emits '' and the read-back cast explodes —
+    dirty-probe find, r08), which is precisely why logs that outgrow this
+    hop move to CSV/parquet."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     lines = d.select(
         F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("lang")).alias("value")
     )

@@ -1665,7 +1665,7 @@ def upsert_media_digests(
     oracle="""
 WITH m AS (
   SELECT doc_id, sha256(sha256(text)) AS payload_sha
-  FROM documents WHERE doc_id < 50
+  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
 )
 SELECT payload_sha,
        CAST(COUNT(*) AS BIGINT) AS n_copies,

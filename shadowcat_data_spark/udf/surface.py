@@ -210,7 +210,9 @@ def _make_chunk_udtf():
         logic; Spark runs it per-partition, so it scales like any map."""
 
         def eval(self, doc_id: int, text: str):  # noqa: D401
-            toks = [t for t in text.split(" ") if t]
+            # NULL text = token-less: yields no chunks, like the SQL twin's
+            # unnest(NULL) (dirty-probe find, r08 — .split on None raised)
+            toks = [t for t in text.split(" ") if t] if text is not None else []
             # a token-less doc yields no chunks (matches the SQL twin)
             for i in range(0, len(toks), 20):
                 chunk = toks[i : i + 20]
@@ -364,7 +366,8 @@ def _make_ngram_udtf():
             return AnalyzeResult(schema=schema)
 
         def eval(self, doc_id, text, n):
-            toks = [t for t in text.split(" ") if t]
+            # NULL text emits nothing, matching the oracle's unnest(NULL)
+            toks = [t for t in text.split(" ") if t] if text is not None else []
             for i in range(len(toks) - n + 1):
                 yield doc_id, i, " ".join(toks[i : i + n])
 
@@ -475,7 +478,10 @@ def iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         model_bias = 29  # init_model(): runs once per worker, not per batch
         for texts in batches:
-            yield texts.str.len().astype("int64") % 97 + model_bias
+            # nullable Int64: a NULL text scores NULL like the oracle's
+            # length(NULL) — plain int64 astype raises on the NaN len
+            # (dirty-probe find, r08)
+            yield texts.str.len().astype("Int64") % 97 + model_bias
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", score(F.col("text")).alias("scored"))

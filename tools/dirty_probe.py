@@ -51,6 +51,14 @@ DIRTY_DOCS = [
     (12, "Customer, JOIN! filter; Customer-join?", "en", "src0", 38),
     (13, "CUSTOMER   join...customer (join) [filter]", "en", "src0", 42),
     (14, "a.b,c;d:e!f?g-h_i+j=k", "en", "src0", 21),
+    # NULL documents (r08): a fully-NULL doc and a NULL-lang doc WITH
+    # tokens. Found live: l27's oracle NULL-propagated len(NULL toks)
+    # through its repetition ratio and called a NULL-text doc 'kept'
+    # while Spark's when()-chain called it 'repetitive'; t30's per-lang
+    # join dropped a NULL-lang doc's token sums. Both fixture-only holes
+    # until a real corpus ships a row with missing fields.
+    (15, None, None, None, None),
+    (16, "beta beta gamma", None, None, 15),
 ]
 
 _OTHER_TABLES = re.compile(
