@@ -89,6 +89,9 @@ SF10_QUERIES = [
     # window sweep (≈100M digest rows through one groupBy + semi join)
     "l43_bpe_encode",
     "l44_dup_ngram_coverage",
+    # r08: the streaming window-digest index — each trigger's additive
+    # merge must rewrite only touched shards as the index grows
+    "t31_stream_ngram_index",
 ]
 
 # every int64 key-domain column per table (offset per copy so each replica's
