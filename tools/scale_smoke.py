@@ -127,6 +127,11 @@ SF30_QUERIES = [
     # r07: the positional tier (position arrays triple the posting row
     # weight — the build's write fan-out and probe pruning must hold)
     "l38_phrase_search",
+    # r08: the dup-substring window sweep at 300× — the digest groupBy
+    # is the largest shuffle row count of any text query, and the
+    # salted copies make every window a 100-fold duplicate (the
+    # boilerplate regime the left-semi probe must not fan out on)
+    "l44_dup_ngram_coverage",
 ]
 
 
