@@ -1556,7 +1556,7 @@ def ngram_window_digests(
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.strt").alias("strt"), F.col("w.h").alias("h"))
-    return base.select("doc_id", "n"), wins
+    return base.select("doc_id", "n", "toks"), wins
 
 
 def dup_ngram_coverage_frame(docs: DataFrame, k: int) -> DataFrame:
@@ -1726,6 +1726,95 @@ def token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L46 — duplicated-substring TRIM (apply the l44 signal to the text)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l46_dup_ngram_trim",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n, toks FROM tok
+), wins AS (
+  SELECT doc_id, j AS strt,
+         md5(array_to_string(list_slice(toks, j + 1, j + {_L44_K}), ' ')) AS h
+  FROM base CROSS JOIN UNNEST(generate_series(0, n - {_L44_K})) AS u(j)
+), hot AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+), dups AS (
+  SELECT doc_id, list(strt) AS starts
+  FROM wins JOIN hot USING (h) GROUP BY doc_id
+), trimmed AS (
+  SELECT b.doc_id, b.n,
+         list_filter(b.toks, (x, i) ->
+           len(list_filter(COALESCE(d.starts, []),
+               s -> (i - 1) BETWEEN s AND s + {_L44_K} - 1)) = 0) AS kept
+  FROM base b LEFT JOIN dups d USING (doc_id)
+)
+SELECT doc_id,
+       CAST(GREATEST(n, 0) AS BIGINT) AS n_tokens,
+       CAST(GREATEST(len(kept), 0) AS BIGINT) AS n_kept,
+       NULLIF(array_to_string(kept, ' '), '') AS kept_text
+FROM trimmed
+""",
+    category="pipeline-text",
+)
+def dup_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of l44 — the Lee-et-al-style exact-substring trim:
+    every token covered by at least one corpus-duplicated 8-token window
+    is removed, and the surviving tokens reassemble into the kept text
+    (single-space normalized, like l21's span output; a fully-trimmed or
+    token-free doc yields NULL kept_text). l44 reports what WOULD be
+    trimmed; this emits the trimmed corpus a training run would consume.
+
+    Scale shape: identical to l44 up to the duplicate-window positions
+    (map-side md5 digests, combinable count, left-semi probe) — then the
+    per-doc trim is one positional array filter against the doc's own
+    sorted dup-start list: O(tokens x dup-windows) worst case but bounded
+    by DOCUMENT size, never corpus size, and embarrassingly map-side
+    (the starts list rides a doc_id equi-join). Both engines run the
+    same indexed-lambda filter, so the reassembled text hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_trim_frame(docs, _L44_K)
+
+
+def dup_ngram_trim_frame(docs: DataFrame, k: int) -> DataFrame:
+    """The l46 computation over any documents frame at any window size —
+    hypothesis-twinned against a brute-force mark-and-keep reference
+    (the Spark filter index is 0-based, DuckDB's 1-based: exactly the
+    off-by-one the twin exists to catch)."""
+    base, wins = ngram_window_digests(docs, k)
+    hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    dups = (
+        wins.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("strt").alias("starts"))
+    )
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: F.size(
+            F.filter(starts, lambda s: (i >= s) & (i <= s + (k - 1)))
+        )
+        == 0,
+    )
+    return (
+        base.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.greatest(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
+            F.nullif(F.array_join(kept, " "), F.lit("")).alias("kept_text"),
         )
     )
 

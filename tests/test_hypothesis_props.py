@@ -678,3 +678,44 @@ def test_dup_ngram_coverage_matches_bruteforce(spark, texts, k):
         for r in dup_ngram_coverage_frame(df, k).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_dup_ngram_trim_matches_bruteforce(spark, texts, k):
+    """l46's trimmed text must equal the reference that marks every
+    token under every duplicated window and keeps the rest in order —
+    the indexed-lambda filter (0-based in Spark, 1-based in DuckDB) is
+    exactly the off-by-one a twin exists to catch."""
+    from collections import Counter
+
+    from shadowcat_data_spark.pipeline.text import dup_ngram_trim_frame
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    tok = {i: [w for w in t.split(" ") if w != ""] for i, t in docs}
+    wins = Counter()
+    for i, ts in tok.items():
+        for j in range(len(ts) - k + 1):
+            wins[" ".join(ts[j : j + k])] += 1
+    expected = {}
+    for i, ts in tok.items():
+        covered = set()
+        for j in range(len(ts) - k + 1):
+            if wins[" ".join(ts[j : j + k])] >= 2:
+                covered.update(range(j, j + k))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        expected[i] = (len(ts), len(kept), " ".join(kept) or None)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.kept_text)
+        for r in dup_ngram_trim_frame(df, k).collect()
+    }
+    assert got == expected
