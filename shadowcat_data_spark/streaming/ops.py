@@ -2248,3 +2248,144 @@ def stream_ngram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = read_snapshot(spark, table).filter(F.col("n_occ") >= 2).select("h")
     base, wins = ngram_window_digests(docs, _L44_K)
     return dup_coverage_from(base, wins.join(hot, "h", "left_semi"), _L44_K)
+
+
+# ---------------------------------------------------------------------------
+# T32 — streaming trim serving: the l46 trim against the maintained index
+# ---------------------------------------------------------------------------
+
+
+def _t32_oracle() -> str:
+    """Per-source totals of the l46 trim — the stream serves against a
+    full-corpus index snapshot, so the converged answer is exactly the
+    one-shot batch trim aggregated by source (NULL source is an
+    ordinary group; no join touches it)."""
+    from ..pipeline.text import _L44_K
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, source, len(toks) AS n, toks FROM tok
+), wins AS (
+  SELECT doc_id, j AS strt,
+         md5(array_to_string(list_slice(toks, j + 1, j + {_L44_K}), ' ')) AS h
+  FROM base CROSS JOIN UNNEST(generate_series(0, n - {_L44_K})) AS u(j)
+), hot AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+), dups AS (
+  SELECT doc_id, list(strt) AS starts
+  FROM wins JOIN hot USING (h) GROUP BY doc_id
+), trimmed AS (
+  SELECT b.doc_id, b.source, b.n,
+         list_filter(b.toks, (x, i) ->
+           len(list_filter(COALESCE(d.starts, []),
+               s -> (i - 1) BETWEEN s AND s + {_L44_K} - 1)) = 0) AS kept
+  FROM base b LEFT JOIN dups d USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(GREATEST(n, 0)) AS BIGINT) AS n_tokens,
+       CAST(SUM(GREATEST(len(kept), 0)) AS BIGINT) AS n_kept
+FROM trimmed GROUP BY source"""
+
+
+@query("t32_stream_ngram_trim", oracle=_t32_oracle(), category="streaming")
+def stream_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE half of the streaming exact-substring dedup lifecycle
+    (t31 maintains the window-count index; this consumes it): documents
+    arrive in micro-batches and each trigger trims them against the hot
+    set read from the PERSISTED index snapshot — the l46 filter as
+    per-trigger map work, with the duplicate-window membership probe a
+    stream-static left-semi join against index state that never rides
+    the stream. Per-doc trim results append to a parquet sink under a
+    per-batch idempotence guard; the converged per-source token totals
+    hash-equal the one-shot batch trim, because serving reads a
+    SNAPSHOT (the documented contract: an index update mid-stream
+    changes later triggers' answers — t31's convergence, not this
+    query's). At 100 TB/day this is the online dedup gate in front of a
+    training-data lake: per-trigger cost is O(batch windows) digest +
+    one bounded semi-join, and the only corpus-sized artifact is the
+    index the maintenance stream already pays for."""
+    import shutil
+
+    from ..pipeline.text import _L44_K, ngram_window_digests
+    from ..plans.lakehouse import current_version, read_manifest, read_snapshot
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    # maintain the index the t31 way (one commit seeds it; serving only
+    # READS it — convergence under incremental growth is t31's oracle)
+    table = _scratch(sf_dir, "t32_ngram_index")
+    shutil.rmtree(table, ignore_errors=True)
+    _, all_wins = ngram_window_digests(docs, _L44_K)
+    upsert_ngram_counts(spark, table, all_wins, 0)
+    hot = (
+        read_snapshot(spark, table)
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+        .localCheckpoint()  # snapshot pinned: triggers must not re-read
+    )
+
+    stage = _scratch(sf_dir, "t32_docs_stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        docs.select("doc_id", "text", "source")
+        .repartitionByRange(3, "doc_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    sink = _scratch(sf_dir, "t32_trimmed")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def trim_batch(batch: DataFrame, batch_id: int) -> None:
+        base, wins = ngram_window_digests(batch, _L44_K)
+        dups = (
+            wins.join(hot, "h", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("strt").alias("starts"))
+        )
+        starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+        kept = F.filter(
+            F.col("toks"),
+            lambda x, i: F.size(
+                F.filter(starts, lambda s: (i >= s) & (i <= s + (_L44_K - 1)))
+            )
+            == 0,
+        )
+        out = (
+            base.join(dups, "doc_id", "left")
+            .join(batch.select("doc_id", "source"), "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                F.greatest(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+                F.greatest(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
+            )
+        )
+        # idempotent append: one subdir per batch_id, overwritten on replay
+        out.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(trim_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_kept").alias("n_kept"),
+        )
+    )
