@@ -1777,45 +1777,118 @@ def dup_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to l44 up to the duplicate-window positions
     (map-side md5 digests, combinable count, left-semi probe) — then the
-    per-doc trim is one positional array filter against the doc's own
-    sorted dup-start list: O(tokens x dup-windows) worst case but bounded
-    by DOCUMENT size, never corpus size, and embarrassingly map-side
-    (the starts list rides a doc_id equi-join). Both engines run the
-    same indexed-lambda filter, so the reassembled text hash-matches."""
+    per-doc trim is the interval-union complement: sorted dup starts
+    fold into merged disjoint intervals, the gaps between them slice the
+    token array back together. O(n + d log d) per document (VERDICT r08
+    killed the original O(n x d) per-token scan — a 100k-token
+    boilerplate doc put ~10^9 lambda evaluations into one task), still
+    embarrassingly map-side (the starts list rides a doc_id
+    equi-join)."""
     docs = load_table(spark, sf_dir, "documents")
     return dup_ngram_trim_frame(docs, _L44_K)
+
+
+def dup_starts_of(wins: DataFrame, hot: DataFrame) -> DataFrame:
+    """Per-doc duplicated-window start positions: (doc_id, starts) from
+    the window rows whose digest is in the hot set. Shared by l46's
+    one-shot trim and t32's per-trigger trim (the two must stay
+    byte-identical for t32's converged-equals-one-shot oracle)."""
+    return (
+        wins.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("strt").alias("starts"))
+    )
+
+
+def dup_kept_tokens(toks: Column, starts: Column, k: int) -> Column:
+    """Tokens surviving the exact-substring trim: drop every token index
+    covered by some interval [s, s+k-1], s in ``starts``. VERDICT r08
+    replaced the original per-token scan of the start list —
+    O(tokens x dup_starts) inside one row, hours for a 100k-token
+    boilerplate doc — with the interval-union complement: sort the
+    starts, fold them into merged disjoint intervals (one F.aggregate
+    pass), emit the complement gaps, and reassemble the kept tokens
+    gap-by-gap with F.slice. O(n + d log d) per document, all
+    built-ins, same semantics (the brute-force hypothesis twin and the
+    unchanged DuckDB oracles are the proof)."""
+    ss = F.array_sort(F.coalesce(starts, F.array().cast("array<int>")))
+    iv = lambda a, b: F.struct(a.cast("int").alias("a"), b.cast("int").alias("b"))
+    empty_ivs = F.array().cast("array<struct<a:int,b:int>>")
+    merged = F.aggregate(
+        ss,
+        F.struct(
+            empty_ivs.alias("ivs"),
+            F.lit(None).cast("int").alias("a"),
+            F.lit(None).cast("int").alias("b"),
+        ),
+        lambda acc, s: F.when(
+            acc["a"].isNotNull() & (s <= acc["b"] + 1),
+            F.struct(
+                acc["ivs"].alias("ivs"),
+                acc["a"].alias("a"),
+                F.greatest(acc["b"], (s + (k - 1)).cast("int")).alias("b"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["a"].isNotNull(),
+                    F.array_append(acc["ivs"], iv(acc["a"], acc["b"])),
+                )
+                .otherwise(acc["ivs"])
+                .alias("ivs"),
+                s.cast("int").alias("a"),
+                (s + (k - 1)).cast("int").alias("b"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["a"].isNotNull(),
+            F.array_append(acc["ivs"], iv(acc["a"], acc["b"])),
+        ).otherwise(acc["ivs"]),
+    )
+    n = F.size(toks)
+    gap_lo = F.concat(
+        F.array(F.lit(0)), F.transform(merged, lambda i: i["b"] + 1)
+    )
+    gap_hi = F.concat(
+        F.transform(merged, lambda i: i["a"] - 1), F.array(n - 1)
+    )
+    gaps = F.filter(
+        F.zip_with(
+            gap_lo, gap_hi, lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))
+        ),
+        lambda g: g["hi"] >= g["lo"],
+    )
+    return F.flatten(
+        F.transform(
+            gaps, lambda g: F.slice(toks, g["lo"] + 1, g["hi"] - g["lo"] + 1)
+        )
+    )
+
+
+def dup_trimmed(base: DataFrame, dups: DataFrame, k: int) -> DataFrame:
+    """base (doc_id, n, toks, ...) LEFT-joined with dups (doc_id,
+    starts), plus the ``kept`` token array from the interval-gap trim.
+    The shared apply step of the exact-substring dedup family (l46
+    one-shot, t32 per-trigger)."""
+    return base.join(dups, "doc_id", "left").withColumn(
+        "kept", dup_kept_tokens(F.col("toks"), F.col("starts"), k)
+    )
 
 
 def dup_ngram_trim_frame(docs: DataFrame, k: int) -> DataFrame:
     """The l46 computation over any documents frame at any window size —
     hypothesis-twinned against a brute-force mark-and-keep reference
-    (the Spark filter index is 0-based, DuckDB's 1-based: exactly the
+    (the Spark trim is 0-based, DuckDB's 1-based: exactly the
     off-by-one the twin exists to catch)."""
     base, wins = ngram_window_digests(docs, k)
     hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
-    dups = (
-        wins.join(hot, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("strt").alias("starts"))
-    )
-    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("toks"),
-        lambda x, i: F.size(
-            F.filter(starts, lambda s: (i >= s) & (i <= s + (k - 1)))
-        )
-        == 0,
-    )
-    return (
-        base.join(dups, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.greatest(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
-            F.greatest(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
-            F.nullif(F.array_join(kept, " "), F.lit("")).alias("kept_text"),
-        )
+    return dup_trimmed(base, dup_starts_of(wins, hot), k).select(
+        "doc_id",
+        F.greatest(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.greatest(F.size("kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.nullif(F.array_join("kept", " "), F.lit("")).alias("kept_text"),
     )
 
 

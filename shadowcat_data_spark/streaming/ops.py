@@ -2311,7 +2311,12 @@ def stream_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     index the maintenance stream already pays for."""
     import shutil
 
-    from ..pipeline.text import _L44_K, ngram_window_digests
+    from ..pipeline.text import (
+        _L44_K,
+        dup_starts_of,
+        dup_trimmed,
+        ngram_window_digests,
+    )
     from ..plans.lakehouse import current_version, read_manifest, read_snapshot
     from ..session import load_table
     from ..sources.io import _scratch
@@ -2323,11 +2328,17 @@ def stream_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table, ignore_errors=True)
     _, all_wins = ngram_window_digests(docs, _L44_K)
     upsert_ngram_counts(spark, table, all_wins, 0)
+    # serving snapshot pinned by VERSION, not by materializing the hot
+    # set into executor storage (VERDICT r08 minor (a): localCheckpoint
+    # of the full hot set is corpus-scale state at 100 TB). The pinned
+    # manifest's file list is frozen at plan time; concurrent t31
+    # commits add new files and advance HEAD without touching it, so
+    # every trigger's semi-join reads the same on-disk (pruned) snapshot.
+    pinned = current_version(table)
     hot = (
-        read_snapshot(spark, table)
+        read_snapshot(spark, table, version=pinned)
         .filter(F.col("n_occ") >= 2)
         .select("h")
-        .localCheckpoint()  # snapshot pinned: triggers must not re-read
     )
 
     stage = _scratch(sf_dir, "t32_docs_stream")
@@ -2343,27 +2354,14 @@ def stream_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def trim_batch(batch: DataFrame, batch_id: int) -> None:
         base, wins = ngram_window_digests(batch, _L44_K)
-        dups = (
-            wins.join(hot, "h", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_list("strt").alias("starts"))
-        )
-        starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
-        kept = F.filter(
-            F.col("toks"),
-            lambda x, i: F.size(
-                F.filter(starts, lambda s: (i >= s) & (i <= s + (_L44_K - 1)))
-            )
-            == 0,
-        )
         out = (
-            base.join(dups, "doc_id", "left")
+            dup_trimmed(base, dup_starts_of(wins, hot), _L44_K)
             .join(batch.select("doc_id", "source"), "doc_id")
             .select(
                 "doc_id",
                 "source",
                 F.greatest(F.col("n"), F.lit(0)).cast("long").alias("n_tokens"),
-                F.greatest(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
+                F.greatest(F.size("kept"), F.lit(0)).cast("long").alias("n_kept"),
             )
         )
         # idempotent append: one subdir per batch_id, overwritten on replay
