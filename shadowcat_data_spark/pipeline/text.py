@@ -1893,6 +1893,78 @@ def dup_ngram_trim_frame(docs: DataFrame, k: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L47 — dup-substring index delete/re-crawl lifecycle (l44's state, l42's
+# staleness discipline)
+# ---------------------------------------------------------------------------
+
+# l44 restricted to the surviving corpus: the lifecycle's converged index
+# must answer exactly as a one-shot build over the live true documents.
+# t33 shares this string verbatim (the t31/l44 pattern).
+_L47_ORACLE = _L44_ORACLE.replace("FROM documents", "FROM live").replace(
+    "WITH tok AS",
+    """WITH live AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 5
+), tok AS""",
+)
+
+
+@query("l47_dup_ngram_recrawl", oracle=_L47_ORACLE, category="pipeline-text")
+def dup_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l42 staleness discipline applied to l44's state (VERDICT r08
+    "What's missing" #1 — an add-only window-count index permanently
+    over-trims): seed the index from a MIS-CRAWL in which every
+    doc_id % 7 == 3 document arrived with its text doubled — so each of
+    its own windows counts ≥2 and the whole document reads as hot
+    boilerplate — then (1) re-crawl the slice with the true text
+    (negative deltas for the stale version's windows + positive for the
+    true version's, one commit through the same additive combine),
+    (2) DELETE the doc_id % 11 == 5 slice outright (pure retraction).
+    The coverage probe over the live true corpus against the index's
+    hot set must hash-equal a one-shot l44 over the surviving documents
+    — any un-retracted stale count surfaces as phantom hot windows and
+    inflates n_dup_tokens. Rows netting to ≤0 are ERASED at merge time
+    (a pytest pins that stale-only digests leave no zombie rows).
+
+    Scale shape: each lifecycle commit is delta-sized — digests ride
+    16-byte md5s, deltas combine map-side, and merge_partitioned
+    rewrites only the shards the delta touches; re-crawling an
+    unchanged document nets to zero rows before the merge."""
+    import shutil
+
+    from ..plans.lakehouse import read_snapshot
+    from ..sources.io import _scratch
+    from .ngram_index import recrawl_ngram_counts, upsert_ngram_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    table = _scratch(sf_dir, "l47_ngram_index")
+    shutil.rmtree(table, ignore_errors=True)
+
+    recrawled = F.col("doc_id") % 7 == 3
+    gone = F.col("doc_id") % 11 == 5
+    stale = docs.withColumn(
+        "text",
+        F.when(
+            recrawled, F.concat(F.col("text"), F.lit(" "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    _, stale_wins = ngram_window_digests(stale, _L44_K)
+    upsert_ngram_counts(spark, table, stale_wins, 0)
+
+    _, old_w = ngram_window_digests(stale.filter(recrawled), _L44_K)
+    _, new_w = ngram_window_digests(docs.filter(recrawled), _L44_K)
+    recrawl_ngram_counts(spark, table, old_w, new_w, 1)
+
+    _, del_w = ngram_window_digests(docs.filter(gone), _L44_K)
+    recrawl_ngram_counts(spark, table, del_w, None, 2)
+
+    hot = (
+        read_snapshot(spark, table).filter(F.col("n_occ") >= 2).select("h")
+    )
+    base, wins = ngram_window_digests(docs.filter(~gone), _L44_K)
+    return dup_coverage_from(base, wins.join(hot, "h", "left_semi"), _L44_K)
+
+
+# ---------------------------------------------------------------------------
 # L30 — quality classifier trained IN the engine (quantized batch GD)
 # ---------------------------------------------------------------------------
 

@@ -2135,54 +2135,13 @@ def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T31 — streaming duplicated-substring index maintenance (l44's state)
 # ---------------------------------------------------------------------------
 
-N_NGRAM_SHARDS = 16
-_T31_DDL = "shard long, h string, n_occ long"
-
-
-def upsert_ngram_counts(
-    spark: SparkSession, table: str, wins: DataFrame, batch_id: int
-) -> None:
-    """One t31 trigger: fold a batch's window digests into the
-    SHARD-PARTITIONED occurrence-count index — the t26 additive-merge
-    shape on l44's state. shard = xxhash64(h) mod 16 keys the table, so
-    ``merge_partitioned`` rewrites only the shards the batch touches
-    (per-trigger written bytes ∝ batch); the combine is a pure SUM, the
-    exact cross-batch associativity the converged-equals-one-shot oracle
-    equality rests on."""
-    from ..plans.lakehouse import (
-        create_partitioned,
-        current_version,
-        merge_partitioned,
-    )
-
-    partial = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .select(
-            F.pmod(F.xxhash64("h"), F.lit(N_NGRAM_SHARDS)).alias("shard"),
-            "h",
-            "n_occ",
-        )
-    )
-    if not current_version(table):
-        create_partitioned(
-            spark, partial, table, _T31_DDL, "shard",
-            n_buckets=N_NGRAM_SHARDS, extra={"batch_id": batch_id},
-            files_per_bucket="auto",
-            bounds=[float(i) for i in range(1, N_NGRAM_SHARDS)],
-        )
-        return
-
-    def combine(base: DataFrame, changes: DataFrame) -> DataFrame:
-        return base.unionByName(changes).groupBy("shard", "h").agg(
-            F.sum("n_occ").alias("n_occ")
-        )
-
-    merge_partitioned(
-        spark, table, partial, extra={"batch_id": batch_id}, combine=combine
-    )
-
-
+# index maintenance lives in pipeline/ngram_index.py (shared with the
+# batch l44/l46/l47 family); re-exported here because t31/t33 are its
+# streaming face
+from ..pipeline.ngram_index import (  # noqa: E402
+    recrawl_ngram_counts,
+    upsert_ngram_counts,
+)
 from ..pipeline.text import _L44_ORACLE  # noqa: E402
 
 
@@ -2387,3 +2346,103 @@ def stream_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_kept").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T33 — streaming dup-substring index delete/re-crawl (l47 per trigger)
+# ---------------------------------------------------------------------------
+
+from ..pipeline.text import _L47_ORACLE  # noqa: E402
+
+
+@query("t33_stream_ngram_recrawl", oracle=_L47_ORACLE, category="streaming")
+def stream_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l47's delete/re-crawl lifecycle as a STANDING MAINTENANCE stream
+    (the t29 pattern on l44's state — VERDICT r08 top-next): the index
+    is seeded from a mis-crawl in which every doc_id % 7 == 3 document
+    arrived text-doubled (its own windows count ≥2 — hot boilerplate),
+    then re-crawl and delete events arrive in three micro-batches. Each
+    trigger looks up the version being REPLACED in the crawl store,
+    retracts its window counts (negative deltas) and adds the new
+    text's — one commit per trigger through the same additive combine
+    t31 uses, under the t18 batch-id idempotence guard. Retractions
+    are per-document and the combine is a commutative SUM, so ANY
+    arrival order converges; rows netting to ≤0 are erased, never left
+    as zombie zero-counts. The converged probe over the live true
+    corpus must hash-equal a one-shot l44 over the surviving documents
+    — the oracle string is l47's verbatim. At 100 TB/day this is the
+    missing lifecycle leg of the online exact-substring dedup gate: a
+    re-crawled page's old boilerplate stops being "hot" the moment its
+    retraction commits, so t32 stops over-trimming text that was
+    duplicated only in the stale crawl."""
+    import shutil
+
+    from ..pipeline.text import _L44_K, dup_coverage_from, ngram_window_digests
+    from ..plans.lakehouse import read_manifest, read_snapshot
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawled = F.col("doc_id") % 7 == 3
+    gone = F.col("doc_id") % 11 == 5
+    stale = docs.withColumn(
+        "text",
+        F.when(
+            recrawled, F.concat(F.col("text"), F.lit(" "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+
+    # the crawl store: what each document's CURRENT (stale) version is —
+    # the trigger reads the version it is replacing from here, exactly
+    # how a production re-crawl consults the doc store for the old copy
+    store = _scratch(sf_dir, "t33_crawl_store")
+    shutil.rmtree(store, ignore_errors=True)
+    stale.write.mode("overwrite").parquet(store)
+
+    table = _scratch(sf_dir, "t33_ngram_index")
+    shutil.rmtree(table, ignore_errors=True)
+    _, stale_wins = ngram_window_digests(stale, _L44_K)
+    upsert_ngram_counts(spark, table, stale_wins, -1)
+
+    events = docs.filter(recrawled | gone).select(
+        "doc_id",
+        F.when(gone, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(gone, F.lit("delete")).otherwise(F.lit("recrawl")).alias("op"),
+    )
+    stage = _scratch(sf_dir, "t33_events_stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    events.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+        stage
+    )
+
+    def recrawl_batch(batch: DataFrame, batch_id: int) -> None:
+        if read_manifest(table).get("batch_id", -2) >= batch_id:
+            return  # replayed trigger: already committed
+        ss = batch.sparkSession
+        old = ss.read.parquet(store).join(
+            batch.select("doc_id"), "doc_id", "left_semi"
+        )
+        _, old_w = ngram_window_digests(old, _L44_K)
+        _, new_w = ngram_window_digests(
+            batch.filter(F.col("op") == "recrawl").select("doc_id", "text"),
+            _L44_K,
+        )
+        recrawl_ngram_counts(ss, table, old_w, new_w, batch_id)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(recrawl_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hot = read_snapshot(spark, table).filter(F.col("n_occ") >= 2).select("h")
+    base, wins = ngram_window_digests(docs.filter(~gone), _L44_K)
+    return dup_coverage_from(base, wins.join(hot, "h", "left_semi"), _L44_K)

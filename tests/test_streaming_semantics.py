@@ -465,6 +465,125 @@ def test_t31_cross_batch_window_counts_converge(spark, tmp_path):
     assert {r.h: r.n_occ for r in read_snapshot(spark, table).collect()} == idx
 
 
+def test_l47_recrawl_erases_stale_windows(spark, tmp_path):
+    """The delete/re-crawl lifecycle on the window-count index (VERDICT
+    r08 "What's missing" #1): after seeding from a mis-crawl (doc 1
+    text-doubled) and re-crawling with the true text, the index must be
+    ROW-IDENTICAL to a one-shot build over the true corpus — stale-only
+    digests (the doubled doc's cross-boundary windows) leave no zombie
+    rows, and counts inflated by the stale duplication return to their
+    true values. Then a pure delete retracts a document entirely."""
+    from shadowcat_data_spark.pipeline.ngram_index import (
+        recrawl_ngram_counts,
+        upsert_ngram_counts,
+    )
+    from shadowcat_data_spark.pipeline.text import (
+        _L44_K,
+        ngram_window_digests,
+    )
+    from shadowcat_data_spark.plans.lakehouse import read_snapshot
+
+    t1 = " ".join(f"a{i}" for i in range(12))
+    t2 = " ".join(f"b{i}" for i in range(12))
+    true = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    stale = spark.createDataFrame(
+        [(1, t1 + " " + t1), (2, t2)], "doc_id long, text string"
+    )
+
+    def counts(table):
+        return {
+            r.h: r.n_occ for r in read_snapshot(spark, table).collect()
+        }
+
+    # one-shot truth over the true corpus
+    oneshot = str(tmp_path / "oneshot")
+    _, w_true = ngram_window_digests(true, _L44_K)
+    upsert_ngram_counts(spark, oneshot, w_true, 0)
+
+    # lifecycle: seed stale → re-crawl doc 1 with the true text
+    lived = str(tmp_path / "lived")
+    _, w_stale = ngram_window_digests(stale, _L44_K)
+    upsert_ngram_counts(spark, lived, w_stale, 0)
+    before = counts(lived)
+    _, old_w = ngram_window_digests(stale.filter("doc_id = 1"), _L44_K)
+    _, new_w = ngram_window_digests(true.filter("doc_id = 1"), _L44_K)
+    recrawl_ngram_counts(spark, lived, old_w, new_w, 1)
+
+    after = counts(lived)
+    assert after == counts(oneshot)
+    # the mis-crawl really had inflated counts and stale-only digests —
+    # otherwise this test proves nothing
+    assert any(n >= 2 for n in before.values())
+    assert set(before) - set(after), "stale-only digests must be erased"
+    assert all(n == 1 for n in after.values())
+
+    # pure delete: doc 2's windows vanish, doc 1's stay
+    _, del_w = ngram_window_digests(true.filter("doc_id = 2"), _L44_K)
+    recrawl_ngram_counts(spark, lived, del_w, None, 2)
+    left = counts(lived)
+    _, w1 = ngram_window_digests(true.filter("doc_id = 1"), _L44_K)
+    assert left == {
+        r.h: 1 for r in w1.select("h").distinct().collect()
+    }
+
+
+def test_t32_serving_snapshot_pinned_by_version(spark, tmp_path):
+    """t32's serving contract (VERDICT r08 minor (a)): the hot set is
+    pinned by lakehouse VERSION, so a concurrent t31 commit that
+    advances HEAD — here, a new duplicate pair arriving mid-stream —
+    must not change what in-flight triggers serve against; re-reading
+    at HEAD sees the new hot digest, the pinned frame never does."""
+    from shadowcat_data_spark.pipeline.ngram_index import (
+        upsert_ngram_counts,
+    )
+    from shadowcat_data_spark.pipeline.text import (
+        _L44_K,
+        ngram_window_digests,
+    )
+    from shadowcat_data_spark.plans.lakehouse import (
+        current_version,
+        read_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "nidx")
+    pair = " ".join(f"p{i}" for i in range(_L44_K))
+    seed = spark.createDataFrame(
+        [(1, pair), (2, pair)], "doc_id long, text string"
+    )
+    _, w = ngram_window_digests(seed, _L44_K)
+    upsert_ngram_counts(spark, table, w, 0)
+    pinned = current_version(table)
+    hot = (
+        read_snapshot(spark, table, version=pinned)
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    served0 = {r.h for r in hot.collect()}
+    assert len(served0) == 1
+
+    # concurrent maintenance commit advances HEAD with a NEW hot pair
+    pair2 = " ".join(f"q{i}" for i in range(_L44_K))
+    more = spark.createDataFrame(
+        [(3, pair2), (4, pair2)], "doc_id long, text string"
+    )
+    _, w2 = ngram_window_digests(more, _L44_K)
+    upsert_ngram_counts(spark, table, w2, 1)
+    assert current_version(table) > pinned
+
+    # a later trigger evaluating the SAME pinned frame serves the old set
+    assert {r.h for r in hot.collect()} == served0
+    head_hot = {
+        r.h
+        for r in read_snapshot(spark, table)
+        .filter(F.col("n_occ") >= 2)
+        .collect()
+    }
+    assert len(head_hot) == 2 and served0 < head_hot
+
+
 def test_t30_null_lang_group_parity(spark, tmp_path):
     """A NULL-lang document WITH tokens must land its token sums in the
     NULL group on both sides: Spark's groupBy treats NULL as an ordinary
