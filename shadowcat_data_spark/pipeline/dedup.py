@@ -218,13 +218,23 @@ def jaccard_pairs(
 # recall hand-off contract documented on l2g_chargram_jaccard.
 SHINGLE_MAX_DF = 50
 
+# The shingle CTE is the LINEAR parallel-unnest + lead() shape, not a
+# lateral UNNEST over the token array: DuckDB materializes the parent's
+# list column once per lateral row, which is O(doc_tokens^2) memory — a
+# 100k-token probe document OOM-killed the whole gate through the old
+# shape (r09; the Spark side was always linear).
 _SHINGLE_PAIRS_SQL = """
-WITH tok AS (
-  SELECT DISTINCT doc_id, sh AS t FROM (
-    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
-  ) WHERE sh <> ''
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), shp AS (
+  SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win) AS sh
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), tok AS (
+  SELECT DISTINCT doc_id, sh AS t FROM shp
+  WHERE i <= greatest(n - 2, 1) AND sh <> ''
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
 ), df_ok AS (
@@ -728,7 +738,7 @@ def connected_components(
 
 
 _NEAR_DUP_EDGES_SQL = (
-    _SHINGLE_PAIRS_SQL.replace("WITH tok AS", "WITH RECURSIVE tok AS")
+    _SHINGLE_PAIRS_SQL.replace("WITH w AS", "WITH RECURSIVE w AS")
     + """
 , edges AS (
   SELECT d1, d2
@@ -929,12 +939,17 @@ def containment_pairs(
 @query(
     "l2e_containment_pairs",
     oracle="""
-WITH tok AS (
-  SELECT DISTINCT doc_id, sh AS t FROM (
-    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
-  ) WHERE sh <> ''
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), shp AS (
+  SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win) AS sh
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), tok AS (
+  SELECT DISTINCT doc_id, sh AS t FROM shp
+  WHERE i <= greatest(n - 2, 1) AND sh <> ''
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
 ), shared AS (
@@ -1034,12 +1049,17 @@ def incremental_near_dups(
 # relationship is the ORACLE TEXT — both registrations must stay the
 # same query or the stream≡batch claim silently breaks.
 INCREMENTAL_DEDUP_ORACLE = """
-WITH tok AS (
-  SELECT DISTINCT doc_id, sh AS t FROM (
-    SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
-  ) WHERE sh <> ''
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), shp AS (
+  SELECT doc_id, i, COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win) AS sh
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), tok AS (
+  SELECT DISTINCT doc_id, sh AS t FROM shp
+  WHERE i <= greatest(n - 2, 1) AND sh <> ''
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
 ), df_ok AS (

@@ -673,12 +673,13 @@ _SPAN = 10
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+  FROM tok
 ), spans AS (
-  SELECT doc_id, CAST(j AS INTEGER) AS span_idx,
-         array_to_string(list_slice(toks, j * {_SPAN} + 1, j * {_SPAN} + {_SPAN}), ' ')
-           AS span_text
-  FROM tok CROSS JOIN UNNEST(generate_series(0,
-         CAST(CEIL(len(toks) / {_SPAN}.0) AS BIGINT) - 1)) AS t(j)
+  SELECT doc_id, CAST((i - 1) // {_SPAN} AS INTEGER) AS span_idx,
+         string_agg(w, ' ' ORDER BY i) AS span_text
+  FROM w GROUP BY doc_id, (i - 1) // {_SPAN}
 ), ranked AS (
   SELECT doc_id, span_idx, span_text,
          ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx)
@@ -1310,6 +1311,37 @@ def _bpe_train_ctes(
 _L29_MERGES = 20
 
 
+def _bpe_encode_ctes(n_merges: int) -> list[str]:
+    """The encode-chain CTE block shared by the l43/l45/t30 oracles
+    (ADVICE r08: it was copy-pasted verbatim three times — a change to
+    the replay would silently diverge them). enc0 seeds every DISTINCT
+    corpus word as its symbol string; enc{r} replays merge r as ONE
+    literal replace, LEFT JOIN ... ON TRUE so an exhausted merge table
+    degrades exactly like the Spark loop's break; word_tok prices each
+    word as spaces/2. Chain after ``_bpe_train_ctes(...)`` — the bm{r}
+    CTEs must already be in scope."""
+    ctes = [
+        f"""enc0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(list_append(string_split(w, ''), '{_BPE_EOW}'), '  ') || ' ' AS s
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"enc{r} AS (SELECT e.w, CASE WHEN m.a IS NULL THEN e.s ELSE "
+            f"replace(e.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.m || ' ') "
+            f"END AS s FROM enc{r - 1} e LEFT JOIN bm{r} m ON TRUE)"
+        )
+    ctes.append(
+        f"""word_tok AS MATERIALIZED (
+  SELECT w, CAST((length(s) - length(replace(s, ' ', ''))) / 2 AS BIGINT) AS n_tok
+  FROM enc{n_merges}
+)"""
+    )
+    return ctes
+
+
 def _l29_oracle() -> str:
     """The merge table, replayed: 20 unrolled training rounds, then the
     20 argmax rows unioned with their literal ranks. Early-stop parity
@@ -1406,25 +1438,7 @@ def _l43_oracle() -> str:
     its pairs before 20 rounds, bm{r} is empty and the word string rides
     through unchanged — byte-identical to the Spark loop's break."""
     ctes, _ = _bpe_train_ctes(_L29_MERGES, train_where="doc_id % 2 = 0")
-    ctes.append(
-        f"""enc0 AS MATERIALIZED (
-  SELECT w, ' ' || array_to_string(list_append(string_split(w, ''), '{_BPE_EOW}'), '  ') || ' ' AS s
-  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE w <> ''
-)"""
-    )
-    for r in range(1, _L29_MERGES + 1):
-        ctes.append(
-            f"enc{r} AS (SELECT e.w, CASE WHEN m.a IS NULL THEN e.s ELSE "
-            f"replace(e.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.m || ' ') "
-            f"END AS s FROM enc{r - 1} e LEFT JOIN bm{r} m ON TRUE)"
-        )
-    ctes.append(
-        f"""word_tok AS MATERIALIZED (
-  SELECT w, CAST((length(s) - length(replace(s, ' ', ''))) / 2 AS BIGINT) AS n_tok
-  FROM enc{_L29_MERGES}
-)"""
-    )
+    ctes.extend(_bpe_encode_ctes(_L29_MERGES))
     ctes.append(
         """wc AS (
   SELECT doc_id, w, COUNT(*) AS n
@@ -1468,6 +1482,21 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _L44_K = 8
 
+# The sliding-window CTE in the LINEAR parallel-unnest + lead() shape —
+# a lateral UNNEST(generate_series) over `toks` makes DuckDB carry the
+# full token array per window row, O(doc_tokens^2) memory (the shape
+# that OOM-killed the dirty probe's 100k-token book row, r09). Shared
+# by the l44/l46/l47/t31/t32/t33 oracles; QUALIFY (not WHERE) keeps the
+# lead() window seeing every token row.
+_L44_WINS_CTE = f"""wins AS (
+  SELECT doc_id, i - 1 AS strt,
+         md5(concat_ws(' ', w, {", ".join(f"lead(w, {d}) OVER win" for d in range(1, _L44_K))})) AS h
+  FROM (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i,
+               len(toks) AS n FROM tok)
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY i <= n - {_L44_K} + 1
+)"""
+
 # shared verbatim with t31: the streaming index maintenance must converge
 # to exactly the one-shot answer, so the two queries carry ONE oracle
 _L44_ORACLE = f"""
@@ -1476,11 +1505,7 @@ WITH tok AS (
   FROM documents
 ), base AS (
   SELECT doc_id, len(toks) AS n, toks FROM tok
-), wins AS (
-  SELECT doc_id, j AS strt,
-         md5(array_to_string(list_slice(toks, j + 1, j + {_L44_K}), ' ')) AS h
-  FROM base CROSS JOIN UNNEST(generate_series(0, n - {_L44_K})) AS u(j)
-), hot AS (
+), {_L44_WINS_CTE}, hot AS (
   SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
 ), cov AS (
   SELECT doc_id, strt,
@@ -1653,25 +1678,7 @@ def _l45_oracle() -> str:
         train_where="doc_id IN (SELECT doc_id FROM curated WHERE verdict = 'kept')",
     )
     ctes.insert(0, curated)
-    ctes.append(
-        f"""enc0 AS MATERIALIZED (
-  SELECT w, ' ' || array_to_string(list_append(string_split(w, ''), '{_BPE_EOW}'), '  ') || ' ' AS s
-  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE w <> ''
-)"""
-    )
-    for r in range(1, _L29_MERGES + 1):
-        ctes.append(
-            f"enc{r} AS (SELECT e.w, CASE WHEN m.a IS NULL THEN e.s ELSE "
-            f"replace(e.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.m || ' ') "
-            f"END AS s FROM enc{r - 1} e LEFT JOIN bm{r} m ON TRUE)"
-        )
-    ctes.append(
-        f"""word_tok AS MATERIALIZED (
-  SELECT w, CAST((length(s) - length(replace(s, ' ', ''))) / 2 AS BIGINT) AS n_tok
-  FROM enc{_L29_MERGES}
-)"""
-    )
+    ctes.extend(_bpe_encode_ctes(_L29_MERGES))
     ctes.append(
         """doc_tok AS (
   SELECT c.doc_id, CAST(SUM(c.n * wt.n_tok) AS BIGINT) AS n_tokens
@@ -1743,11 +1750,7 @@ WITH tok AS (
   FROM documents
 ), base AS (
   SELECT doc_id, len(toks) AS n, toks FROM tok
-), wins AS (
-  SELECT doc_id, j AS strt,
-         md5(array_to_string(list_slice(toks, j + 1, j + {_L44_K}), ' ')) AS h
-  FROM base CROSS JOIN UNNEST(generate_series(0, n - {_L44_K})) AS u(j)
-), hot AS (
+), {_L44_WINS_CTE}, hot AS (
   SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
 ), dups AS (
   SELECT doc_id, list(strt) AS starts

@@ -579,13 +579,15 @@ def _reuse_current(table: str, stamp: str, require=None) -> bool:
     )
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str, name: str, builder) -> str:
+def _ensure_index(
+    spark: SparkSession, sf_dir: str, name: str, builder, require=None
+) -> str:
     """Build-on-miss with a manifest CONTENT STAMP: a changed corpus
     rebuilds, a current index is trusted without any data read (the
     probe path touches zero corpus bytes; VERDICT r07 #6)."""
     table = _scratch(sf_dir, name)
     stamp = _corpus_stamp(sf_dir)
-    if _reuse_current(table, stamp):
+    if _reuse_current(table, stamp, require=require):
         return table
     builder(
         spark,
@@ -603,8 +605,15 @@ def _ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ensure_positional_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..plans.lakehouse import current_version
+
+    table = _scratch(sf_dir, "l38_pos_index")
     return _ensure_index(
-        spark, sf_dir, "l38_pos_index", build_positional_index
+        spark, sf_dir, "l38_pos_index", build_positional_index,
+        # r09: the positional tier gained a __terms sidecar (phrase/NEAR
+        # probes drive from the rarest term) — an index persisted by an
+        # earlier build without one must rebuild, not serve unordered
+        require=lambda _man: current_version(_terms_table(table)) > 0,
     )
 
 
@@ -657,16 +666,23 @@ def build_positional_index(
     (Lucene's prx file, re-expressed as a lakehouse column). The full
     refresh/re-crawl/delete lifecycle applies via ``postings_fn=
     _positional_postings`` (VERDICT r07 #2: a re-crawled document must
-    not leave stale phrase matches); no ``__terms`` sidecar — this tier
-    never serves WAND bounds."""
+    not leave stale phrase matches). r09 (VERDICT r08 missing #2): this
+    tier now carries the same ``__terms`` sidecar as the tf index — not
+    for WAND bounds but for per-term df, which drives phrase/NEAR
+    intersections from the RAREST term and short-circuits never-indexed
+    terms without opening a single postings file."""
     import shutil
 
     from ..plans.lakehouse import create_partitioned
 
     shutil.rmtree(table, ignore_errors=True)
-    return create_partitioned(
+    shutil.rmtree(_terms_table(table), ignore_errors=True)
+    p = _positional_postings(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    v = create_partitioned(
         spark,
-        _positional_postings(docs, id_col, text_col),
+        p,
         table,
         _POS_DDL,
         "bucket",
@@ -675,6 +691,62 @@ def build_positional_index(
         bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
         extra=extra,
     )
+    create_partitioned(
+        spark,
+        _term_stat_deltas(p),
+        _terms_table(table),
+        _TERMS_DDL,
+        "bucket",
+        n_buckets=N_TERM_BUCKETS,
+        bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
+    )
+    return v
+
+
+def _term_dfs(
+    spark: SparkSession, table: str, terms: list[str]
+) -> dict[str, int] | None:
+    """Per-term document frequency folded from the ``__terms`` sidecar
+    (sum of segment deltas — exact under build/refresh, stale-HIGH
+    after delete/re-crawl, which can only mis-order a join chain, never
+    mis-answer it). Returns None when the index carries no sidecar.
+    A term ABSENT from an existing sidecar was never indexed — every
+    posting-writing path appends its delta BEFORE the postings commit
+    (see ``_append_term_deltas``), and the build creates the postings
+    before the sidecar (a crash between leaves NO sidecar, the None
+    path) — so df=0 is exact and the phrase short-circuit is sound."""
+    from ..plans.lakehouse import current_version
+
+    tt = _terms_table(table)
+    if not current_version(tt):
+        return None
+    dfs = {t: 0 for t in terms}
+    folded = (
+        pruned_postings(
+            spark,
+            tt,
+            sorted(set(terms)),
+            cols=("tok", "df"),
+            empty_schema="tok string, df long",
+        )
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    for r in folded:
+        dfs[r["tok"]] = int(r["df"])
+    return dfs
+
+
+# the point-lookup fetch-back threshold: when the rarest term's df is at
+# most this, its doc_ids ship to the driver (a few KB) and the OTHER
+# terms' postings are fetched WITH a doc_id IN pushdown — parquet
+# row-group stats prune the common term's list at the scan, the l41/m45
+# fetch-back pattern on the positional tier
+_PHRASE_POINT_LOOKUP_MAX = 1024
+
+_POS_COLS = ("tok", "doc_id", "positions")
+_POS_SCHEMA = "tok string, doc_id long, positions array<bigint>"
 
 
 def phrase_search(
@@ -682,37 +754,78 @@ def phrase_search(
 ) -> DataFrame:
     """EXACT phrase top-k through the positional index: docs containing
     the consecutive token sequence ``phrase``, ranked by occurrence
-    count (ties → lower doc_id). Plan: one pruned read of the phrase
+    count (ties → lower doc_id). Plan: pruned reads of the phrase
     terms' postings, a per-term equi-join chain on doc_id (posting-list
-    intersection — each join shrinks the survivor set), then the
-    adjacency count evaluated JVM-side with array HOFs: occurrences =
-    |{s ∈ pos₀ : s+i ∈ posᵢ ∀i}|. No explode of positions ever happens —
-    the arrays stay packed per row through the whole plan."""
+    intersection), then the adjacency count evaluated JVM-side with
+    array HOFs anchored on the chain's first term: occurrences =
+    |{s ∈ pos_r : s+(i-r) ∈ posᵢ ∀i}|. No explode of positions ever
+    happens — the arrays stay packed per row through the whole plan.
+
+    r09 (VERDICT r08 missing #2): the ``__terms`` sidecar drives the
+    chain from the RAREST term — a phrase starting with a
+    stopword-frequency term no longer drags O(df_stopword) rows through
+    the first join; a never-indexed term short-circuits to empty with
+    ZERO postings files opened; and when the rarest df is point-lookup
+    small, the other terms' postings are fetched with a doc_id IN
+    pushdown so the stopword's posting list is pruned AT THE SCAN."""
     from functools import reduce as _reduce
 
     terms = analyze_terms(list(phrase))
+    empty = spark.createDataFrame([], "doc_id long, n_matches long, rnk int")
     if not terms:
-        return spark.createDataFrame(
-            [], "doc_id long, n_matches long, rnk int"
+        return empty
+    dfs = _term_dfs(spark, table, sorted(set(terms)))
+    if dfs is not None and min(dfs.values()) <= 0:
+        return empty  # a term was never indexed: no document can match
+    if dfs is None:
+        order = list(range(len(terms)))
+        base = pruned_postings(
+            spark, table, sorted(set(terms)),
+            cols=_POS_COLS, empty_schema=_POS_SCHEMA,
         )
-    base = pruned_postings(
-        spark,
-        table,
-        sorted(set(terms)),
-        cols=("tok", "doc_id", "positions"),
-        empty_schema="tok string, doc_id long, positions array<bigint>",
+        fetch = {t: base.filter(F.col("tok") == t) for t in set(terms)}
+    else:
+        order = sorted(range(len(terms)), key=lambda i: (dfs[terms[i]], i))
+        rare = terms[order[0]]
+        rare_fetch = pruned_postings(
+            spark, table, [rare], cols=_POS_COLS, empty_schema=_POS_SCHEMA
+        )
+        fetch = {rare: rare_fetch}
+        rest = sorted(set(terms) - {rare})
+        if rest:
+            rest_fetch = pruned_postings(
+                spark, table, rest, cols=_POS_COLS, empty_schema=_POS_SCHEMA
+            )
+            if dfs[rare] <= _PHRASE_POINT_LOOKUP_MAX:
+                rare_fetch = rare_fetch.localCheckpoint(eager=False)
+                fetch[rare] = rare_fetch
+                ids = [
+                    r["doc_id"]
+                    for r in rare_fetch.select("doc_id").distinct().collect()
+                ]
+                rest_fetch = rest_fetch.filter(F.col("doc_id").isin(ids))
+            for t in rest:
+                fetch[t] = rest_fetch.filter(F.col("tok") == t)
+    r0 = order[0]
+    cur = fetch[terms[r0]].select(
+        "doc_id", F.col("positions").alias(f"p{r0}")
     )
-    cur = None
-    for i, t in enumerate(terms):
-        p = base.filter(F.col("tok") == t).select(
-            "doc_id", F.col("positions").alias(f"p{i}")
+    for i in order[1:]:
+        cur = cur.join(
+            fetch[terms[i]].select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            ),
+            "doc_id",
         )
-        cur = p if cur is None else cur.join(p, "doc_id")
     starts = F.filter(
-        F.col("p0"),
+        F.col(f"p{r0}"),
         lambda s: _reduce(
             lambda a, b: a & b,
-            [F.array_contains(F.col(f"p{i}"), s + i) for i in range(1, len(terms))],
+            [
+                F.array_contains(F.col(f"p{i}"), s + (i - r0))
+                for i in range(len(terms))
+                if i != r0
+            ],
             F.lit(True),
         ),
     )
@@ -730,10 +843,13 @@ def phrase_search(
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_an_duck()} AS l FROM documents
+), adj AS (
+  SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+  FROM (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+        FROM toks)
 ), hits AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
-  FROM toks, UNNEST(range(1, len(l))) AS t(i)
-  WHERE l[i] = 'customer' AND l[i+1] = 'join'
+  FROM adj WHERE w = 'customer' AND nx = 'join'
   GROUP BY doc_id
 )
 SELECT doc_id, n_matches, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -770,17 +886,42 @@ def proximity_search(
     if len(a1) > 1 or len(a2) > 1:
         raise ValueError("proximity_search endpoints must analyze to one token")
     t1, t2 = a1[0], a2[0]
-    base = pruned_postings(
-        spark,
-        table,
-        sorted({t1, t2}),
-        cols=("tok", "doc_id", "positions"),
-        empty_schema="tok string, doc_id long, positions array<bigint>",
-    )
-    p1 = base.filter(F.col("tok") == t1).select(
+    dfs = _term_dfs(spark, table, sorted({t1, t2}))
+    if dfs is not None and min(dfs.values()) <= 0:
+        return spark.createDataFrame([], "doc_id long, n_matches long, rnk int")
+    if dfs is None or t1 == t2:
+        base = pruned_postings(
+            spark, table, sorted({t1, t2}),
+            cols=_POS_COLS, empty_schema=_POS_SCHEMA,
+        )
+        f1, f2 = base, base
+    else:
+        # rarest-first fetch with point-lookup fetch-back (the phrase
+        # plan's shape for the two-term NEAR case): the common side's
+        # posting list is pruned at the scan by the rare side's doc set
+        rare, common = (t1, t2) if dfs[t1] <= dfs[t2] else (t2, t1)
+        rare_fetch = pruned_postings(
+            spark, table, [rare], cols=_POS_COLS, empty_schema=_POS_SCHEMA
+        )
+        common_fetch = pruned_postings(
+            spark, table, [common], cols=_POS_COLS, empty_schema=_POS_SCHEMA
+        )
+        if dfs[rare] <= _PHRASE_POINT_LOOKUP_MAX:
+            rare_fetch = rare_fetch.localCheckpoint(eager=False)
+            ids = [
+                r["doc_id"]
+                for r in rare_fetch.select("doc_id").distinct().collect()
+            ]
+            common_fetch = common_fetch.filter(F.col("doc_id").isin(ids))
+        f1, f2 = (
+            (rare_fetch, common_fetch)
+            if rare == t1
+            else (common_fetch, rare_fetch)
+        )
+    p1 = f1.filter(F.col("tok") == t1).select(
         "doc_id", F.col("positions").alias("pos1")
     )
-    p2 = base.filter(F.col("tok") == t2).select(
+    p2 = f2.filter(F.col("tok") == t2).select(
         "doc_id", F.col("positions").alias("pos2")
     )
     near = F.filter(
@@ -804,13 +945,14 @@ def proximity_search(
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_an_duck()} AS l FROM documents
+), w AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM toks
 ), hits AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM (
-    SELECT DISTINCT doc_id, i
-    FROM toks, UNNEST(range(1, len(l) + 1)) AS t(i),
-                UNNEST(range(1, len(l) + 1)) AS u(j)
-    WHERE l[i] = 'customer' AND l[j] = 'query'
-      AND j > i AND j <= i + 3
+    SELECT DISTINCT a.doc_id, a.i
+    FROM (SELECT doc_id, i FROM w WHERE w = 'customer') a
+    JOIN (SELECT doc_id, i AS j FROM w WHERE w = 'query') b
+      ON b.doc_id = a.doc_id AND b.j > a.i AND b.j <= a.i + 3
   ) GROUP BY doc_id
 )
 SELECT doc_id, n_matches, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -840,10 +982,13 @@ WITH live AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 5
 ), toks AS (
   SELECT doc_id, {_an_duck()} AS l FROM live
+), adj AS (
+  SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+  FROM (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+        FROM toks)
 ), hits AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
-  FROM toks, UNNEST(range(1, len(l))) AS t(i)
-  WHERE l[i] = 'customer' AND l[i+1] = 'join'
+  FROM adj WHERE w = 'customer' AND nx = 'join'
   GROUP BY doc_id
 )
 SELECT doc_id, n_matches, CAST(rnk AS INTEGER) AS rnk FROM (

@@ -1929,10 +1929,13 @@ def stream_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_an_duck()} AS l FROM documents
+), adj AS (
+  SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nx
+  FROM (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+        FROM toks)
 ), hits AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
-  FROM toks, UNNEST(range(1, len(l))) AS t(i)
-  WHERE l[i] = 'customer' AND l[i+1] = 'join'
+  FROM adj WHERE w = 'customer' AND nx = 'join'
   GROUP BY doc_id
 )
 SELECT doc_id, n_matches, CAST(rnk AS INTEGER) AS rnk FROM (
@@ -2024,28 +2027,14 @@ def _t30_oracle() -> str:
     as an ordinary group, so a NULL-lang document's token sums must
     reach the same group here — a plain equi-join would silently zero
     them."""
-    from ..pipeline.text import _BPE_EOW, _L29_MERGES, _bpe_train_ctes
+    from ..pipeline.text import (
+        _L29_MERGES,
+        _bpe_encode_ctes,
+        _bpe_train_ctes,
+    )
 
     ctes, _ = _bpe_train_ctes(_L29_MERGES, train_where="doc_id % 2 = 0")
-    ctes.append(
-        f"""enc0 AS MATERIALIZED (
-  SELECT w, ' ' || array_to_string(list_append(string_split(w, ''), '{_BPE_EOW}'), '  ') || ' ' AS s
-  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE w <> ''
-)"""
-    )
-    for r in range(1, _L29_MERGES + 1):
-        ctes.append(
-            f"enc{r} AS (SELECT e.w, CASE WHEN m.a IS NULL THEN e.s ELSE "
-            f"replace(e.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.m || ' ') "
-            f"END AS s FROM enc{r - 1} e LEFT JOIN bm{r} m ON TRUE)"
-        )
-    ctes.append(
-        f"""word_tok AS MATERIALIZED (
-  SELECT w, CAST((length(s) - length(replace(s, ' ', ''))) / 2 AS BIGINT) AS n_tok
-  FROM enc{_L29_MERGES}
-)"""
-    )
+    ctes.extend(_bpe_encode_ctes(_L29_MERGES))
     ctes.append(
         """lang_words AS (
   SELECT lang, CAST(SUM(c.n) AS BIGINT) AS n_words,
@@ -2219,7 +2208,7 @@ def _t32_oracle() -> str:
     full-corpus index snapshot, so the converged answer is exactly the
     one-shot batch trim aggregated by source (NULL source is an
     ordinary group; no join touches it)."""
-    from ..pipeline.text import _L44_K
+    from ..pipeline.text import _L44_K, _L44_WINS_CTE
 
     return f"""
 WITH tok AS (
@@ -2228,11 +2217,7 @@ WITH tok AS (
   FROM documents
 ), base AS (
   SELECT doc_id, source, len(toks) AS n, toks FROM tok
-), wins AS (
-  SELECT doc_id, j AS strt,
-         md5(array_to_string(list_slice(toks, j + 1, j + {_L44_K}), ' ')) AS h
-  FROM base CROSS JOIN UNNEST(generate_series(0, n - {_L44_K})) AS u(j)
-), hot AS (
+), {_L44_WINS_CTE}, hot AS (
   SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
 ), dups AS (
   SELECT doc_id, list(strt) AS starts

@@ -227,11 +227,14 @@ def _make_chunk_udtf():
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+  FROM t
 )
-SELECT doc_id, i AS chunk_idx,
-       array_to_string(toks[(i * 20 + 1):((i + 1) * 20)], ' ') AS chunk_text,
-       CAST(LEAST(20, len(toks) - i * 20) AS BIGINT) AS n_tokens
-FROM t, UNNEST(range(CAST(CEIL(len(toks) / 20.0) AS BIGINT))) AS u(i)
+SELECT doc_id, CAST((i - 1) // 20 AS BIGINT) AS chunk_idx,
+       string_agg(w, ' ' ORDER BY i) AS chunk_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM w GROUP BY doc_id, (i - 1) // 20
 ORDER BY doc_id, chunk_idx
 """,
     category="udf",
@@ -380,11 +383,15 @@ def _make_ngram_udtf():
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents WHERE doc_id < 50
+), w AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i,
+         len(toks) AS n
+  FROM t
 )
-SELECT doc_id, CAST(i AS INTEGER) AS pos,
-       array_to_string(toks[(i + 1):(i + 3)], ' ') AS gram3
-FROM t, UNNEST(range(len(toks) - 2)) AS u(i)
-WHERE len(toks) >= 3
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       concat_ws(' ', w, lead(w, 1) OVER win, lead(w, 2) OVER win) AS gram3
+FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+QUALIFY i <= n - 2 AND n >= 3
 ORDER BY doc_id, pos
 """,
     category="udf",

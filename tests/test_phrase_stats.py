@@ -1,0 +1,149 @@
+"""Positional-tier term statistics (r09, VERDICT r08 missing #2): the
+__terms sidecar on the positional index drives phrase/NEAR
+intersections from the rarest term, short-circuits never-indexed terms
+without opening a postings file, and pushes the rare term's doc set
+into the common term's scan as a doc_id IN filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _corpus(spark, n_common=300):
+    # "the" is stopword-frequency (every doc), "zebra" appears in two
+    # docs — adjacent as "the zebra" in both
+    rows = [(i, f"the filler{i} pad{i % 7}") for i in range(n_common)]
+    rows += [(1000, "see the zebra run"), (1001, "near the zebra now")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _build(spark, tmp_path, name="pidx"):
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    table = str(tmp_path / name)
+    TI.build_positional_index(spark, _corpus(spark), "doc_id", "text", table)
+    return table
+
+
+def test_phrase_probe_drives_from_rarest_term(spark, tmp_path, monkeypatch):
+    """A phrase whose FIRST term is stopword-frequency must not drag the
+    stopword's full posting list through the chain: the sidecar
+    reorders the intersection to start at 'zebra' (df 2), and the
+    point-lookup fetch-back pushes zebra's doc set into 'the''s scan as
+    a doc_id IN pushdown — visible in the executed plan. Results equal
+    the brute force."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    table = _build(spark, tmp_path)
+    dfs = TI._term_dfs(spark, table, ["the", "zebra"])
+    assert dfs == {"the": 302, "zebra": 2}
+
+    got = TI.phrase_search(spark, table, ["the", "zebra"], k=10)
+    rows = [(r.doc_id, r.n_matches, r.rnk) for r in got.collect()]
+    assert rows == [(1000, 1, 1), (1001, 1, 2)]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id, [1000,1001])" in plan, (
+        "common term's scan must carry the rare term's doc_id pushdown"
+    )
+
+
+def test_phrase_never_indexed_term_opens_no_postings_file(
+    spark, tmp_path, monkeypatch
+):
+    """df=0 is exact when the sidecar exists (delta-before-postings
+    ordering), so a phrase containing a never-indexed term returns
+    empty having read ONLY the sidecar — zero postings files open."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+    from shadowcat_data_spark.plans import lakehouse as LH
+
+    table = _build(spark, tmp_path)
+    opened: list[str] = []
+    orig = LH._read_files_mor
+
+    def spy(spark_, table_, man_, files_, *a, **k):
+        opened.append(table_)
+        return orig(spark_, table_, man_, files_, *a, **k)
+
+    monkeypatch.setattr(LH, "_read_files_mor", spy)
+    got = TI.phrase_search(spark, table, ["the", "nosuchtoken"], k=10)
+    assert got.count() == 0
+    assert table not in opened, "postings must not be read for df=0"
+    assert all(t == TI._terms_table(table) for t in opened)
+
+    # proximity takes the same short-circuit
+    opened.clear()
+    got = TI.proximity_search(spark, table, "nosuchtoken", "the", 3, 10)
+    assert got.count() == 0
+    assert table not in opened
+
+
+def test_phrase_fallback_without_sidecar_unchanged(spark, tmp_path):
+    """An index without a sidecar (pre-r09 layout, or a crash between
+    the postings create and the sidecar create) serves the original
+    union-read plan — same answers, no reorder, no short-circuit that
+    could wrongly empty a live phrase."""
+    import shutil
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    table = _build(spark, tmp_path)
+    shutil.rmtree(TI._terms_table(table))
+    assert TI._term_dfs(spark, table, ["the"]) is None
+    got = [
+        (r.doc_id, r.n_matches)
+        for r in TI.phrase_search(spark, table, ["the", "zebra"], k=10).collect()
+    ]
+    assert got == [(1000, 1), (1001, 1)]
+
+
+def test_proximity_common_side_scan_pruned(spark, tmp_path):
+    """NEAR probes drive from the rarer endpoint regardless of argument
+    order: the common side's scan carries the doc_id pushdown in both
+    ('the' NEAR 'zebra') and ('zebra' NEAR 'the') argument orders, and
+    both answer the brute force."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    table = _build(spark, tmp_path)
+    # "the zebra": zebra follows 'the' within 2 in both zebra docs
+    got = TI.proximity_search(spark, table, "the", "zebra", 2, 10)
+    rows = [(r.doc_id, r.n_matches) for r in got.collect()]
+    assert rows == [(1000, 1), (1001, 1)]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id, [1000,1001])" in plan
+
+    # reversed endpoints: 'the' within 2 AFTER zebra occurs nowhere
+    got = TI.proximity_search(spark, table, "zebra", "the", 2, 10)
+    assert got.count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id, [1000,1001])" in plan
+
+
+def test_positional_lifecycle_keeps_sidecar_current(spark, tmp_path):
+    """The lifecycle legs maintain the positional sidecar exactly like
+    the tf tier's: a re-crawl that INTRODUCES a term gives it a df>0
+    row (without it the short-circuit would wrongly empty its
+    phrases), and the re-crawled phrase answers from the rare-driven
+    plan."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    table = _build(spark, tmp_path)
+    fixed = spark.createDataFrame(
+        [(1000, "see the okapi run")], "doc_id long, text string"
+    )
+    TI.reindex_docs(
+        spark, fixed, "doc_id", "text", table,
+        postings_fn=TI._positional_postings,
+    )
+    dfs = TI._term_dfs(spark, table, ["okapi", "zebra"])
+    assert dfs["okapi"] == 1  # introduced by the re-crawl
+    assert dfs["zebra"] >= 1  # stale-high allowed, never 0
+    got = [
+        (r.doc_id, r.n_matches)
+        for r in TI.phrase_search(spark, table, ["the", "okapi"], k=10).collect()
+    ]
+    assert got == [(1000, 1)]
+    got = [
+        (r.doc_id, r.n_matches)
+        for r in TI.phrase_search(spark, table, ["the", "zebra"], k=10).collect()
+    ]
+    assert got == [(1001, 1)]

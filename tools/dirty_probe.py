@@ -61,6 +61,35 @@ DIRTY_DOCS = [
     (16, "beta beta gamma", None, None, 15),
 ]
 
+
+def _long_doc(uniq_prefix: str, n_tokens: int) -> str:
+    """Book-shaped text: a 40-token boilerplate paragraph alternating
+    with 40-token unique runs — ~50% of tokens sit under corpus-
+    duplicated windows. VERDICT r08 missing #3: nothing in the probe
+    was book-shaped, so the l46 O(n·d) trim lambda (hours at 100k
+    tokens) could only be caught by code reading. This row turns that
+    class of per-doc quadratics into a probe hang."""
+    boiler = " ".join(f"bp{i}" for i in range(40))
+    parts, tok, u = [], 0, 0
+    while tok < n_tokens:
+        parts.append(boiler)
+        parts.append(" ".join(f"{uniq_prefix}{u + i}" for i in range(40)))
+        u += 40
+        tok += 80
+    return " ".join(parts)
+
+
+_LONG17 = _long_doc("ua", 100_000)
+_LONG18 = _long_doc("ub", 20_000)
+DIRTY_DOCS += [
+    # the book: 100k tokens, ~50% under duplicated windows
+    (17, _LONG17, "en", "src3", len(_LONG17)),
+    # long doc with every adjacent field NULL (lang/source/n_chars) —
+    # shares the boilerplate with doc 17 (cross-doc duplication), its
+    # unique runs are its own
+    (18, _LONG18, None, None, None),
+]
+
 _OTHER_TABLES = re.compile(
     r"\b(lineitem|orders|customer|supplier|part|nation|region|events)\b"
 )
