@@ -1072,16 +1072,15 @@ WITH t AS (
          MIN(doc_id) OVER (PARTITION BY content_key) AS first_id
   FROM t
 )
-SELECT doc_id,
-       CASE WHEN doc_id <> first_id THEN 'duplicate'
-            WHEN n_chars < 100 THEN 'too_short'
-            WHEN n_chars > 500 THEN 'too_long'
-            WHEN ratio < 0.40 THEN 'repetitive'
-            ELSE 'kept' END AS verdict,
-       CASE WHEN doc_id = first_id AND n_chars BETWEEN 100 AND 500
-                 AND ratio >= 0.40
-            THEN TRUE ELSE FALSE END AS keep
-FROM keyed
+SELECT doc_id, verdict, verdict = 'kept' AS keep FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id <> first_id THEN 'duplicate'
+              WHEN n_chars < 100 THEN 'too_short'
+              WHEN n_chars > 500 THEN 'too_long'
+              WHEN ratio < 0.40 THEN 'repetitive'
+              ELSE 'kept' END AS verdict
+  FROM keyed
+)
 """,
     category="pipeline-text",
 )
