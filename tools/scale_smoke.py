@@ -92,6 +92,11 @@ SF10_QUERIES = [
     # r08: the streaming window-digest index — each trigger's additive
     # merge must rewrite only touched shards as the index grows
     "t31_stream_ngram_index",
+    # r09: the trim's interval-gap rewrite — the planted 100k-token book
+    # rows (below) put a worst-case boilerplate doc through the per-doc
+    # trim; its bounded task time is the recorded evidence the r08
+    # quadratic stays dead (VERDICT r08 #2/#3)
+    "l46_dup_ngram_trim",
 ]
 
 # every int64 key-domain column per table (offset per copy so each replica's
@@ -162,6 +167,30 @@ def synthesize(spark: SparkSession, force: bool = False) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
+        if table == "documents" and SF10:
+            # r09: two book-shaped rows — a 100k-token doc alternating a
+            # 40-token boilerplate paragraph with unique runs (~50% of
+            # tokens under corpus-duplicated windows) and a half-length
+            # prefix copy (cross-doc duplication). The l46 trim's task
+            # time on these is the smoke's evidence that the per-doc
+            # work stays O(n + d log d), not O(n·d).
+            boiler = " ".join(f"bp{i}" for i in range(40))
+            parts: list[str] = []
+            u = 0
+            while u < 50_000:
+                parts.append(boiler)
+                parts.append(" ".join(f"bk{u + i}" for i in range(40)))
+                u += 40
+            book = " ".join(parts)
+            half = " ".join(book.split(" ")[: len(book.split(" ")) // 2])
+            books = spark.createDataFrame(
+                [
+                    (999_000_001, book, "en", "book", len(book)),
+                    (999_000_002, half, "en", "book", len(half)),
+                ],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            out = out.unionByName(books.select(*out.columns))
         out.repartition(SHARDS).write.mode("overwrite").parquet(dst)
         print(f"[synth] {table}: {out.count()} rows -> {dst}", file=sys.stderr)
 
