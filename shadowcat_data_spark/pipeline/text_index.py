@@ -777,35 +777,28 @@ def phrase_search(
     dfs = _term_dfs(spark, table, sorted(set(terms)))
     if dfs is not None and min(dfs.values()) <= 0:
         return empty  # a term was never indexed: no document can match
+    base = pruned_postings(
+        spark, table, sorted(set(terms)),
+        cols=_POS_COLS, empty_schema=_POS_SCHEMA,
+    )
+    fetch = {t: base.filter(F.col("tok") == t) for t in set(terms)}
     if dfs is None:
         order = list(range(len(terms)))
-        base = pruned_postings(
-            spark, table, sorted(set(terms)),
-            cols=_POS_COLS, empty_schema=_POS_SCHEMA,
-        )
-        fetch = {t: base.filter(F.col("tok") == t) for t in set(terms)}
     else:
+        # ONE pruned read either way (the df lookup adds a sidecar scan,
+        # never a second postings scan — measured: the first cut's
+        # per-term fetches doubled the probe's fixed cost at fixture
+        # scale); df only reorders the chain and gates the fetch-back
         order = sorted(range(len(terms)), key=lambda i: (dfs[terms[i]], i))
         rare = terms[order[0]]
-        rare_fetch = pruned_postings(
-            spark, table, [rare], cols=_POS_COLS, empty_schema=_POS_SCHEMA
-        )
-        fetch = {rare: rare_fetch}
         rest = sorted(set(terms) - {rare})
-        if rest:
-            rest_fetch = pruned_postings(
-                spark, table, rest, cols=_POS_COLS, empty_schema=_POS_SCHEMA
-            )
-            if dfs[rare] <= _PHRASE_POINT_LOOKUP_MAX:
-                rare_fetch = rare_fetch.localCheckpoint(eager=False)
-                fetch[rare] = rare_fetch
-                ids = [
-                    r["doc_id"]
-                    for r in rare_fetch.select("doc_id").distinct().collect()
-                ]
-                rest_fetch = rest_fetch.filter(F.col("doc_id").isin(ids))
+        if rest and dfs[rare] <= _PHRASE_POINT_LOOKUP_MAX:
+            ids = [
+                r["doc_id"]
+                for r in fetch[rare].select("doc_id").distinct().collect()
+            ]
             for t in rest:
-                fetch[t] = rest_fetch.filter(F.col("tok") == t)
+                fetch[t] = fetch[t].filter(F.col("doc_id").isin(ids))
     r0 = order[0]
     cur = fetch[terms[r0]].select(
         "doc_id", F.col("positions").alias(f"p{r0}")
@@ -889,41 +882,29 @@ def proximity_search(
     dfs = _term_dfs(spark, table, sorted({t1, t2}))
     if dfs is not None and min(dfs.values()) <= 0:
         return spark.createDataFrame([], "doc_id long, n_matches long, rnk int")
-    if dfs is None or t1 == t2:
-        base = pruned_postings(
-            spark, table, sorted({t1, t2}),
-            cols=_POS_COLS, empty_schema=_POS_SCHEMA,
-        )
-        f1, f2 = base, base
-    else:
-        # rarest-first fetch with point-lookup fetch-back (the phrase
-        # plan's shape for the two-term NEAR case): the common side's
-        # posting list is pruned at the scan by the rare side's doc set
-        rare, common = (t1, t2) if dfs[t1] <= dfs[t2] else (t2, t1)
-        rare_fetch = pruned_postings(
-            spark, table, [rare], cols=_POS_COLS, empty_schema=_POS_SCHEMA
-        )
-        common_fetch = pruned_postings(
-            spark, table, [common], cols=_POS_COLS, empty_schema=_POS_SCHEMA
-        )
-        if dfs[rare] <= _PHRASE_POINT_LOOKUP_MAX:
-            rare_fetch = rare_fetch.localCheckpoint(eager=False)
+    base = pruned_postings(
+        spark, table, sorted({t1, t2}),
+        cols=_POS_COLS, empty_schema=_POS_SCHEMA,
+    )
+    f1 = base.filter(F.col("tok") == t1)
+    f2 = base.filter(F.col("tok") == t2)
+    if dfs is not None and t1 != t2:
+        # the common side's posting list is pruned at the scan by the
+        # rare side's doc set when that set is point-lookup small —
+        # same single-base-read discipline as phrase_search
+        rare_is_t1 = dfs[t1] <= dfs[t2]
+        rare_fetch = f1 if rare_is_t1 else f2
+        if dfs[t1 if rare_is_t1 else t2] <= _PHRASE_POINT_LOOKUP_MAX:
             ids = [
                 r["doc_id"]
                 for r in rare_fetch.select("doc_id").distinct().collect()
             ]
-            common_fetch = common_fetch.filter(F.col("doc_id").isin(ids))
-        f1, f2 = (
-            (rare_fetch, common_fetch)
-            if rare == t1
-            else (common_fetch, rare_fetch)
-        )
-    p1 = f1.filter(F.col("tok") == t1).select(
-        "doc_id", F.col("positions").alias("pos1")
-    )
-    p2 = f2.filter(F.col("tok") == t2).select(
-        "doc_id", F.col("positions").alias("pos2")
-    )
+            if rare_is_t1:
+                f2 = f2.filter(F.col("doc_id").isin(ids))
+            else:
+                f1 = f1.filter(F.col("doc_id").isin(ids))
+    p1 = f1.select("doc_id", F.col("positions").alias("pos1"))
+    p2 = f2.select("doc_id", F.col("positions").alias("pos2"))
     near = F.filter(
         F.col("pos1"),
         lambda s: F.exists(
