@@ -863,6 +863,43 @@ def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(spark, table, ["customer", "join"], k=10).orderBy("rnk")
 
 
+@query(
+    "l38b_phrase_trigram",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_an_duck()} AS l FROM documents
+), adj AS (
+  SELECT doc_id, w,
+         lead(w, 1) OVER win AS w2, lead(w, 2) OVER win AS w3
+  FROM (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+        FROM toks)
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM adj WHERE w = 'row' AND w2 = 'column' AND w3 = 'sort'
+  GROUP BY doc_id
+)
+SELECT doc_id, n_matches, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT doc_id, n_matches,
+         ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id) AS rnk
+  FROM hits
+) WHERE rnk <= 10
+""",
+    category="pipeline-text",
+)
+def phrase_trigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs for the exact THREE-term phrase "row column sort" —
+    the n>2 intersection chain l38's two-term probe never exercises in
+    the sweep: the df-ordered chain can anchor mid-phrase, so the
+    adjacency predicate evaluates NEGATIVE offsets (s + (i - r0) with
+    i < r0) and two join hops instead of one. Same brute-force linear
+    lead() oracle shape as l38."""
+    table = _ensure_positional_index(spark, sf_dir)
+    return phrase_search(
+        spark, table, ["row", "column", "sort"], k=10
+    ).orderBy("rnk")
+
+
 def proximity_search(
     spark: SparkSession, table: str, t1: str, t2: str, slop: int, k: int
 ) -> DataFrame:
