@@ -4,7 +4,7 @@ frame per case keeps Spark job count low; hypothesis drives the VALUES."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from shadowcat_data_spark.sources.layout import zorder_key
@@ -718,4 +718,87 @@ def test_dup_ngram_trim_matches_bruteforce(spark, texts, k):
         r.doc_id: (r.n_tokens, r.n_kept, r.kept_text)
         for r in dup_ngram_trim_frame(df, k).collect()
     }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=10).map(" ".join),
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=10).map(" ".join),
+            st.booleans(),  # mis-crawled (seeded with the stale text)
+            st.booleans(),  # deleted after the re-crawl
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_ngram_recrawl_lifecycle_matches_oneshot(spark, rows, k):
+    """The l47/t33 machinery's convergence property, randomized: seed
+    the window-count index from a corpus where an arbitrary subset was
+    mis-crawled with arbitrary stale text, re-crawl that subset to the
+    true text (retract + add in one delta commit), then delete another
+    arbitrary subset — the surviving index rows must equal a pure-Python
+    md5 window count over the surviving TRUE corpus exactly: no zombie
+    zero-count rows, no residual stale counts, no lost live counts,
+    for ANY overlap of the mis-crawl and delete sets."""
+    import hashlib
+    import tempfile
+    from collections import Counter
+
+    from shadowcat_data_spark.pipeline.ngram_index import (
+        recrawl_ngram_counts,
+        upsert_ngram_counts,
+    )
+    from shadowcat_data_spark.pipeline.text import ngram_window_digests
+    from shadowcat_data_spark.plans.lakehouse import read_snapshot
+
+    docs = [
+        (i, true, stale, mis, gone)
+        for i, (true, stale, mis, gone) in enumerate(rows)
+    ]
+
+    def py_counts(pairs):
+        c: Counter = Counter()
+        for _i, t in pairs:
+            toks = [w for w in t.split(" ") if w != ""]
+            for j in range(len(toks) - k + 1):
+                c[hashlib.md5(" ".join(toks[j : j + k]).encode()).hexdigest()] += 1
+        return dict(c)
+
+    seeded = [(i, stale if mis else true) for i, true, stale, mis, gone in docs]
+    assume(sum(py_counts(seeded).values()) > 0)  # recrawl needs a snapshot
+
+    def frame(pairs):
+        return spark.createDataFrame(pairs, "doc_id long, text string")
+
+    table = tempfile.mkdtemp() + "/nidx"
+    _, w_seed = ngram_window_digests(frame(seeded), k)
+    upsert_ngram_counts(spark, table, w_seed, 0)
+
+    mis_ids = [i for i, *_rest in docs if docs[i][3]]
+    if mis_ids:
+        _, old_w = ngram_window_digests(
+            frame([(i, docs[i][2]) for i in mis_ids]), k
+        )
+        _, new_w = ngram_window_digests(
+            frame([(i, docs[i][1]) for i in mis_ids]), k
+        )
+        recrawl_ngram_counts(spark, table, old_w, new_w, 1)
+    gone_ids = [i for i, *_rest in docs if docs[i][4]]
+    if gone_ids:
+        # a deleted doc's CURRENT version is always the true text by
+        # this point: mis-crawled docs were re-crawled above, everything
+        # else was seeded true
+        _, del_w = ngram_window_digests(
+            frame([(i, docs[i][1]) for i in gone_ids]), k
+        )
+        recrawl_ngram_counts(spark, table, del_w, None, 2)
+
+    got = {r.h: r.n_occ for r in read_snapshot(spark, table).collect()}
+    expected = py_counts(
+        [(i, docs[i][1]) for i, *_rest in docs if not docs[i][4]]
+    )
     assert got == expected
