@@ -1814,38 +1814,57 @@ def dup_kept_tokens(toks: Column, starts: Column, k: int) -> Column:
     built-ins, same semantics (the brute-force hypothesis twin and the
     unchanged DuckDB oracles are the proof)."""
     ss = F.array_sort(F.coalesce(starts, F.array().cast("array<int>")))
-    iv = lambda a, b: F.struct(a.cast("int").alias("a"), b.cast("int").alias("b"))
-    empty_ivs = F.array().cast("array<struct<a:int,b:int>>")
-    merged = F.aggregate(
-        ss,
-        F.struct(
-            empty_ivs.alias("ivs"),
-            F.lit(None).cast("int").alias("a"),
-            F.lit(None).cast("int").alias("b"),
-        ),
-        lambda acc, s: F.when(
-            acc["a"].isNotNull() & (s <= acc["b"] + 1),
-            F.struct(
-                acc["ivs"].alias("ivs"),
-                acc["a"].alias("a"),
-                F.greatest(acc["b"], (s + (k - 1)).cast("int")).alias("b"),
+    # Merged disjoint intervals by RUN-BOUNDARY extraction, not an
+    # accumulator fold: with sorted starts and a fixed window size the
+    # max-end-so-far is just prev_start + k - 1, so an interval begins
+    # where a start clears its predecessor's window and ends where its
+    # successor clears its own. Everything is zips over ss and its
+    # shifted self — O(d), no per-interval array copying (an
+    # array_append fold re-copies the accumulated intervals per append:
+    # O(m^2) for m intervals) and, critically, NO reference to a
+    # computed array inside a lambda body (a lambda re-evaluates
+    # captured expression trees per element — an F.get(ss, i-1) probe
+    # re-sorts the whole start list for every start, the quadratic this
+    # function exists to kill, found by a worst-case 50k-start doc
+    # timing out). NULL neighbors at the array edges make the first and
+    # last starts boundaries by definition (coalesce).
+    null_i = F.array(F.lit(None).cast("int"))
+    prevs = F.slice(F.concat(null_i, ss), 1, F.size(ss))
+    nexts = F.slice(F.concat(ss, null_i), 2, F.size(ss))
+    begins = F.transform(
+        F.filter(
+            F.zip_with(
+                ss,
+                prevs,
+                lambda x, p: F.struct(
+                    x.alias("s"),
+                    F.coalesce(x > p + (k - 1), F.lit(True)).alias("f"),
+                ),
             ),
-        ).otherwise(
-            F.struct(
-                F.when(
-                    acc["a"].isNotNull(),
-                    F.array_append(acc["ivs"], iv(acc["a"], acc["b"])),
-                )
-                .otherwise(acc["ivs"])
-                .alias("ivs"),
-                s.cast("int").alias("a"),
-                (s + (k - 1)).cast("int").alias("b"),
-            )
+            lambda e: e["f"],
         ),
-        lambda acc: F.when(
-            acc["a"].isNotNull(),
-            F.array_append(acc["ivs"], iv(acc["a"], acc["b"])),
-        ).otherwise(acc["ivs"]),
+        lambda e: e["s"],
+    )
+    closers = F.transform(
+        F.filter(
+            F.zip_with(
+                ss,
+                nexts,
+                lambda x, nx: F.struct(
+                    x.alias("s"),
+                    F.coalesce(nx > x + (k - 1), F.lit(True)).alias("f"),
+                ),
+            ),
+            lambda e: e["f"],
+        ),
+        lambda e: e["s"],
+    )
+    merged = F.zip_with(
+        begins,
+        closers,
+        lambda a, b: F.struct(
+            a.cast("int").alias("a"), (b + (k - 1)).cast("int").alias("b")
+        ),
     )
     n = F.size(toks)
     gap_lo = F.concat(
