@@ -714,16 +714,24 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empties dropped BEFORE spanning (both sides): span_text can then never
     # be '', so the nullif below is unambiguous; zero-token docs produce no
     # spans at all (matching the oracle's empty generate_series)
+    # tokens land in a projection FIRST; the span lambda references the
+    # COLUMN, never the tokenize expression — a computed expression
+    # captured inside a higher-order-function lambda re-evaluates per
+    # element (the 100k-token probe doc re-split its text once per span:
+    # ~10^9 ops, 196s measured; 3.7s after this fix — the same capture
+    # hazard the r09 trim rewrite documents)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    n_spans = F.ceil(F.size(toks) / float(_SPAN)).cast("int")
+    base = d.select("doc_id", toks.alias("__toks"))
+    tcol = F.col("__toks")
+    n_spans = F.ceil(F.size(tcol) / float(_SPAN)).cast("int")
     span_arr = F.when(
-        F.size(toks) > 0,
+        F.size(tcol) > 0,
         F.transform(
             F.sequence(F.lit(0), n_spans - 1),
-            lambda j: F.array_join(F.slice(toks, j * _SPAN + 1, _SPAN), " "),
+            lambda j: F.array_join(F.slice(tcol, j * _SPAN + 1, _SPAN), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = d.select(
+    spans = base.select(
         "doc_id",
         F.posexplode(span_arr).alias("span_idx", "span_text"),
     )
