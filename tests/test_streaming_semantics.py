@@ -529,6 +529,63 @@ def test_l47_recrawl_erases_stale_windows(spark, tmp_path):
     }
 
 
+def test_ngram_index_expire_snapshots_after_lifecycle(spark, tmp_path):
+    """The dedup-gate state is an ordinary snapshot-log table, so the
+    standard retention story applies: after a seed + re-crawl + delete
+    lifetime (3 commits, superseded shard files accumulating),
+    expire_snapshots must reclaim every file only dead manifests
+    reference while the surviving counts stay byte-identical — at
+    100 TB the window-count index is the gate's only corpus-scale
+    artifact and its history would otherwise grow without bound."""
+    import os
+
+    from shadowcat_data_spark.pipeline.ngram_index import (
+        recrawl_ngram_counts,
+        upsert_ngram_counts,
+    )
+    from shadowcat_data_spark.pipeline.text import (
+        _L44_K,
+        ngram_window_digests,
+    )
+    from shadowcat_data_spark.plans.lakehouse import (
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    t1 = " ".join(f"a{i}" for i in range(12))
+    t2 = " ".join(f"b{i}" for i in range(12))
+    true = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    stale = spark.createDataFrame(
+        [(1, t1 + " " + t1), (2, t2)], "doc_id long, text string"
+    )
+    table = str(tmp_path / "nidx")
+    _, w_stale = ngram_window_digests(stale, _L44_K)
+    upsert_ngram_counts(spark, table, w_stale, 0)
+    _, old_w = ngram_window_digests(stale.filter("doc_id = 1"), _L44_K)
+    _, new_w = ngram_window_digests(true.filter("doc_id = 1"), _L44_K)
+    recrawl_ngram_counts(spark, table, old_w, new_w, 1)
+    _, del_w = ngram_window_digests(true.filter("doc_id = 2"), _L44_K)
+    recrawl_ngram_counts(spark, table, del_w, None, 2)
+
+    before = {r.h: r.n_occ for r in read_snapshot(spark, table).collect()}
+    n_files_before = sum(
+        len(fs) for _, _, fs in os.walk(table) if fs
+    )
+    versions_before, versions_after, deleted = expire_snapshots(
+        table, keep_latest=1
+    )
+    assert versions_before == 3 and versions_after == 1
+    assert deleted > 0, "superseded shard files must be reclaimed"
+    after = {r.h: r.n_occ for r in read_snapshot(spark, table).collect()}
+    assert after == before
+    # strictly fewer on-disk files (expire also unlinks the dead
+    # manifests and writer markers, so >= deleted data files went away)
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(table) if fs)
+    assert n_files_after <= n_files_before - deleted
+
+
 def test_t32_serving_snapshot_pinned_by_version(spark, tmp_path):
     """t32's serving contract (VERDICT r08 minor (a)): the hot set is
     pinned by lakehouse VERSION, so a concurrent t31 commit that
