@@ -147,3 +147,40 @@ def test_positional_lifecycle_keeps_sidecar_current(spark, tmp_path):
         for r in TI.phrase_search(spark, table, ["the", "zebra"], k=10).collect()
     ]
     assert got == [(1001, 1)]
+
+
+def test_ensure_positional_rebuilds_when_sidecar_missing(spark, tmp_path, monkeypatch):
+    """The ensure predicate (r09): a persisted positional index whose
+    __terms sidecar is missing — pre-r09 layout, or a crash between the
+    postings create and the sidecar create — must REBUILD on ensure,
+    not serve without the stats tier; a current index with its sidecar
+    is reused without a build."""
+    import os
+    import shutil
+
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    _corpus(spark, 30).select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    ).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    table = TI._ensure_positional_index(spark, sf_dir)
+    assert TI._term_dfs(spark, table, ["the"]) is not None
+
+    # simulate the crash window: postings committed, sidecar never landed
+    shutil.rmtree(TI._terms_table(table))
+    table2 = TI._ensure_positional_index(spark, sf_dir)
+    assert table2 == table
+    dfs = TI._term_dfs(spark, table, ["the", "zebra"])
+    assert dfs is not None and dfs["zebra"] == 2, "rebuild must restore the sidecar"
+
+    # and a current index is trusted without rebuilding: builder bombed
+    def bomb(*a, **k):
+        raise AssertionError("ensure rebuilt a current index")
+
+    monkeypatch.setattr(TI, "build_positional_index", bomb)
+    assert TI._ensure_positional_index(spark, sf_dir) == table
