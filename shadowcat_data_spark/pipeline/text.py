@@ -1749,31 +1749,55 @@ def token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The trim decision in LINEAR SQL (shared by the l46/t32/l48 oracles):
+# instead of a per-token scan of the doc's dup-start list (O(n·d) — the
+# oracle-side twin of the engine quadratic r09 killed; 116.7s on the
+# probe's 100k-token book), token positions and dup starts merge into
+# ONE ordered event stream per doc and a running MAX(start) decides
+# coverage: token at pos is covered iff the latest start at-or-before it
+# is within k-1. Starts sort before tokens at equal pos (a start covers
+# its own position). O((n + d) log(n + d)) per doc.
+_L44_TRIM_CTES = f"""base AS (
+  SELECT doc_id, len(toks) AS n, toks FROM tok
+), {_L44_WINS_CTE}, hot AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
+), ev AS (
+  SELECT doc_id, strt AS pos, 0 AS tk, NULL AS w
+  FROM wins JOIN hot USING (h)
+  UNION ALL
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, 1 AS tk,
+         unnest(toks) AS w
+  FROM tok
+), keptrows AS (
+  SELECT doc_id, pos, w,
+         (last_s IS NULL OR last_s < pos - {_L44_K - 1}) AS keep
+  FROM (
+    SELECT doc_id, pos, tk, w,
+           MAX(CASE WHEN tk = 0 THEN pos END) OVER (
+             PARTITION BY doc_id ORDER BY pos, tk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_s
+    FROM ev
+  ) WHERE tk = 1
+), kept_agg AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE keep) AS n_kept,
+         string_agg(w, ' ' ORDER BY pos) FILTER (WHERE keep) AS kept_text
+  FROM keptrows GROUP BY doc_id
+)"""
+
+
 @query(
     "l46_dup_ngram_trim",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
-), base AS (
-  SELECT doc_id, len(toks) AS n, toks FROM tok
-), {_L44_WINS_CTE}, hot AS (
-  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
-), dups AS (
-  SELECT doc_id, list(strt) AS starts
-  FROM wins JOIN hot USING (h) GROUP BY doc_id
-), trimmed AS (
-  SELECT b.doc_id, b.n,
-         list_filter(b.toks, (x, i) ->
-           len(list_filter(COALESCE(d.starts, []),
-               s -> (i - 1) BETWEEN s AND s + {_L44_K} - 1)) = 0) AS kept
-  FROM base b LEFT JOIN dups d USING (doc_id)
-)
-SELECT doc_id,
-       CAST(GREATEST(n, 0) AS BIGINT) AS n_tokens,
-       CAST(GREATEST(len(kept), 0) AS BIGINT) AS n_kept,
-       NULLIF(array_to_string(kept, ' '), '') AS kept_text
-FROM trimmed
+), {_L44_TRIM_CTES}
+SELECT b.doc_id,
+       CAST(GREATEST(b.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       NULLIF(COALESCE(a.kept_text, ''), '') AS kept_text
+FROM base b LEFT JOIN kept_agg a USING (doc_id)
 """,
     category="pipeline-text",
 )

@@ -2208,32 +2208,22 @@ def _t32_oracle() -> str:
     full-corpus index snapshot, so the converged answer is exactly the
     one-shot batch trim aggregated by source (NULL source is an
     ordinary group; no join touches it)."""
-    from ..pipeline.text import _L44_K, _L44_WINS_CTE
+    from ..pipeline.text import _L44_TRIM_CTES
 
     return f"""
 WITH tok AS (
   SELECT doc_id, source,
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
-), base AS (
-  SELECT doc_id, source, len(toks) AS n, toks FROM tok
-), {_L44_WINS_CTE}, hot AS (
-  SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2
-), dups AS (
-  SELECT doc_id, list(strt) AS starts
-  FROM wins JOIN hot USING (h) GROUP BY doc_id
-), trimmed AS (
-  SELECT b.doc_id, b.source, b.n,
-         list_filter(b.toks, (x, i) ->
-           len(list_filter(COALESCE(d.starts, []),
-               s -> (i - 1) BETWEEN s AND s + {_L44_K} - 1)) = 0) AS kept
-  FROM base b LEFT JOIN dups d USING (doc_id)
-)
-SELECT source,
+), {_L44_TRIM_CTES}
+SELECT t.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(GREATEST(n, 0)) AS BIGINT) AS n_tokens,
-       CAST(SUM(GREATEST(len(kept), 0)) AS BIGINT) AS n_kept
-FROM trimmed GROUP BY source"""
+       CAST(SUM(GREATEST(b.n, 0)) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(a.n_kept, 0)) AS BIGINT) AS n_kept
+FROM base b
+LEFT JOIN kept_agg a USING (doc_id)
+JOIN tok t USING (doc_id)
+GROUP BY t.source"""
 
 
 @query("t32_stream_ngram_trim", oracle=_t32_oracle(), category="streaming")
