@@ -2018,6 +2018,101 @@ def dup_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L48 — trim token yield: what the exact-substring dedup SAVES, in tokens
+# ---------------------------------------------------------------------------
+
+
+def _l48_oracle() -> str:
+    """Training replay + encode chain (the l43/l45 machinery) priced
+    over BOTH corpora: the original documents and the l46-trimmed kept
+    tokens. Kept words are a subset of the corpus vocabulary, so ONE
+    word_tok table prices both sides; the after-count sums per-token
+    prices straight off the linear keptrows stream (no kept-array
+    rebuild)."""
+    ctes, _ = _bpe_train_ctes(_L29_MERGES)
+    ctes.extend(_bpe_encode_ctes(_L29_MERGES))
+    ctes.append(
+        """tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)"""
+    )
+    ctes.append(_L44_TRIM_CTES)
+    ctes.append(
+        """wc_b AS (
+  SELECT doc_id, w, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY doc_id, w
+)"""
+    )
+    ctes.append(
+        """tok_b AS (
+  SELECT c.doc_id, CAST(SUM(c.n * wt.n_tok) AS BIGINT) AS t
+  FROM wc_b c JOIN word_tok wt ON c.w = wt.w GROUP BY c.doc_id
+)"""
+    )
+    ctes.append(
+        """tok_a AS (
+  SELECT k.doc_id, CAST(SUM(wt.n_tok) AS BIGINT) AS t
+  FROM keptrows k JOIN word_tok wt ON k.w = wt.w
+  WHERE k.keep GROUP BY k.doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(tb.t), 0) AS BIGINT) AS tok_before,
+       CAST(COALESCE(SUM(ta.t), 0) AS BIGINT) AS tok_after
+FROM documents d
+LEFT JOIN tok_b tb ON d.doc_id = tb.doc_id
+LEFT JOIN tok_a ta ON d.doc_id = ta.doc_id
+GROUP BY d.source"""
+    )
+
+
+@query("l48_trim_token_yield", oracle=_l48_oracle(), category="pipeline-text")
+def trim_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number that justifies running exact-substring dedup at all:
+    per source, the training-token cost of the corpus BEFORE and AFTER
+    the l46 trim, priced with the tokenizer the pipeline would ship
+    (l29's merges, trained on the full corpus) — the end-to-end
+    composite of the round's dedup family the way l45 composes
+    curation. tok_before - tok_after is the compute the trim buys back.
+    Fully hash-oracled: the oracle chains the training replay, the
+    encode chain, and the linear trim stream; the trim never invents
+    words, so one word_tok vocabulary prices both sides.
+
+    Scale shape: two bpe_encode_corpus passes (each vocabulary-sized:
+    distinct words encoded once, broadcast back) over frames the trim
+    already produces map-side; the report is a per-source sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = _bpe_train(spark, docs, "text", _L29_MERGES)
+    before = bpe_encode_corpus(spark, docs, "text", merges).select(
+        "doc_id", F.col("n_tokens").alias("tb")
+    )
+    trimmed = dup_ngram_trim_frame(docs, _L44_K).select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    after = bpe_encode_corpus(spark, trimmed, "text", merges).select(
+        "doc_id", F.col("n_tokens").alias("ta")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(before, "doc_id", "left")
+        .join(after, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("tb"), F.lit(0)).cast("long").alias("tok_before"),
+            F.coalesce(F.sum("ta"), F.lit(0)).cast("long").alias("tok_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L30 — quality classifier trained IN the engine (quantized batch GD)
 # ---------------------------------------------------------------------------
 
