@@ -97,6 +97,10 @@ SF10_QUERIES = [
     # trim; its bounded task time is the recorded evidence the r08
     # quadratic stays dead (VERDICT r08 #2/#3)
     "l46_dup_ngram_trim",
+    # r09: the delete/re-crawl lifecycle at 100× — seed-with-mis-crawl,
+    # retract+add, delete: every commit must stay delta-sized (negative
+    # deltas route through the same partition-pruned merge as t31's)
+    "l47_dup_ngram_recrawl",
 ]
 
 # every int64 key-domain column per table (offset per copy so each replica's
