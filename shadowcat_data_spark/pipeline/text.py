@@ -2018,6 +2018,76 @@ def dup_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L49 — split decontamination: eval docs leaking train 8-gram windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l49_split_decontam",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n, toks FROM tok
+), {_L44_WINS_CTE},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), trainw AS (
+  SELECT DISTINCT w.h FROM wins w JOIN sp USING (doc_id)
+  WHERE sp.split = 'train'
+), leak AS (
+  SELECT w.doc_id, COUNT(DISTINCT w.h) AS n_shared
+  FROM wins w JOIN sp USING (doc_id) JOIN trainw t ON w.h = t.h
+  WHERE sp.split = 'eval' GROUP BY w.doc_id
+)
+SELECT b.doc_id,
+       CAST(GREATEST(b.n - {_L44_K - 1}, 0) AS BIGINT) AS n_windows,
+       CAST(l.n_shared AS BIGINT) AS n_shared
+FROM leak l JOIN base b USING (doc_id)
+""",
+    category="pipeline-text",
+)
+def split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-level decontamination — the drop-list a held-out split
+    needs before it can be trusted: assign train/eval by the l11 hash
+    split (deterministic, append-stable), then report every EVAL
+    document sharing at least one exact 8-token window with ANY train
+    document, with its distinct-shared-window count. l10 decontaminates
+    against an external probe set; this closes the internal leak — at
+    100 TB the train and eval shards come from the same crawl and
+    boilerplate crosses the split boundary constantly.
+
+    Scale shape: the l44 digest discipline end to end — window text
+    never shuffles (16-byte md5s), the train window set is
+    distinct-digest (map-side combinable), membership is a left-semi
+    probe, and the report is a per-doc count. Fully hash-oracled."""
+    from .sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = hash_split(docs.select("doc_id"), "doc_id", {"train": "cccd", "eval": ""})
+    base, wins = ngram_window_digests(docs, _L44_K)
+    w = wins.join(sp, "doc_id")
+    trainw = w.filter(F.col("split") == "train").select("h").distinct()
+    leak = (
+        w.filter(F.col("split") == "eval")
+        .join(trainw, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+    return leak.join(base, "doc_id").select(
+        "doc_id",
+        F.greatest(F.col("n") - (_L44_K - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L48 — trim token yield: what the exact-substring dedup SAVES, in tokens
 # ---------------------------------------------------------------------------
 
