@@ -749,11 +749,11 @@ def test_ngram_recrawl_lifecycle_matches_oneshot(spark, rows, k):
     from collections import Counter
 
     from shadowcat_data_spark.pipeline.ngram_index import (
+        read_ngram_counts,
         recrawl_ngram_counts,
         upsert_ngram_counts,
     )
     from shadowcat_data_spark.pipeline.text import ngram_window_digests
-    from shadowcat_data_spark.plans.lakehouse import read_snapshot
 
     docs = [
         (i, true, stale, mis, gone)
@@ -797,7 +797,7 @@ def test_ngram_recrawl_lifecycle_matches_oneshot(spark, rows, k):
         )
         recrawl_ngram_counts(spark, table, del_w, None, 2)
 
-    got = {r.h: r.n_occ for r in read_snapshot(spark, table).collect()}
+    got = {r.h: r.n_occ for r in read_ngram_counts(spark, table).collect()}
     expected = py_counts(
         [(i, docs[i][1]) for i, *_rest in docs if not docs[i][4]]
     )

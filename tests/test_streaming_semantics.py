@@ -336,18 +336,22 @@ def test_t26_cross_batch_duplicate_media_collapse(spark, tmp_path):
     index row with n_copies 2 and the lower id as canonical — the
     cross-batch associativity the lakehouse-maintained digest index
     relies on. Also pins the replay guard (re-committing a seen batch_id
-    is a no-op) and — the r06 plan-weak fix — INCREMENTALITY: a trigger
-    rewrites only the shards its batch touches; every other shard's
-    files carry forward byte-identical, so per-trigger written bytes are
-    ∝ batch, never ∝ index."""
+    is a no-op) and — the r09 plan-weak fix — DELTA-SIZED commits: a
+    trigger APPENDS its netted digests without reading or rewriting any
+    existing file (uniform sha keys touch all shards, so the previous
+    touched-shard MERGE was an O(index) rewrite); every prior segment
+    carries forward byte-identical and the new files' row census equals
+    the batch's distinct-digest count."""
     import os
 
     from shadowcat_data_spark.plans.lakehouse import (
         current_version,
         read_manifest,
-        read_snapshot,
     )
-    from shadowcat_data_spark.streaming.ops import upsert_media_digests
+    from shadowcat_data_spark.streaming.ops import (
+        read_media_digests,
+        upsert_media_digests,
+    )
 
     table = str(tmp_path / "midx")
 
@@ -374,26 +378,23 @@ def test_t26_cross_batch_duplicate_media_collapse(spark, tmp_path):
 
     got = {
         r.payload_sha: (r.n_copies, r.canonical_id)
-        for r in read_snapshot(spark, table).collect()
+        for r in read_media_digests(spark, table).collect()
     }
     assert len(got) == 42
     dup_sha = [s for s, (n, _) in got.items() if n == 2]
     assert len(dup_sha) == 1 and got[dup_sha[0]] == (2, 30)
 
-    # incrementality: the two single-row triggers each touch ONE shard —
-    # the v1 files NOT in the touched shards must be carried forward by
-    # reference (same path, same bytes), and the files added since v1
-    # must be far fewer than a full-index rewrite
+    # delta-sized commits: EVERY v1 segment file is carried forward by
+    # reference (same path, same bytes — appends read nothing), and the
+    # rows added since v1 are exactly the two batches' digest counts
     man2 = read_manifest(table)
-    carried = [f for f in man2["files"] if f in sizes0]
-    assert carried, "untouched shards must carry forward by reference"
-    for f in carried:
+    assert all(f in man2["files"] for f in sizes0)
+    for f in sizes0:
         assert os.path.getsize(os.path.join(table, f)) == sizes0[f]
-    new_files = [f for f in man2["files"] if f not in sizes0]
-    assert len(new_files) <= 2, (
-        f"two one-shard triggers must rewrite <=2 bucket files, "
-        f"got {len(new_files)}"
+    new_rows = sum(
+        man2["stats"][f]["rows"] for f in man2["files"] if f not in sizes0
     )
+    assert new_rows == 2
 
     # replay guard: batch 2 again → no new snapshot, nothing double-counted
     v = current_version(table)
@@ -401,20 +402,26 @@ def test_t26_cross_batch_duplicate_media_collapse(spark, tmp_path):
     assert current_version(table) == v
     assert {
         r.payload_sha: (r.n_copies, r.canonical_id)
-        for r in read_snapshot(spark, table).collect()
+        for r in read_media_digests(spark, table).collect()
     } == got
 
 
 def test_t31_cross_batch_window_counts_converge(spark, tmp_path):
-    """t31's merge property driven through the REAL helper: an 8-token
+    """t31's commit property driven through the REAL helper: an 8-token
     window whose two occurrences arrive in DIFFERENT micro-batches must
-    still reach n_occ 2 in the maintained index (count-sum
+    still fold to n_occ 2 in the maintained index (count-sum
     associativity — the converged-equals-one-shot oracle equality), the
-    replay guard must make a re-committed batch_id a no-op, and a
-    single-doc trigger must rewrite only the shards its windows touch —
-    every other shard's files carry forward byte-identical."""
+    replay guard must make a re-committed batch_id a no-op, and — the
+    r09 plan-weak fix, pinned on a REALISTIC batch rather than the
+    one-window degenerate case — a trigger must APPEND exactly its own
+    netted delta rows: every pre-existing segment file carries forward
+    byte-identical (zero reads, zero rewrites) and the new files' row
+    census equals the batch's distinct-digest count, so per-commit
+    written bytes are ∝ batch even though uniform digests touch ALL 16
+    shards."""
     import os
 
+    from shadowcat_data_spark.pipeline.ngram_index import read_ngram_counts
     from shadowcat_data_spark.pipeline.text import (
         _L44_K,
         ngram_window_digests,
@@ -422,7 +429,6 @@ def test_t31_cross_batch_window_counts_converge(spark, tmp_path):
     from shadowcat_data_spark.plans.lakehouse import (
         current_version,
         read_manifest,
-        read_snapshot,
     )
     from shadowcat_data_spark.streaming.ops import upsert_ngram_counts
 
@@ -436,7 +442,7 @@ def test_t31_cross_batch_window_counts_converge(spark, tmp_path):
         _, wins = ngram_window_digests(b, _L44_K)
         upsert_ngram_counts(spark, table, wins, batch_id)
 
-    # seed WIDE (many distinct windows → many shards hold files), one
+    # seed WIDE (many distinct windows → every shard holds files), one
     # occurrence of the tracked phrase
     seed = [(i, " ".join(f"w{i}_{j}" for j in range(_L44_K))) for i in range(40)]
     seed.append((100, phrase))
@@ -444,36 +450,55 @@ def test_t31_cross_batch_window_counts_converge(spark, tmp_path):
     man0 = read_manifest(table)
     sizes0 = {f: os.path.getsize(os.path.join(table, f)) for f in man0["files"]}
 
-    upsert([(200, phrase)], 1)  # the cross-batch duplicate occurrence
+    # a REALISTIC second trigger: 300 fresh single-window docs plus the
+    # tracked phrase's duplicate — 301 uniform digests touch all 16
+    # shards, the case where a touched-shard MERGE degenerates to a
+    # full-index rewrite; the append commit must stay delta-sized
+    batch1 = [
+        (1000 + i, " ".join(f"x{i}_{j}" for j in range(_L44_K)))
+        for i in range(300)
+    ]
+    batch1.append((2000, phrase))
+    upsert(batch1, 1)
 
-    idx = {r.h: r.n_occ for r in read_snapshot(spark, table).collect()}
+    idx = {r.h: r.n_occ for r in read_ngram_counts(spark, table).collect()}
     assert sum(1 for n in idx.values() if n == 2) == 1
-    assert sum(idx.values()) == 42  # 41 singles + the tracked pair
+    assert sum(idx.values()) == 342  # 341 singles + the tracked pair
 
-    # incrementality: the single-doc trigger touches ONE shard
+    # delta-sized commit: EVERY seed segment file carries forward
+    # byte-identical (the append read and rewrote nothing), and the new
+    # files' manifest row census is exactly the batch's distinct-digest
+    # count — written rows ∝ batch, never ∝ index
     man1 = read_manifest(table)
-    carried = [f for f in man1["files"] if f in sizes0]
-    assert carried, "untouched shards must carry forward by reference"
-    for f in carried:
+    assert all(f in man1["files"] for f in sizes0)
+    for f in sizes0:
         assert os.path.getsize(os.path.join(table, f)) == sizes0[f]
-    assert len([f for f in man1["files"] if f not in sizes0]) <= 1
+    new_rows = sum(
+        man1["stats"][f]["rows"] for f in man1["files"] if f not in sizes0
+    )
+    assert new_rows == 301
 
     # replay guard: batch 1 again → no new snapshot, nothing double-counted
     v = current_version(table)
-    upsert([(200, phrase)], 1)
+    upsert([(2000, phrase)], 1)
     assert current_version(table) == v
-    assert {r.h: r.n_occ for r in read_snapshot(spark, table).collect()} == idx
+    assert {r.h: r.n_occ for r in read_ngram_counts(spark, table).collect()} == idx
 
 
 def test_l47_recrawl_erases_stale_windows(spark, tmp_path):
     """The delete/re-crawl lifecycle on the window-count index (VERDICT
     r08 "What's missing" #1): after seeding from a mis-crawl (doc 1
     text-doubled) and re-crawling with the true text, the index must be
-    ROW-IDENTICAL to a one-shot build over the true corpus — stale-only
-    digests (the doubled doc's cross-boundary windows) leave no zombie
-    rows, and counts inflated by the stale duplication return to their
-    true values. Then a pure delete retracts a document entirely."""
+    FOLD-IDENTICAL to a one-shot build over the true corpus — stale-only
+    digests (the doubled doc's cross-boundary windows) read as erased,
+    and counts inflated by the stale duplication return to their true
+    values — and after ``compact_ngram_counts`` the equality holds
+    PHYSICALLY: the on-disk rows are the one-shot rows, retracted
+    digests leave no zombie rows in any segment file. Then a pure
+    delete retracts a document entirely."""
     from shadowcat_data_spark.pipeline.ngram_index import (
+        compact_ngram_counts,
+        read_ngram_counts,
         recrawl_ngram_counts,
         upsert_ngram_counts,
     )
@@ -494,7 +519,12 @@ def test_l47_recrawl_erases_stale_windows(spark, tmp_path):
 
     def counts(table):
         return {
-            r.h: r.n_occ for r in read_snapshot(spark, table).collect()
+            r.h: r.n_occ for r in read_ngram_counts(spark, table).collect()
+        }
+
+    def physical_rows(table):
+        return {
+            (r.h,): r.n_occ for r in read_snapshot(spark, table).collect()
         }
 
     # one-shot truth over the true corpus
@@ -518,6 +548,11 @@ def test_l47_recrawl_erases_stale_windows(spark, tmp_path):
     assert any(n >= 2 for n in before.values())
     assert set(before) - set(after), "stale-only digests must be erased"
     assert all(n == 1 for n in after.values())
+    # physically: the retraction segment coexists with the seed until
+    # compaction folds them — after it, the on-disk rows ARE the folded
+    # rows (no zombie ≤0 digests in any file)
+    compact_ngram_counts(spark, lived)
+    assert physical_rows(lived) == {(h,): n for h, n in after.items()}
 
     # pure delete: doc 2's windows vanish, doc 1's stay
     _, del_w = ngram_window_digests(true.filter("doc_id = 2"), _L44_K)
@@ -532,14 +567,19 @@ def test_l47_recrawl_erases_stale_windows(spark, tmp_path):
 def test_ngram_index_expire_snapshots_after_lifecycle(spark, tmp_path):
     """The dedup-gate state is an ordinary snapshot-log table, so the
     standard retention story applies: after a seed + re-crawl + delete
-    lifetime (3 commits, superseded shard files accumulating),
+    lifetime (3 APPEND commits — which never supersede a file — plus
+    the scheduled compaction, which supersedes every delta segment),
     expire_snapshots must reclaim every file only dead manifests
-    reference while the surviving counts stay byte-identical — at
+    reference while the surviving counts stay fold-identical — at
     100 TB the window-count index is the gate's only corpus-scale
-    artifact and its history would otherwise grow without bound."""
+    artifact and its history would otherwise grow without bound. This
+    is the LSM retention story end to end: appends accumulate
+    segments, compaction folds them, expiry reclaims them."""
     import os
 
     from shadowcat_data_spark.pipeline.ngram_index import (
+        compact_ngram_counts,
+        read_ngram_counts,
         recrawl_ngram_counts,
         upsert_ngram_counts,
     )
@@ -568,17 +608,18 @@ def test_ngram_index_expire_snapshots_after_lifecycle(spark, tmp_path):
     recrawl_ngram_counts(spark, table, old_w, new_w, 1)
     _, del_w = ngram_window_digests(true.filter("doc_id = 2"), _L44_K)
     recrawl_ngram_counts(spark, table, del_w, None, 2)
+    compact_ngram_counts(spark, table)  # supersedes all delta segments
 
-    before = {r.h: r.n_occ for r in read_snapshot(spark, table).collect()}
+    before = {r.h: r.n_occ for r in read_ngram_counts(spark, table).collect()}
     n_files_before = sum(
         len(fs) for _, _, fs in os.walk(table) if fs
     )
     versions_before, versions_after, deleted = expire_snapshots(
         table, keep_latest=1
     )
-    assert versions_before == 3 and versions_after == 1
-    assert deleted > 0, "superseded shard files must be reclaimed"
-    after = {r.h: r.n_occ for r in read_snapshot(spark, table).collect()}
+    assert versions_before == 4 and versions_after == 1
+    assert deleted > 0, "superseded delta segments must be reclaimed"
+    after = {r.h: r.n_occ for r in read_ngram_counts(spark, table).collect()}
     assert after == before
     # strictly fewer on-disk files (expire also unlinks the dead
     # manifests and writer markers, so >= deleted data files went away)
@@ -593,16 +634,14 @@ def test_t32_serving_snapshot_pinned_by_version(spark, tmp_path):
     must not change what in-flight triggers serve against; re-reading
     at HEAD sees the new hot digest, the pinned frame never does."""
     from shadowcat_data_spark.pipeline.ngram_index import (
+        read_ngram_counts,
         upsert_ngram_counts,
     )
     from shadowcat_data_spark.pipeline.text import (
         _L44_K,
         ngram_window_digests,
     )
-    from shadowcat_data_spark.plans.lakehouse import (
-        current_version,
-        read_snapshot,
-    )
+    from shadowcat_data_spark.plans.lakehouse import current_version
     from pyspark.sql import functions as F
 
     table = str(tmp_path / "nidx")
@@ -614,7 +653,7 @@ def test_t32_serving_snapshot_pinned_by_version(spark, tmp_path):
     upsert_ngram_counts(spark, table, w, 0)
     pinned = current_version(table)
     hot = (
-        read_snapshot(spark, table, version=pinned)
+        read_ngram_counts(spark, table, version=pinned)
         .filter(F.col("n_occ") >= 2)
         .select("h")
     )
@@ -634,7 +673,7 @@ def test_t32_serving_snapshot_pinned_by_version(spark, tmp_path):
     assert {r.h for r in hot.collect()} == served0
     head_hot = {
         r.h
-        for r in read_snapshot(spark, table)
+        for r in read_ngram_counts(spark, table)
         .filter(F.col("n_occ") >= 2)
         .collect()
     }
