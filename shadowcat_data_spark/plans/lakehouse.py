@@ -220,6 +220,7 @@ def merge_snapshot(
     key: str,
     schema_ddl: str,
     max_retries: int = 5,
+    extra: dict | None = None,
 ) -> int:
     """MERGE: apply a last-writer-wins change-set (columns: key, op in
     I/U/D, seq, payload...) to the latest snapshot, commit as a new one.
@@ -248,6 +249,7 @@ def merge_snapshot(
                 merged,
                 table,
                 schema_ddl,
+                extra=extra,
                 expected_version=base_version + 1,
                 operation="merge",
             )

@@ -2352,87 +2352,208 @@ def stream_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# T33 — streaming dup-substring index delete/re-crawl (l47 per trigger)
+# T33 — streaming dup-substring index delete/re-crawl (l47 per trigger),
+# with the crawl store advancing INSIDE each trigger
 # ---------------------------------------------------------------------------
 
 from ..pipeline.text import _L47_ORACLE  # noqa: E402
+
+_T33_STORE_DDL = "doc_id long, text string, prev_text string, last_batch long"
+
+
+def recrawl_store_batch(
+    spark: SparkSession,
+    store: str,
+    table: str,
+    batch: DataFrame,
+    batch_id: int,
+    k: int,
+) -> None:
+    """One t33 trigger: advance the CRAWL STORE and the window-count
+    index exactly once each — the store-update leg VERDICT r09 "What's
+    missing" #2 called out (a static store double-retracts the seed of
+    a doc re-crawled twice and never retracts its interim version).
+
+    ``batch`` columns: doc_id, text (NULL = delete), op. Two commits,
+    each guarded by its OWN manifest batch_id, in a fixed order that
+    makes every crash window replay-safe without a cross-table atomic
+    commit (the ``_append_term_deltas`` discipline):
+
+    1. STORE leg (skipped if its manifest already saw ``batch_id``):
+       partition-pruned LWW-merge (doc_id → text, prev_text=the version
+       being replaced, last_batch=batch_id) into the key-range-bucketed
+       store — the t19 write path, so a batch with doc_id locality
+       rewrites only its buckets. Deletes are TOMBSTONES (text NULL),
+       not row removals, so a replayed delete can still find the text
+       it must retract — and a later re-crawl of a deleted doc
+       correctly retracts nothing.
+    2. INDEX leg (same guard on the index manifest): the retraction
+       target is read from the store AFTER the merge — ``prev_text``
+       where ``last_batch == batch_id`` — so a replay that finds the
+       store already advanced (crash between the two commits) still
+       retracts the version that was live BEFORE this batch, never the
+       one the interrupted attempt installed. Adds come from the
+       batch's recrawl rows; one appended delta segment nets both.
+
+    Per-trigger cost: O(batch) store merge + O(batch windows) digest +
+    a delta-segment append that reads no index file."""
+    from ..pipeline.text import ngram_window_digests
+    from ..plans.lakehouse import (
+        merge_partitioned,
+        read_manifest,
+        read_snapshot,
+    )
+
+    if batch.isEmpty():
+        return  # an empty trigger has nothing to retract or install
+    if read_manifest(store).get("batch_id", -2) < batch_id:
+        cur = (
+            read_snapshot(spark, store)
+            .join(batch.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", F.col("text").alias("prev_text"))
+        )
+        changes = (
+            batch.select("doc_id", "text")
+            .join(cur, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit("U").alias("op"),
+                F.lit(batch_id).alias("seq"),
+                "text",
+                "prev_text",
+                F.lit(batch_id).alias("last_batch"),
+            )
+        )
+        merge_partitioned(spark, store, changes, extra={"batch_id": batch_id})
+    if read_manifest(table).get("batch_id", -2) < batch_id:
+        old = (
+            read_snapshot(spark, store)
+            .join(batch.select("doc_id"), "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                F.when(F.col("last_batch") == batch_id, F.col("prev_text"))
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        _, old_w = ngram_window_digests(old, k)
+        _, new_w = ngram_window_digests(
+            batch.filter(F.col("op") == "recrawl").select("doc_id", "text"), k
+        )
+        recrawl_ngram_counts(spark, table, old_w, new_w, batch_id)
 
 
 @query("t33_stream_ngram_recrawl", oracle=_L47_ORACLE, category="streaming")
 def stream_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l47's delete/re-crawl lifecycle as a STANDING MAINTENANCE stream
-    (the t29 pattern on l44's state — VERDICT r08 top-next): the index
-    is seeded from a mis-crawl in which every doc_id % 7 == 3 document
-    arrived text-doubled (its own windows count ≥2 — hot boilerplate),
-    then re-crawl and delete events arrive in three micro-batches. Each
-    trigger looks up the version being REPLACED in the crawl store,
-    retracts its window counts (negative deltas) and adds the new
-    text's — one commit per trigger through the same additive combine
-    t31 uses, under the t18 batch-id idempotence guard. Retractions
-    are per-document and the combine is a commutative SUM, so ANY
-    arrival order converges; rows netting to ≤0 are erased, never left
-    as zombie zero-counts. The converged probe over the live true
-    corpus must hash-equal a one-shot l44 over the surviving documents
-    — the oracle string is l47's verbatim. At 100 TB/day this is the
-    missing lifecycle leg of the online exact-substring dedup gate: a
-    re-crawled page's old boilerplate stops being "hot" the moment its
-    retraction commits, so t32 stops over-trimming text that was
-    duplicated only in the stale crawl."""
+    (the t29 pattern on l44's state), with the crawl store advancing
+    INSIDE each trigger — the lifecycle's last leg (VERDICT r09 "What's
+    missing" #2): the index is seeded from a mis-crawl in which every
+    doc_id % 7 == 3 document arrived text-doubled (its own windows
+    count ≥2 — hot boilerplate), then three ORDERED triggers arrive:
+    (0) every mis-crawled doc is re-crawled — the even doc_ids to an
+    INTERIM revision (a correction banner prepended), the odd ones
+    straight to the true text; (1) the doc_id % 11 == 5 slice is
+    deleted; (2) the even mis-crawled survivors are re-crawled AGAIN to
+    the true text. Each trigger retracts the version the STORE says is
+    live and upserts the store to the new version (two per-table
+    batch-id guards — ``recrawl_store_batch`` documents the crash-window
+    analysis), so trigger 2's retraction targets trigger 0's interim
+    revision, never the seed: a static store would double-retract the
+    seed and leave the interim windows as phantom hot digests
+    (pytest-pinned with a negative control). Deletes tombstone the
+    store row rather than dropping it, keeping replays retractable.
+    The event feed is ordered PER DOCUMENT (staged files carry
+    increasing mtimes — the Kafka key-partition contract a production
+    crawl feed provides); cross-document commutativity still comes from
+    the additive fold. The converged probe over the live true corpus
+    must hash-equal a one-shot l44 over the surviving documents — the
+    oracle string is l47's verbatim. At 100 TB/day this is the online
+    exact-substring dedup gate's full lifecycle: a re-crawled page's
+    old boilerplate stops being "hot" the moment its retraction
+    commits, so t32 stops over-trimming text that was duplicated only
+    in a stale crawl, through ANY chain of revisions per document."""
+    import glob
+    import os
     import shutil
 
     from ..pipeline.text import _L44_K, dup_coverage_from, ngram_window_digests
-    from ..plans.lakehouse import read_manifest
+    from ..plans.lakehouse import create_partitioned
     from ..session import load_table
     from ..sources.io import _scratch
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     recrawled = F.col("doc_id") % 7 == 3
     gone = F.col("doc_id") % 11 == 5
+    twice = recrawled & (F.col("doc_id") % 2 == 0) & ~gone
     stale = docs.withColumn(
         "text",
         F.when(
             recrawled, F.concat(F.col("text"), F.lit(" "), F.col("text"))
         ).otherwise(F.col("text")),
     )
+    interim = F.concat(F.lit("editor note stale copy retracted "), F.col("text"))
 
-    # the crawl store: what each document's CURRENT (stale) version is —
-    # the trigger reads the version it is replacing from here, exactly
-    # how a production re-crawl consults the doc store for the old copy
+    # the crawl store: what each document's CURRENT version is — a
+    # snapshot-log table each trigger reads (the version it replaces)
+    # and then advances (the version it installs)
     store = _scratch(sf_dir, "t33_crawl_store")
     shutil.rmtree(store, ignore_errors=True)
-    stale.write.mode("overwrite").parquet(store)
+    create_partitioned(
+        spark,
+        stale.select(
+            "doc_id", "text",
+            F.lit(None).cast("string").alias("prev_text"),
+            F.lit(-1).cast("long").alias("last_batch"),
+        ),
+        store,
+        _T33_STORE_DDL,
+        "doc_id",
+        n_buckets=8,
+    )
 
     table = _scratch(sf_dir, "t33_ngram_index")
     shutil.rmtree(table, ignore_errors=True)
     _, stale_wins = ngram_window_digests(stale, _L44_K)
     upsert_ngram_counts(spark, table, stale_wins, -1)
 
-    events = docs.filter(recrawled | gone).select(
-        "doc_id",
-        F.when(gone, F.lit(None).cast("string"))
-        .otherwise(F.col("text"))
-        .alias("text"),
-        F.when(gone, F.lit("delete")).otherwise(F.lit("recrawl")).alias("op"),
-    )
+    ev = [
+        docs.filter(recrawled).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, interim)
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.lit("recrawl").alias("op"),
+        ),
+        docs.filter(gone).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit("delete").alias("op"),
+        ),
+        docs.filter(twice).select(
+            "doc_id", "text", F.lit("recrawl").alias("op")
+        ),
+    ]
+    # stage one file per trigger with INCREASING mtimes: the file source
+    # processes oldest-first under maxFilesPerTrigger=1, giving the
+    # per-document event order the two-revision lifecycle requires
     stage = _scratch(sf_dir, "t33_events_stream")
     shutil.rmtree(stage, ignore_errors=True)
-    events.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
-        stage
-    )
+    os.makedirs(stage)
+    t0 = os.path.getmtime(stage)
+    for i, e in enumerate(ev):
+        tmp = f"{stage}__tmp{i}"
+        e.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stage}/evt_{i}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + 100 * i, t0 + 100 * i))
 
     def recrawl_batch(batch: DataFrame, batch_id: int) -> None:
-        if read_manifest(table).get("batch_id", -2) >= batch_id:
-            return  # replayed trigger: already committed
-        ss = batch.sparkSession
-        old = ss.read.parquet(store).join(
-            batch.select("doc_id"), "doc_id", "left_semi"
+        recrawl_store_batch(
+            batch.sparkSession, store, table, batch, batch_id, _L44_K
         )
-        _, old_w = ngram_window_digests(old, _L44_K)
-        _, new_w = ngram_window_digests(
-            batch.filter(F.col("op") == "recrawl").select("doc_id", "text"),
-            _L44_K,
-        )
-        recrawl_ngram_counts(ss, table, old_w, new_w, batch_id)
 
     q = (
         spark.readStream.schema("doc_id long, text string, op string")

@@ -564,6 +564,122 @@ def test_l47_recrawl_erases_stale_windows(spark, tmp_path):
     }
 
 
+def test_t33_second_retraction_targets_interim_not_seed(spark, tmp_path):
+    """The crawl-store update leg (VERDICT r09 "What's missing" #2): a
+    document re-crawled TWICE across triggers must have its SECOND
+    retraction target the first re-crawl's interim text — which only
+    the per-trigger store upsert can know — never the seed's. A static
+    store would double-retract the seed and leave the interim windows
+    as phantom counts; the negative control computes that wrong state
+    and asserts the lifecycle does NOT land there. Also pins the
+    crash-window replay: a trigger that committed its STORE leg but
+    died before the INDEX leg must, on replay, retract the version
+    that was live BEFORE the batch (the store's prev_text), not the
+    one the interrupted attempt installed."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from shadowcat_data_spark.pipeline.ngram_index import (
+        read_ngram_counts,
+        upsert_ngram_counts,
+    )
+    from shadowcat_data_spark.pipeline.text import ngram_window_digests
+    from shadowcat_data_spark.plans.lakehouse import (
+        create_partitioned,
+        merge_partitioned,
+        read_snapshot,
+    )
+    from shadowcat_data_spark.streaming.ops import (
+        _T33_STORE_DDL,
+        recrawl_store_batch,
+    )
+
+    k = 4
+    seed1 = " ".join(f"s{i}" for i in range(8))
+    interim1 = " ".join(f"i{i}" for i in range(8))
+    final1 = " ".join(f"f{i}" for i in range(8))
+    keep2 = " ".join(f"z{i}" for i in range(8))
+
+    def wins(text):
+        toks = text.split(" ")
+        return Counter(
+            hashlib.md5(" ".join(toks[j : j + k]).encode()).hexdigest()
+            for j in range(len(toks) - k + 1)
+        )
+
+    def folded(table):
+        return {
+            r.h: r.n_occ for r in read_ngram_counts(spark, table).collect()
+        }
+
+    store = str(tmp_path / "store")
+    table = str(tmp_path / "nidx")
+    corpus = spark.createDataFrame(
+        [(1, seed1), (2, keep2)], "doc_id long, text string"
+    )
+    create_partitioned(
+        spark,
+        corpus.select(
+            "doc_id", "text",
+            F.lit(None).cast("string").alias("prev_text"),
+            F.lit(-1).cast("long").alias("last_batch"),
+        ),
+        store,
+        _T33_STORE_DDL,
+        "doc_id",
+        n_buckets=2,
+        bounds=[1.5],
+    )
+    _, w = ngram_window_digests(corpus, k)
+    upsert_ngram_counts(spark, table, w, -1)
+
+    def batch(text, bid):
+        b = spark.createDataFrame(
+            [(1, text, "recrawl")], "doc_id long, text string, op string"
+        )
+        recrawl_store_batch(spark, store, table, b, bid, k)
+
+    batch(interim1, 0)
+    st = {r.doc_id: (r.text, r.prev_text) for r in read_snapshot(spark, store).collect()}
+    assert st[1] == (interim1, seed1)
+    assert folded(table) == dict(wins(interim1) + wins(keep2))
+
+    batch(final1, 1)
+    st = {r.doc_id: (r.text, r.prev_text) for r in read_snapshot(spark, store).collect()}
+    assert st[1] == (final1, interim1)
+    got = folded(table)
+    assert got == dict(wins(final1) + wins(keep2))
+    # negative control: the static-store lifecycle (retract the SEED
+    # twice) would leave interim windows live and seed windows negative
+    static = Counter(wins(seed1) + wins(keep2))
+    static.subtract(wins(seed1)); static.update(wins(interim1))
+    static.subtract(wins(seed1)); static.update(wins(final1))
+    wrong = {h: n for h, n in static.items() if n > 0}
+    assert wrong != got, "negative control must diverge or it proves nothing"
+
+    # replay of a completed trigger: both guards skip, nothing changes
+    batch(final1, 1)
+    assert folded(table) == got
+
+    # crash window: batch 2's STORE leg commits (as the interrupted
+    # attempt did), then the full trigger replays — the index leg must
+    # retract final1 (the pre-batch version, = store prev_text), never
+    # the just-installed next1
+    next1 = " ".join(f"n{i}" for i in range(8))
+    merge_partitioned(
+        spark, store,
+        spark.createDataFrame(
+            [(1, "U", 2, next1, final1, 2)],
+            "doc_id long, op string, seq long, text string, "
+            "prev_text string, last_batch long",
+        ),
+        extra={"batch_id": 2},
+    )
+    batch(next1, 2)
+    assert folded(table) == dict(wins(next1) + wins(keep2))
+
+
 def test_ngram_index_expire_snapshots_after_lifecycle(spark, tmp_path):
     """The dedup-gate state is an ordinary snapshot-log table, so the
     standard retention story applies: after a seed + re-crawl + delete
