@@ -247,8 +247,9 @@ def _append_term_deltas(
     spark: SparkSession, table: str, postings: DataFrame
 ) -> None:
     """Append one commit's term-stat deltas to the sidecar — iff the
-    index HAS one (the tf index builds it; the positional tier, which
-    never serves WAND bounds, doesn't).
+    index HAS one (the tf index builds it for WAND bounds; since r09 the
+    positional tier builds one too, driving phrase/NEAR planning —
+    rarest-term chains, df=0 short-circuit, point-lookup pushdown).
 
     ORDERING CONTRACT (round-8 review): callers run this BEFORE the
     postings commit. The two commits cannot be atomic across tables, so

@@ -69,6 +69,24 @@ def test_coverage_doc_totals_equal_registry():
     assert doc_rows_only == len(ROWS_ONLY_KEYS)
 
 
+def test_readme_totals_equal_registry():
+    """README's registry-counts line must equal the live registry — the
+    r08 and r09 verdicts BOTH caught it hand-bumped and stale, exactly
+    because COVERAGE.md's totals were test-pinned and README's weren't.
+    Same treatment closes the recurrence class."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parent.parent.joinpath("README.md").read_text()
+    m = re.search(r"(\d+) queries, (\d+) oracle-checked", text)
+    assert m, "README registry-counts line not found / format changed"
+    doc_total, doc_oracle = map(int, m.groups())
+    assert doc_total == len(SPECS), f"README says {doc_total}, registry has {len(SPECS)}"
+    assert doc_oracle == len(ORACLE_KEYS), (
+        f"README says {doc_oracle} oracle-checked, registry has {len(ORACLE_KEYS)}"
+    )
+
+
 def test_coverage_doc_mentions_every_query():
     """COVERAGE.md is the judge-facing map — every registry key must appear
     in it (catches doc drift when queries are added)."""
