@@ -141,6 +141,15 @@ SF30_QUERIES = [
     # salted copies make every window a 100-fold duplicate (the
     # boilerplate regime the left-semi probe must not fan out on)
     "l44_dup_ngram_coverage",
+    # r10 (VERDICT r09 #6): the delete/re-crawl lifecycle at 300×, with
+    # a BOOK in the re-crawl slice (doc 999000005 ≡ 3 mod 7): the seed
+    # mis-crawl doubles it to ~200k tokens, so the retraction leg nets
+    # the single heaviest per-doc delta the engine can see. Every
+    # lifecycle commit is an appended delta segment after the r10 LSM
+    # rewrite — this row records that the commits stay delta-sized and
+    # the fold/compact stays task-bounded as the index reaches its
+    # largest tier
+    "l47_dup_ngram_recrawl",
 ]
 
 
@@ -171,13 +180,16 @@ def synthesize(spark: SparkSession, force: bool = False) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        if table == "documents" and SF10:
+        if table == "documents" and (SF10 or SF30):
             # r09: two book-shaped rows — a 100k-token doc alternating a
             # 40-token boilerplate paragraph with unique runs (~50% of
             # tokens under corpus-duplicated windows) and a half-length
             # prefix copy (cross-doc duplication). The l46 trim's task
             # time on these is the smoke's evidence that the per-doc
-            # work stays O(n + d log d), not O(n·d).
+            # work stays O(n + d log d), not O(n·d). r10: the first
+            # book's id is ≡ 3 mod 7 (and ≢ 5 mod 11), putting it in
+            # l47's re-crawl slice — the lifecycle must retract a
+            # ~200k-token doubled mis-crawl of it.
             boiler = " ".join(f"bp{i}" for i in range(40))
             parts: list[str] = []
             u = 0
@@ -189,7 +201,7 @@ def synthesize(spark: SparkSession, force: bool = False) -> None:
             half = " ".join(book.split(" ")[: len(book.split(" ")) // 2])
             books = spark.createDataFrame(
                 [
-                    (999_000_001, book, "en", "book", len(book)),
+                    (999_000_005, book, "en", "book", len(book)),
                     (999_000_002, half, "en", "book", len(half)),
                 ],
                 "doc_id long, text string, lang string, source string, n_chars long",
