@@ -154,6 +154,52 @@ def test_phrase_two_common_terms_theta_cutoff(spark, tmp_path, monkeypatch):
     ]
 
 
+def test_proximity_two_common_endpoints_theta_cutoff(spark, tmp_path, monkeypatch):
+    """The NEAR half of the r10 cutoff: with both endpoints common, the
+    planner anchors on t1 (a doc's match count is ≤ its t1 tf — the
+    only sound per-doc bound, since one t2 occurrence can qualify up to
+    slop t1 positions), seeds the k largest t1 tfs, and restricts the
+    band join to docs whose t1 tf reaches the kth seed count, pushed
+    into t2's scan."""
+    from shadowcat_data_spark.pipeline import text_index as TI
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta"),
+        (2, "alpha beta alpha beta"),
+        (3, "alpha beta"),
+    ]
+    rows += [(10 + i, f"alpha pad{i}") for i in range(20)]
+    rows += [(40 + i, f"beta qad{i}") for i in range(20)]
+    table = str(tmp_path / "pidx_near")
+    TI.build_positional_index(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        table,
+    )
+    monkeypatch.setattr(TI, "_PHRASE_POINT_LOOKUP_MAX", 4)
+    got = TI.proximity_search(spark, table, "alpha", "beta", 1, 2)
+    assert [(r.doc_id, r.n_matches, r.rnk) for r in got.collect()] == [
+        (1, 3, 1),
+        (2, 2, 2),
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id, [1,2])" in plan, (
+        "t2's scan must carry the θ-candidate doc_id pushdown"
+    )
+    assert "size(positions" in plan and ">= 2" in plan, (
+        "t1's scan must carry the tf ≥ θ cut"
+    )
+    # full-k run still surfaces the θ-pruned doc at its true rank
+    full = TI.proximity_search(spark, table, "alpha", "beta", 1, 10)
+    assert [(r.doc_id, r.n_matches) for r in full.collect()][:3] == [
+        (1, 3),
+        (2, 2),
+        (3, 1),
+    ]
+
+
 def test_phrase_max_tf_one_skips_seed_pass(spark, tmp_path, monkeypatch):
     """max_tf's job in the phrase planner: a phrase count is ≤ every
     term's tf, so when no doc repeats a term (min max_tf == 1 — most
