@@ -2031,9 +2031,9 @@ def dup_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "l49_split_decontam",
-    oracle=f"""
+# t34 shares this string verbatim (the t31/l44 pattern: the streaming
+# maintenance of the same state must converge to the one-shot answer)
+_L49_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
@@ -2057,9 +2057,10 @@ SELECT b.doc_id,
        CAST(GREATEST(b.n - {_L44_K - 1}, 0) AS BIGINT) AS n_windows,
        CAST(l.n_shared AS BIGINT) AS n_shared
 FROM leak l JOIN base b USING (doc_id)
-""",
-    category="pipeline-text",
-)
+"""
+
+
+@query("l49_split_decontam", oracle=_L49_ORACLE, category="pipeline-text")
 def split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-level decontamination — the drop-list a held-out split
     needs before it can be trusted: assign train/eval by the l11 hash

@@ -1759,6 +1759,9 @@ def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    # maintenance cadence: fold the per-trigger delta segments into one
+    # file per shard (the l47/compact_ngram_counts twin for media)
+    compact_media_digests(spark, table)
     return read_media_digests(spark, table).select("payload_sha", "n_copies", "canonical_id")
 
 
@@ -2570,3 +2573,154 @@ def stream_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = read_ngram_counts(spark, table).filter(F.col("n_occ") >= 2).select("h")
     base, wins = ngram_window_digests(docs.filter(~gone), _L44_K)
     return dup_coverage_from(base, wins.join(hot, "h", "left_semi"), _L44_K)
+
+
+# ---------------------------------------------------------------------------
+# T34 — streaming split decontamination: l49's gate as a standing ingest
+# ---------------------------------------------------------------------------
+
+from ..pipeline.ngram_index import N_NGRAM_SHARDS  # noqa: E402
+from ..pipeline.text import _L49_ORACLE  # noqa: E402
+
+_T34_SET_DDL = "shard long, h string"
+
+
+def _fold_window_set(segments: DataFrame) -> DataFrame:
+    """The SET fold: DISTINCT per digest — the counter fold's set twin.
+    Union is commutative AND idempotent, so any arrival order converges
+    and even a double-appended segment (a replay that slipped the
+    batch-id guard) folds to the same set — strictly stronger than the
+    counter index's replay story, which needs the guard for
+    correctness, not just economy. No retraction leg exists by design:
+    a window once seen in ANY train crawl stays contaminating (eval
+    docs that memorized it are tainted even if the train doc is later
+    re-crawled away — decontamination is monotone where dedup is not)."""
+    return segments.select("shard", "h").distinct()
+
+
+def upsert_train_windows(
+    spark: SparkSession, table: str, wins: DataFrame, batch_id: int
+) -> None:
+    """Append one batch's distinct train-window digests as a delta
+    segment — the r10 LSM commit shape (zero index files read; uniform
+    digest keys make any touched-shard rewrite O(index))."""
+    from ..plans.lakehouse import (
+        append_partitioned,
+        create_partitioned,
+        current_version,
+    )
+
+    partial = wins.select("h").distinct().select(
+        F.pmod(F.xxhash64("h"), F.lit(N_NGRAM_SHARDS)).alias("shard"), "h"
+    )
+    if not current_version(table):
+        create_partitioned(
+            spark, partial, table, _T34_SET_DDL, "shard",
+            n_buckets=N_NGRAM_SHARDS, extra={"batch_id": batch_id},
+            files_per_bucket="auto",
+            bounds=[float(i) for i in range(1, N_NGRAM_SHARDS)],
+        )
+        return
+    append_partitioned(spark, table, partial, extra={"batch_id": batch_id})
+
+
+def read_train_windows(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """The train-window set at ``version`` (default HEAD): fold the
+    delta segments with DISTINCT."""
+    from ..plans.lakehouse import read_snapshot
+
+    return _fold_window_set(read_snapshot(spark, table, version=version))
+
+
+@query("t34_stream_decontam", oracle=_L49_ORACLE, category="streaming")
+def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l49's split decontamination as a STANDING INGEST: the
+    corpus-global state a decontamination gate needs is the TRAIN
+    split's distinct window-digest set, and this query maintains it
+    incrementally — documents arrive in three micro-batches, each
+    trigger assigns the split by the same deterministic hash as the
+    batch gate (the l11 split: append-stable, so a document's split
+    never changes across triggers), digests its train slice's windows
+    map-side (window text never leaves the executor, only 16-byte md5s
+    shuffle) and APPENDS the batch-distinct set as a delta segment
+    under the t18 batch-id guard. Set union is commutative AND
+    idempotent, so ANY arrival order — and even a replayed segment —
+    folds to the one-shot train set; `compact_partitioned` with the
+    DISTINCT fold dedups segments physically on the maintenance
+    cadence (run here once, after convergence). The serve-time probe
+    marks leaking EVAL docs from the INDEX alone and must hash-equal
+    the one-shot l49 — the two queries share the oracle string
+    verbatim. At 100 TB/day this is the decontamination gate in front
+    of an eval-set release: train shards stream in all day, the window
+    set is maintained online at O(batch) per commit, and certifying an
+    eval shard is one bounded left-semi probe — no recomputation of
+    the train side, which is the whole point at that scale."""
+    import shutil
+
+    from ..pipeline.sampling import hash_split
+    from ..pipeline.text import _L44_K, ngram_window_digests
+    from ..plans.lakehouse import (
+        compact_partitioned,
+        current_version,
+        read_manifest,
+    )
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = _scratch(sf_dir, "t34_docs_stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        docs.repartitionByRange(3, "doc_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    table = _scratch(sf_dir, "t34_train_windows")
+    shutil.rmtree(table, ignore_errors=True)
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        if current_version(table) and read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch — and the set fold forgives even this
+        sp = hash_split(
+            batch.select("doc_id"), "doc_id", {"train": "cccd", "eval": ""}
+        )
+        train = batch.join(
+            sp.filter(F.col("split") == "train"), "doc_id", "left_semi"
+        )
+        _, wins = ngram_window_digests(train, _L44_K)
+        upsert_train_windows(batch.sparkSession, table, wins, batch_id)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(upsert_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # maintenance cadence: fold segments physically (cross-segment
+    # duplicate digests — boilerplate recurring across triggers —
+    # collapse to one on-disk row)
+    compact_partitioned(spark, table, fold=_fold_window_set)
+
+    trainw = read_train_windows(spark, table).select("h")
+    sp = hash_split(docs.select("doc_id"), "doc_id", {"train": "cccd", "eval": ""})
+    base, wins = ngram_window_digests(docs, _L44_K)
+    leak = (
+        wins.join(sp.filter(F.col("split") == "eval"), "doc_id", "left_semi")
+        .join(trainw, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+    return leak.join(base, "doc_id").select(
+        "doc_id",
+        F.greatest(F.col("n") - (_L44_K - 1), F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )

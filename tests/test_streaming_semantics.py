@@ -743,6 +743,53 @@ def test_ngram_index_expire_snapshots_after_lifecycle(spark, tmp_path):
     assert n_files_after <= n_files_before - deleted
 
 
+def test_t34_window_set_fold_forgives_replay(spark, tmp_path):
+    """The decontamination index's SET fold (DISTINCT) is idempotent,
+    so a segment appended TWICE — a replay that slipped past the
+    batch-id guard entirely — still folds to the one-shot train set;
+    the counter index needs its guard for correctness, the set index
+    only for write economy. Compaction then collapses the duplicate
+    segments physically: post-compact on-disk rows equal the folded
+    set exactly."""
+    from pyspark.sql import functions as F
+    from shadowcat_data_spark.pipeline.text import ngram_window_digests
+    from shadowcat_data_spark.plans.lakehouse import (
+        compact_partitioned,
+        read_snapshot,
+    )
+    from shadowcat_data_spark.streaming.ops import (
+        _fold_window_set,
+        read_train_windows,
+        upsert_train_windows,
+    )
+
+    k = 4
+    t1 = " ".join(f"a{i}" for i in range(8))
+    t2 = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    table = str(tmp_path / "tw")
+    _, w1 = ngram_window_digests(docs.filter("doc_id = 1"), k)
+    _, w2 = ngram_window_digests(docs.filter("doc_id = 2"), k)
+    upsert_train_windows(spark, table, w1, 0)
+    upsert_train_windows(spark, table, w2, 1)
+    oneshot = {r.h for r in read_train_windows(spark, table).collect()}
+    _, wall = ngram_window_digests(docs, k)
+    assert oneshot == {r.h for r in wall.select("h").distinct().collect()}
+
+    # the replay that slipped the guard: append batch 1's segment again
+    upsert_train_windows(spark, table, w2, 2)
+    assert {r.h for r in read_train_windows(spark, table).collect()} == oneshot
+
+    # physical collapse: raw rows exceed the set until compaction folds
+    raw = read_snapshot(spark, table).count()
+    assert raw > len(oneshot)
+    compact_partitioned(spark, table, fold=_fold_window_set)
+    assert read_snapshot(spark, table).count() == len(oneshot)
+    assert {r.h for r in read_train_windows(spark, table).collect()} == oneshot
+
+
 def test_t32_serving_snapshot_pinned_by_version(spark, tmp_path):
     """t32's serving contract (VERDICT r08 minor (a)): the hot set is
     pinned by lakehouse VERSION, so a concurrent t31 commit that
