@@ -2383,13 +2383,21 @@ def recrawl_store_batch(
     commit (the ``_append_term_deltas`` discipline):
 
     1. STORE leg (skipped if its manifest already saw ``batch_id``):
-       partition-pruned LWW-merge (doc_id → text, prev_text=the version
-       being replaced, last_batch=batch_id) into the key-range-bucketed
-       store — the t19 write path, so a batch with doc_id locality
-       rewrites only its buckets. Deletes are TOMBSTONES (text NULL),
-       not row removals, so a replayed delete can still find the text
-       it must retract — and a later re-crawl of a deleted doc
-       correctly retracts nothing.
+       MERGE-ON-READ upsert (doc_id → text, prev_text=the version being
+       replaced, last_batch=batch_id) into the key-range-bucketed store
+       — ``upsert_mor``, so the commit appends the batch's rows plus a
+       keys-only delete file shadowing the older copies and reads or
+       rewrites NO existing data file. The store carries full document
+       text, so this is the one table where a COW merge would be
+       ruinous per trigger: re-crawl batches have no guaranteed doc_id
+       locality, and a locality-free batch under COW rewrites the whole
+       corpus-scale store (the digest indexes' r09 scale hole, in
+       document-text bytes). ``materialize_deletes`` (via the standing
+       ``auto_optimize`` cadence) folds the shadows back into the
+       buckets off the trigger path. Deletes are TOMBSTONES (text
+       NULL), not row removals, so a replayed delete can still find
+       the text it must retract — and a later re-crawl of a deleted
+       doc correctly retracts nothing.
     2. INDEX leg (same guard on the index manifest): the retraction
        target is read from the store AFTER the merge — ``prev_text``
        where ``last_batch == batch_id`` — so a replay that finds the
@@ -2401,11 +2409,8 @@ def recrawl_store_batch(
     Per-trigger cost: O(batch) store merge + O(batch windows) digest +
     a delta-segment append that reads no index file."""
     from ..pipeline.text import ngram_window_digests
-    from ..plans.lakehouse import (
-        merge_partitioned,
-        read_manifest,
-        read_snapshot,
-    )
+    from ..plans.lakehouse import read_manifest, read_snapshot
+    from ..plans.lakehouse_mor import upsert_mor
 
     if batch.isEmpty():
         return  # an empty trigger has nothing to retract or install
@@ -2415,19 +2420,17 @@ def recrawl_store_batch(
             .join(batch.select("doc_id"), "doc_id", "left_semi")
             .select("doc_id", F.col("text").alias("prev_text"))
         )
-        changes = (
+        new_rows = (
             batch.select("doc_id", "text")
             .join(cur, "doc_id", "left")
             .select(
                 "doc_id",
-                F.lit("U").alias("op"),
-                F.lit(batch_id).alias("seq"),
                 "text",
                 "prev_text",
                 F.lit(batch_id).alias("last_batch"),
             )
         )
-        merge_partitioned(spark, store, changes, extra={"batch_id": batch_id})
+        upsert_mor(spark, store, new_rows, extra={"batch_id": batch_id})
     if read_manifest(table).get("batch_id", -2) < batch_id:
         old = (
             read_snapshot(spark, store)
@@ -2459,10 +2462,13 @@ def stream_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight to the true text; (1) the doc_id % 11 == 5 slice is
     deleted; (2) the even mis-crawled survivors are re-crawled AGAIN to
     the true text. Each trigger retracts the version the STORE says is
-    live and upserts the store to the new version (two per-table
-    batch-id guards — ``recrawl_store_batch`` documents the crash-window
-    analysis), so trigger 2's retraction targets trigger 0's interim
-    revision, never the seed: a static store would double-retract the
+    live and advances the store to the new version with a MERGE-ON-READ
+    upsert — appended rows + a keys-only delete file, O(batch) against
+    the corpus-scale text store; shadows fold back in on the
+    auto_optimize cadence — under two per-table batch-id guards
+    (``recrawl_store_batch`` documents the crash-window analysis), so
+    trigger 2's retraction targets trigger 0's interim revision, never
+    the seed: a static store would double-retract the
     seed and leave the interim windows as phantom hot digests
     (pytest-pinned with a negative control). Deletes tombstone the
     store row rather than dropping it, keeping replays retractable.
@@ -2481,7 +2487,7 @@ def stream_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..pipeline.text import _L44_K, dup_coverage_from, ngram_window_digests
-    from ..plans.lakehouse import create_partitioned
+    from ..plans.lakehouse import auto_optimize, create_partitioned
     from ..session import load_table
     from ..sources.io import _scratch
 
@@ -2569,6 +2575,9 @@ def stream_ngram_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    # maintenance cadence for the store: materialize the accumulated
+    # MOR shadows + compact + expire, decided from manifest stats alone
+    auto_optimize(spark, store)
 
     hot = read_ngram_counts(spark, table).filter(F.col("n_occ") >= 2).select("h")
     base, wins = ngram_window_digests(docs.filter(~gone), _L44_K)

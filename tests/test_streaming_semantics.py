@@ -587,9 +587,9 @@ def test_t33_second_retraction_targets_interim_not_seed(spark, tmp_path):
     from shadowcat_data_spark.pipeline.text import ngram_window_digests
     from shadowcat_data_spark.plans.lakehouse import (
         create_partitioned,
-        merge_partitioned,
         read_snapshot,
     )
+    from shadowcat_data_spark.plans.lakehouse_mor import upsert_mor
     from shadowcat_data_spark.streaming.ops import (
         _T33_STORE_DDL,
         recrawl_store_batch,
@@ -667,12 +667,10 @@ def test_t33_second_retraction_targets_interim_not_seed(spark, tmp_path):
     # retract final1 (the pre-batch version, = store prev_text), never
     # the just-installed next1
     next1 = " ".join(f"n{i}" for i in range(8))
-    merge_partitioned(
+    upsert_mor(
         spark, store,
         spark.createDataFrame(
-            [(1, "U", 2, next1, final1, 2)],
-            "doc_id long, op string, seq long, text string, "
-            "prev_text string, last_batch long",
+            [(1, next1, final1, 2)], _T33_STORE_DDL
         ),
         extra={"batch_id": 2},
     )
