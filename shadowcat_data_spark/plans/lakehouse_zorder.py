@@ -205,6 +205,50 @@ def pruned_files_box(
     return keep, len(man["files"])
 
 
+def pruned_files_points(
+    table: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Per-VALUE span skipping for a point-IN set: keep a file only if
+    at least one probed value falls inside its [min, max] span of
+    ``col`` (files without stats survive conservatively). Strictly
+    tighter than boxing the set to [min(values), max(values)] — a
+    locality-free id set (the t33 re-crawl trigger's doc_ids) boxes to
+    nearly the whole key domain and prunes nothing, while the per-value
+    check still skips every file whose span contains NO probed id. On a
+    key-range-bucketed layout with sorted-within-file spans this prunes
+    like a bloom index without needing one built; when a bloom IS built
+    the two intersect in ``pruned_files_routed``. Pure metadata, one
+    ``bisect`` per file over the sorted probe list."""
+    import bisect
+
+    man = read_manifest(table, version)
+    stats = man.get("stats", {})
+    part_key = (man.get("partition") or {}).get("key")
+    try:
+        vs = sorted(values)
+    except TypeError:  # mixed-type probe literals: stay conservative
+        return list(man["files"]), len(man["files"])
+    keep = []
+    for f in man["files"]:
+        st = stats.get(f, {})
+        if col == part_key:
+            mn, mx = st.get("min"), st.get("max")
+        else:
+            mn, mx = st.get("cols", {}).get(col) or (None, None)
+        if mn is not None and mx is not None:
+            try:
+                i = bisect.bisect_left(vs, mn)
+                if i >= len(vs) or vs[i] > mx:
+                    continue  # no probed value inside this file's span
+            except TypeError:
+                pass  # stats type mismatch: keep conservatively
+        keep.append(f)
+    return keep, len(man["files"])
+
+
 def scan_box(
     spark: SparkSession,
     table: str,
@@ -404,9 +448,11 @@ def pruned_files_routed(
 
     - range predicates → min/max span boxes (LK5/LK17 stats, which a
       z-order rewrite makes near-minimal but are sound on any layout);
-    - point predicates → their implied [min(values), max(values)] span
-      box, PLUS the bloom bitmaps (LK18) when the manifest carries a
-      bloom index for that column.
+    - point predicates → the PER-VALUE span check (a file survives only
+      if some probed value sits inside its [min, max] —
+      ``pruned_files_points``, strictly tighter than the value set's
+      bounding box), PLUS the bloom bitmaps (LK18) when the manifest
+      carries a bloom index for that column.
 
     Each tier keeps a superset of the files holding matching rows, so
     the intersection does too — and it is BY CONSTRUCTION no larger than
@@ -426,9 +472,7 @@ def pruned_files_routed(
     for col, values in (point_preds or {}).items():
         if not values:
             return [], total, {f"span:{col}": 0}
-        span, _ = pruned_files_box(
-            table, {col: (min(values), max(values))}, version
-        )
+        span, _ = pruned_files_points(table, col, values, version)
         keep &= set(span)
         report[f"span:{col}"] = len(span)
         if (man.get("bloom") or {}).get(col):
