@@ -67,6 +67,25 @@ def test_coverage_doc_totals_equal_registry():
     assert doc_total == len(SPECS), f"doc says {doc_total}, registry has {len(SPECS)}"
     assert doc_oracle == len(ORACLE_KEYS)
     assert doc_rows_only == len(ROWS_ONLY_KEYS)
+    # the per-category breakdown line drifted three rounds running
+    # (README r08/r09, COVERAGE r10) while only the overall counts were
+    # pinned — parse the "name N · name N ..." list and compare each
+    # count to the live registry (doc names drop the "pipeline-" prefix)
+    from collections import Counter
+
+    cat_m = re.search(r"By category:\n((?:[^.]|\n)*?)\.\n", text)
+    assert cat_m, "COVERAGE.md category breakdown not found / format changed"
+    doc_cats = dict(
+        (name, int(n))
+        for name, n in re.findall(r"([a-z-]+) (\d+)", cat_m.group(1))
+    )
+    live = Counter(
+        s.category.removeprefix("pipeline-") for s in SPECS.values()
+    )
+    assert doc_cats == dict(live), (
+        f"COVERAGE.md category counts drifted: doc {doc_cats} vs "
+        f"registry {dict(live)}"
+    )
 
 
 def test_readme_totals_equal_registry():
