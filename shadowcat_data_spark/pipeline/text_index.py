@@ -763,7 +763,12 @@ _POS_SCHEMA = "tok string, doc_id long, positions array<bigint>"
 
 
 def phrase_search(
-    spark: SparkSession, table: str, phrase: list[str], k: int
+    spark: SparkSession,
+    table: str,
+    phrase: list[str],
+    k: int,
+    stats_out: dict | None = None,
+    use_cutoff: bool = True,
 ) -> DataFrame:
     """EXACT phrase top-k through the positional index: docs containing
     the consecutive token sequence ``phrase``, ranked by occurrence
@@ -801,7 +806,14 @@ def phrase_search(
     to the full chain (no k docs stand out — nothing sound to cut).
     Cost: one extra bounded-k lookup pass; savings: the common terms'
     full posting lists never enter the join once θ ≥ 2 — the WAND
-    trade the tf tier already made, landed on the positional tier."""
+    trade the tf tier already made, landed on the positional tier.
+
+    ``stats_out`` (opt-in, the ``_record_pruning`` discipline): fills
+    naive vs kept posting-row counts for the final chain —
+    tools/phrase_ratio.py's measured-work-saved row in BASELINE.md.
+    ``use_cutoff=False`` disables BOTH pruning tiers (rarest-anchor IN
+    pushdown and the θ cutoff; chain order stays rarest-first) — the
+    measurement baseline, never the serving path."""
     from functools import reduce as _reduce
 
     terms = analyze_terms(list(phrase))
@@ -860,7 +872,9 @@ def phrase_search(
             hits, [F.col("n_matches").desc(), "doc_id"], k
         ).select("doc_id", "n_matches", "rnk")
 
-    if dfs is not None:
+    naive_fetch = dict(fetch)  # pre-pruning fetches, for stats_out only
+    theta_used = None
+    if dfs is not None and use_cutoff:
         rare = terms[order[0]]
         rest = sorted(set(terms) - {rare})
         if rest and dfs[rare] <= _PHRASE_POINT_LOOKUP_MAX:
@@ -897,6 +911,7 @@ def phrase_search(
             )
             theta = counts[k - 1] if len(counts) >= k else 1
             if theta > 1:
+                theta_used = theta
                 cand = fetch[rare].filter(F.size("positions") >= theta)
                 ids = sorted(
                     r["doc_id"]
@@ -910,6 +925,12 @@ def phrase_search(
                 # anchor-side cut is sound either way: a doc below θ
                 # cannot displace the k seed docs already counted
                 fetch[rare] = cand
+    if stats_out is not None:
+        stats_out.update(
+            naive_postings=sum(naive_fetch[t].count() for t in set(terms)),
+            kept_postings=sum(fetch[t].count() for t in set(terms)),
+            theta=theta_used,
+        )
     return topk(chain(fetch))
 
 
@@ -983,7 +1004,14 @@ def phrase_trigram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def proximity_search(
-    spark: SparkSession, table: str, t1: str, t2: str, slop: int, k: int
+    spark: SparkSession,
+    table: str,
+    t1: str,
+    t2: str,
+    slop: int,
+    k: int,
+    stats_out: dict | None = None,
+    use_cutoff: bool = True,
 ) -> DataFrame:
     """Proximity (NEAR) top-k through the positional index: docs where
     ``t2`` occurs within ``slop`` tokens AFTER ``t1`` (ordered window,
@@ -1034,7 +1062,9 @@ def proximity_search(
             .filter(F.col("n_matches") > 0)
         )
 
-    if dfs is not None and t1 != t2:
+    naive_f1, naive_f2 = f1, f2  # pre-pruning fetches, for stats_out
+    theta_used = None
+    if dfs is not None and t1 != t2 and use_cutoff:
         # the common side's posting list is pruned at the scan by the
         # rare side's doc set when that set is point-lookup small —
         # same single-base-read discipline as phrase_search
@@ -1070,6 +1100,7 @@ def proximity_search(
             )
             theta = counts[k - 1] if len(counts) >= k else 1
             if theta > 1:
+                theta_used = theta
                 f1 = f1.filter(F.size("positions") >= theta)
                 ids = sorted(
                     r["doc_id"]
@@ -1079,6 +1110,12 @@ def proximity_search(
                 )
                 if len(ids) <= _PHRASE_POINT_LOOKUP_MAX:
                     f2 = f2.filter(F.col("doc_id").isin(ids))
+    if stats_out is not None:
+        stats_out.update(
+            naive_postings=naive_f1.count() + naive_f2.count(),
+            kept_postings=f1.count() + f2.count(),
+            theta=theta_used,
+        )
     return _global_topk_ranked(
         band_hits(f1, f2), [F.col("n_matches").desc(), "doc_id"], k
     ).select("doc_id", "n_matches", "rnk")
