@@ -1777,6 +1777,24 @@ def auto_optimize(
     if rows_per and max(rows_per.values()) > skew_ratio * max(min(rows_per.values()), 1):
         rebound_partitioned(spark, table)
         actions.append("rebound")
+    # rebloom (r11): a table with a DECLARED bloom index whose
+    # maintenance rewrote files (compaction, materialize, rebound —
+    # bitmaps live in per-file stats, so rewritten files lose theirs)
+    # or accumulated un-bloomed appends gets the missing bitmaps
+    # rebuilt INCREMENTALLY — cost ∝ files without a bitmap, decided
+    # from the manifest alone. Without this, a standing stream's
+    # point-lookup pruning (the t33 store reads) silently degrades to
+    # conservative keeps after the first compaction.
+    man = read_manifest(table)
+    for col in sorted(man.get("bloom") or {}):
+        if any(
+            col not in (man["stats"][f].get("bloom") or {})
+            for f in man["files"]
+        ):
+            from .lakehouse_zorder import add_bloom_filters
+
+            add_bloom_filters(spark, table, col, only_missing=True)
+            actions.append(f"rebloom:{col}")
     if current_version(table) > keep_latest:
         expire_snapshots(table, keep_latest=keep_latest)
         actions.append("expire")

@@ -298,6 +298,7 @@ def add_bloom_filters(
     bits_per_key: int = 10,
     k: int = 3,
     max_retries: int = 5,
+    only_missing: bool = False,
 ) -> int:
     """Maintenance commit: one bloom bitmap per data file over ``col``,
     stored in the manifest (METADATA-ONLY — data files untouched,
@@ -307,16 +308,33 @@ def add_bloom_filters(
     clamped to [2^10, 2^22] bits = 128 B–512 KB per file. The build is
     one distributed scan: k hash positions per row, deduped per file,
     collect_set bounded by the bitmap width — the only driver transfer
-    is #files × bitmap, the manifest's own metadata budget."""
+    is #files × bitmap, the manifest's own metadata budget.
+
+    ``only_missing=True`` is the INCREMENTAL maintenance mode (the
+    ``auto_optimize`` rebloom step): scan only the files without a
+    bitmap for ``col`` — the ones compaction or a MOR materialize
+    rewrote, or recent appends — REUSING the table's committed (m, k)
+    so old and new bitmaps stay probe-compatible. Cost ∝ rewritten
+    bytes, not table bytes. The trade: a new file denser than the
+    original sizing degrades its false-positive rate gracefully (never
+    correctness); a periodic full rebuild re-sizes."""
     for _ in range(max_retries + 1):
         version = current_version(table)
         man = read_manifest(table, version)
         files = man["files"]
+        params = (man.get("bloom") or {}).get(col)
+        if only_missing and params is not None:
+            files = [
+                f
+                for f in files
+                if col not in (man["stats"][f].get("bloom") or {})
+            ]
         if not files:
-            # zero-file table: nothing to index and nothing to prune — the
-            # maintenance service correctly does nothing (same contract as
+            # zero-file table (or nothing missing in incremental mode):
+            # nothing to index and nothing to prune — the maintenance
+            # service correctly does nothing (same contract as
             # auto-OPTIMIZE on empty input); the probe side conservatively
-            # keeps all (zero) files when no bloom params exist
+            # keeps all files lacking bloom params
             return version
         df = (
             spark.read.schema(man["schema"])
@@ -324,14 +342,19 @@ def add_bloom_filters(
             .select(F.col(col), F.input_file_name().alias("__file"))
             .where(F.col(col).isNotNull())
         )
-        max_ndv = (
-            df.groupBy("__file")
-            .agg(F.approx_count_distinct(col).alias("n"))
-            .agg(F.max("n"))
-            .first()[0]
-            or 1
-        )
-        m_bits = 1 << min(max(int(max_ndv * bits_per_key).bit_length(), 10), 22)
+        if only_missing and params is not None:
+            m_bits, k = int(params["m"]), int(params["k"])
+        else:
+            max_ndv = (
+                df.groupBy("__file")
+                .agg(F.approx_count_distinct(col).alias("n"))
+                .agg(F.max("n"))
+                .first()[0]
+                or 1
+            )
+            m_bits = 1 << min(
+                max(int(max_ndv * bits_per_key).bit_length(), 10), 22
+            )
         # pack bits EXECUTOR-side: positions fold into 64-bit words with a
         # grouped bit-OR, so the driver receives ≤ #files × (m_bits/64)
         # longs — exactly the #files × bitmap manifest budget. (Collecting

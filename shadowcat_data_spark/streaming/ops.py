@@ -2160,6 +2160,7 @@ def stream_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch l44/l46/l47 family); re-exported here because t31/t33 are its
 # streaming face
 from ..pipeline.ngram_index import (  # noqa: E402
+    compact_ngram_counts,
     read_ngram_counts,
     recrawl_ngram_counts,
     upsert_ngram_counts,
@@ -2299,6 +2300,12 @@ def stream_ngram_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(table, ignore_errors=True)
     _, all_wins = ngram_window_digests(docs, _L44_K)
     upsert_ngram_counts(spark, table, all_wins, 0)
+    # serve from the COMPACTED snapshot (VERDICT r10 next #4): the fold
+    # runs physically once on the maintenance cadence, so the pinned
+    # manifest proves itself fully folded and every trigger's hot-set
+    # probe plans as a FLAT filter over the base segment — no aggregate
+    # shuffle per trigger to re-fold state that is already folded
+    compact_ngram_counts(spark, table)
     # serving snapshot pinned by VERSION, not by materializing the hot
     # set into executor storage (VERDICT r08 minor (a): localCheckpoint
     # of the full hot set is corpus-scale state at 100 TB). The pinned

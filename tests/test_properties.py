@@ -4901,3 +4901,74 @@ def test_ensure_emb_table_requires_bloom_sidecar(spark, tmp_path):
     assert (LH.read_manifest(table).get("bloom") or {}).get("vec_id"), (
         "ensure trusted a table whose bloom sidecar is missing"
     )
+
+
+def test_bloom_index_survives_auto_optimize(spark, tmp_path):
+    """Bitmaps live in per-file stats, so every maintenance rewrite
+    (materialize/compact/rebound) silently dropped them — and a standing
+    stream's point-lookup pruning (the t33 store reads) would degrade to
+    conservative keeps after the first compaction. auto_optimize now
+    rebuilds the missing bitmaps INCREMENTALLY (r11): only un-bloomed
+    files are scanned, the committed (m, k) params are reused so old and
+    new bitmaps stay probe-compatible, and a table with nothing missing
+    does not commit."""
+    from shadowcat_data_spark.plans import lakehouse as LH
+    from shadowcat_data_spark.plans.lakehouse_mor import delete_mor
+    from shadowcat_data_spark.plans.lakehouse_zorder import (
+        add_bloom_filters,
+        pruned_files_bloom,
+        scan_point,
+    )
+
+    table = str(tmp_path / "bt")
+    ddl = "k long, u long"
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 50021) for i in range(2000)], ddl
+    )
+    LH.create_partitioned(spark, df, table, ddl, "k", n_buckets=4,
+                          files_per_bucket=2)
+    add_bloom_filters(spark, table, "u")
+    params0 = LH.read_manifest(table)["bloom"]["u"]
+
+    # un-bloomed appends + a MOR delete: the next maintenance pass must
+    # materialize, compact, and re-bloom
+    extra = spark.createDataFrame(
+        [(i, (i * 7919) % 50021) for i in range(2000, 2400)], ddl
+    )
+    LH.append_partitioned(spark, table, extra)
+    delete_mor(spark, table, spark.createDataFrame([(7,), (13,)], "k long"))
+    man = LH.read_manifest(table)
+    assert any(
+        "u" not in (man["stats"][f].get("bloom") or {}) for f in man["files"]
+    ), "appends must start un-bloomed or the test proves nothing"
+
+    actions = LH.auto_optimize(spark, table)
+    assert "rebloom:u" in actions, actions
+    man = LH.read_manifest(table)
+    # every file bloomed again, with the ORIGINAL probe params
+    assert all(
+        "u" in (man["stats"][f].get("bloom") or {}) for f in man["files"]
+    )
+    assert man["bloom"]["u"] == params0
+    # pruning works across old and new bitmaps: point probe keeps a
+    # strict subset, zero false negatives (k=7 and 13 are deleted)
+    probes = [(29 * 7919) % 50021, (2222 * 7919) % 50021]
+    keep, total = pruned_files_bloom(spark, table, "u", probes)
+    assert 0 < len(keep) < total
+    got = sorted(
+        (r.k, r.u)
+        for r in scan_point(spark, table, "u", probes)
+        .filter(F.col("u").isin(probes))
+        .collect()
+    )
+    want = sorted(
+        (i, (i * 7919) % 50021)
+        for i in range(2400)
+        if (i * 7919) % 50021 in set(probes) and i not in (7, 13)
+    )
+    assert got == want
+    # incremental no-op: nothing missing → no rebloom action, no commit
+    v = LH.current_version(table)
+    actions2 = LH.auto_optimize(spark, table)
+    assert not any(a.startswith("rebloom") for a in actions2), actions2
+    assert LH.current_version(table) == v or "expire" in actions2
