@@ -678,3 +678,69 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "m49_bloom_lifecycle",
+    oracle="""
+SELECT * FROM (
+  VALUES (1, 'materialize'), (2, 'compact'), (3, 'rebloom:o_custkey'),
+         (4, 'expire')
+) t(step, action)
+CROSS JOIN (
+  SELECT CAST((SELECT COUNT(*) FROM orders)
+            + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 3)
+            - (SELECT COUNT(*) FROM orders
+               WHERE o_orderkey IN (7, 1007, 2007))
+          AS BIGINT) AS n_rows_after,
+         0 AS n_unbloomed
+)
+""",
+    category="maintenance",
+)
+def bloom_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom index's MAINTENANCE lifecycle end to end (r11): bitmaps
+    live in per-file stats, so compaction/materialize rewrites and plain
+    appends leave files without them — and point-lookup pruning (m45,
+    the t33 store reads) silently degrades to conservative keeps until
+    someone rebuilds. A bloomed orders table takes an un-bloomed append
+    and a MOR delete; one ``auto_optimize`` pass must then decide — from
+    manifest stats alone — to materialize the delete, compact the
+    multi-file buckets, REBLOOM the files those rewrites left bitmap-less
+    (incrementally: only un-bloomed files scanned, committed (m, k)
+    params reused so old and new bitmaps stay probe-compatible), and
+    expire history. The oracle pins the exact action sequence, the
+    surviving row census, and that ZERO files end un-bloomed; the
+    deleted keys' absence from a post-maintenance point lookup rides the
+    same census (keys 7/1007/2007 are ≢ 3 mod 7, so the appended copies
+    are untouched)."""
+    from .lakehouse import auto_optimize, read_snapshot
+    from .lakehouse_mor import delete_mor
+
+    table = _fresh_orders_3col(
+        spark, sf_dir, "m49_orders_btable", files_per_bucket=2
+    )
+    add_bloom_filters(spark, table, "o_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # un-bloomed append (same key distribution — no skew, no rebound)
+    from .lakehouse import append_partitioned
+
+    append_partitioned(spark, table, o.filter(F.col("o_orderkey") % 7 == 3))
+    delete_mor(
+        spark, table,
+        spark.createDataFrame([(7,), (1007,), (2007,)], "o_orderkey long"),
+    )
+    actions = auto_optimize(spark, table, keep_latest=3)
+    man = read_manifest(table)
+    n_unbloomed = sum(
+        1
+        for f in man["files"]
+        if "o_custkey" not in (man["stats"][f].get("bloom") or {})
+    )
+    n = read_snapshot(spark, table).count()
+    return spark.createDataFrame(
+        [(i + 1, a, n, n_unbloomed) for i, a in enumerate(actions)],
+        "step int, action string, n_rows_after long, n_unbloomed int",
+    )

@@ -18,15 +18,16 @@ not by bug, and are expected-listed below:
 - stat_crosstab: a dynamic pivot has data-dependent columns; on empty
   input Spark produces no value columns while the oracle hardcodes the
   fixture's five — schema mismatch is inherent to dynamic pivots.
-- m30_auto_optimize / m39_table_history: their oracles pin the
-  maintenance DECISIONS a scripted scenario provokes (compact → rebound
-  → expire; a 5-commit history with fixed file counts). On a zero-row
-  table the services correctly decide to do NOTHING (no skew, no
-  multi-file buckets, compact no-ops without a commit) — the divergence
-  is the maintenance driver being right about empty input, and
-  fabricating "would-have" action rows driver-side would be worse. The
-  decision logic itself IS probed here via m35 (delete-file trigger,
-  oracle-matched on empty input too).
+- m30_auto_optimize / m39_table_history / m49_bloom_lifecycle: their
+  oracles pin the maintenance DECISIONS a scripted scenario provokes
+  (compact → rebound → expire; a 5-commit history with fixed file
+  counts; materialize → compact → rebloom → expire). On a zero-row
+  table the services correctly decide to do LESS (no skew, no
+  multi-file buckets, no files to rebloom; compact no-ops without a
+  commit) — the divergence is the maintenance driver being right about
+  empty input, and fabricating "would-have" action rows driver-side
+  would be worse. The decision logic itself IS probed here via m35
+  (delete-file trigger, oracle-matched on empty input too).
 
 Run: python tools/empty_probe.py        Exit: non-zero on unexpected fail.
 """
@@ -56,6 +57,10 @@ EXPECTED_DIVERGENT = {
     "stat_crosstab",
     "m30_auto_optimize",
     "m39_table_history",
+    "m49_bloom_lifecycle",  # same class as m30: on a zero-row table the
+    # maintenance driver correctly decides materialize+expire ONLY (no
+    # files to compact or rebloom — add_bloom_filters on an empty table
+    # commits no params), so the 4-action scenario oracle over-counts
 }
 
 
