@@ -302,6 +302,86 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l50_near_dup_decontam",
+    oracle=_SHINGLE_PAIRS_SQL
+    + """
+, pairs AS (
+  SELECT d1, d2, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
+  FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE shared * 1.0 / (s1.n_tok + s2.n_tok - shared) >= 0.75
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), oriented AS (
+  SELECT p.d1 AS doc_id, p.jaccard FROM pairs p
+  JOIN sp a ON a.doc_id = p.d1 JOIN sp b ON b.doc_id = p.d2
+  WHERE a.split = 'eval' AND b.split = 'train'
+  UNION ALL
+  SELECT p.d2 AS doc_id, p.jaccard FROM pairs p
+  JOIN sp a ON a.doc_id = p.d1 JOIN sp b ON b.doc_id = p.d2
+  WHERE b.split = 'eval' AND a.split = 'train'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_neighbors,
+       MAX(jaccard) AS max_jaccard
+FROM oriented GROUP BY doc_id
+""",
+    category="pipeline-dedup",
+)
+def near_dup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP cross-split decontamination (r11): l49 gates eval docs
+    that share exact k-token windows with train; the standard LLM-data
+    gate ALSO drops eval docs that are near-duplicates of any train doc
+    at the document level (rewordings, salt-token variants, re-crawled
+    revisions — overlap an exact-window test understates). Composition
+    of two already-graded stages: the l2a exact shingle-Jaccard pairs
+    (inverted-index self-join, SHINGLE_MAX_DF-bounded fan-out, exact
+    denominators) oriented through the l11 hash-split labels — one
+    md5-projection join per side, no extra shuffle class. Output: each
+    contaminated EVAL doc with its train-neighbor count and the highest
+    Jaccard (the audit row a decontamination report needs). Only
+    (eval, train) pairs contaminate — eval-eval near-dups are the eval
+    set's own dedup problem and train-train pairs are l1/l2's —
+    pytest-pinned orientation. Same 100 TB story as l2a: every posting
+    list bounded before the join; the split labels are a projection of
+    the corpus, not a second corpus-scale state."""
+    from .sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = hash_split(d.select("doc_id"), "doc_id", {"train": "cccd", "eval": ""})
+    pairs = (
+        jaccard_pairs(
+            d, "doc_id", "text",
+            tokenizer=distinct_shingles, max_df=SHINGLE_MAX_DF,
+        )
+        .filter(F.col("jaccard") >= 0.75)
+        .select("d1", "d2", "jaccard")
+    )
+    p = (
+        pairs.join(
+            labels.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1")),
+            "d1",
+        ).join(
+            labels.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2")),
+            "d2",
+        )
+    )
+    oriented = (
+        p.filter((F.col("s1") == "eval") & (F.col("s2") == "train"))
+        .select(F.col("d1").alias("doc_id"), "jaccard")
+        .unionByName(
+            p.filter((F.col("s2") == "eval") & (F.col("s1") == "train"))
+            .select(F.col("d2").alias("doc_id"), "jaccard")
+        )
+    )
+    return oriented.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_train_neighbors"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+@query(
     "l2g_chargram_jaccard",
     oracle="""
 WITH g AS (

@@ -4972,3 +4972,40 @@ def test_bloom_index_survives_auto_optimize(spark, tmp_path):
     actions2 = LH.auto_optimize(spark, table)
     assert not any(a.startswith("rebloom") for a in actions2), actions2
     assert LH.current_version(table) == v or "expire" in actions2
+
+
+def test_l50_decontam_orientation_eval_train_only(spark, tmp_path):
+    """The near-dup decontamination gate must flag ONLY (eval, train)
+    pairs: an eval doc near-dup of another EVAL doc is the eval set's
+    own dedup problem, and a train-train pair is l1/l2's — neither may
+    appear in the contamination report. Doc ids are chosen so the l11
+    md5 buckets give known splits (1, 2, 4 → train; 0, 3, 5 → eval),
+    and the shared passage is long enough that each copied pair's
+    3-shingle Jaccard is ≥ 0.75 while unrelated docs share nothing."""
+    import os
+
+    from shadowcat_data_spark.registry import load_all
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    third = " ".join(f"qqq{i}" for i in range(40))
+    rows = [
+        (1, base),            # train — contaminates 0
+        (0, base + " tail0"), # eval  — near-dup of train 1 → flagged
+        (3, other),           # eval  — near-dup of eval 5 only → NOT flagged
+        (5, other + " tail5"),# eval
+        (2, third),           # train — near-dup of train 4 only → NOT flagged
+        (4, third + " tail4"),# train
+    ]
+    fix = str(tmp_path / "fix")
+    os.makedirs(fix)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(fix, "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_train_neighbors, r.max_jaccard)
+        for r in load_all()["l50_near_dup_decontam"].fn(spark, fix).collect()
+    }
+    assert set(got) == {0}, f"only eval doc 0 is train-contaminated: {got}"
+    n, j = got[0]
+    assert n == 1 and j >= 0.75
