@@ -181,6 +181,27 @@ def _pair_shared_counts(
 # ---------------------------------------------------------------------------
 
 
+def jaccard_pairs_from_tokens(
+    tok: DataFrame, id_col: str, max_df: int | None = None
+) -> DataFrame:
+    """The Jaccard pair kernel on an ALREADY-TOKENIZED (id, tok) set —
+    shared by the batch path (``jaccard_pairs`` tokenizes then calls
+    here) and the streaming postings index (t35 accumulates the
+    tokenized state online and serves pairs from it, so tokenization
+    happens once per ingest batch, never at serve time)."""
+    sizes, shared = _pair_shared_counts(tok, id_col, max_df=max_df)
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -194,17 +215,8 @@ def jaccard_pairs(
     an all-pairs product. shared/(|A|+|B|-shared) is an int ratio → the
     double result is bit-identical across engines.
     """
-    tok = tokenizer(df, id_col, text_col)
-    sizes, shared = _pair_shared_counts(tok, id_col, max_df=max_df)
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_tok").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_tok").alias("n2"))
-    return (
-        shared.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn(
-            "jaccard",
-            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
-        )
+    return jaccard_pairs_from_tokens(
+        tokenizer(df, id_col, text_col), id_col, max_df=max_df
     )
 
 
@@ -301,10 +313,35 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "l50_near_dup_decontam",
-    oracle=_SHINGLE_PAIRS_SQL
-    + """
+def decontam_report(pairs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Orient near-dup pairs through split labels into the per-eval-doc
+    contamination report (shared by l50 batch and t35 streaming): only
+    (eval, train) pairs contaminate — eval-eval near-dups are the eval
+    set's own dedup problem and train-train pairs are l1/l2's."""
+    p = (
+        pairs.join(
+            labels.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1")),
+            "d1",
+        ).join(
+            labels.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2")),
+            "d2",
+        )
+    )
+    oriented = (
+        p.filter((F.col("s1") == "eval") & (F.col("s2") == "train"))
+        .select(F.col("d1").alias("doc_id"), "jaccard")
+        .unionByName(
+            p.filter((F.col("s2") == "eval") & (F.col("s1") == "train"))
+            .select(F.col("d2").alias("doc_id"), "jaccard")
+        )
+    )
+    return oriented.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_train_neighbors"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+_L50_ORACLE = _SHINGLE_PAIRS_SQL + """
 , pairs AS (
   SELECT d1, d2, shared * 1.0 / (s1.n_tok + s2.n_tok - shared) AS jaccard
   FROM shared JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
@@ -326,9 +363,10 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_neighbors,
        MAX(jaccard) AS max_jaccard
 FROM oriented GROUP BY doc_id
-""",
-    category="pipeline-dedup",
-)
+"""
+
+
+@query("l50_near_dup_decontam", oracle=_L50_ORACLE, category="pipeline-dedup")
 def near_dup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-DUP cross-split decontamination (r11): l49 gates eval docs
     that share exact k-token windows with train; the standard LLM-data
@@ -358,27 +396,7 @@ def near_dup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.75)
         .select("d1", "d2", "jaccard")
     )
-    p = (
-        pairs.join(
-            labels.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1")),
-            "d1",
-        ).join(
-            labels.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2")),
-            "d2",
-        )
-    )
-    oriented = (
-        p.filter((F.col("s1") == "eval") & (F.col("s2") == "train"))
-        .select(F.col("d1").alias("doc_id"), "jaccard")
-        .unionByName(
-            p.filter((F.col("s2") == "eval") & (F.col("s1") == "train"))
-            .select(F.col("d2").alias("doc_id"), "jaccard")
-        )
-    )
-    return oriented.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_train_neighbors"),
-        F.max("jaccard").alias("max_jaccard"),
-    )
+    return decontam_report(pairs, labels)
 
 
 @query(

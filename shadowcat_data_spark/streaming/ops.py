@@ -2791,3 +2791,150 @@ def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_windows"),
         F.col("n_shared").cast("long").alias("n_shared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T35 — streaming shingle-postings index + near-dup split decontamination
+# (l50 served from online state)
+# ---------------------------------------------------------------------------
+
+from ..pipeline.dedup import _L50_ORACLE  # noqa: E402
+
+_T35_POST_DDL = "shard long, doc_id long, t string"
+
+
+def _fold_postings(segments: DataFrame) -> DataFrame:
+    """The postings SET fold: DISTINCT (doc_id, shingle) — t34's
+    idempotent set fold on a two-column identity, so a replayed segment
+    folds away and any arrival order converges. No retraction leg: the
+    near-dup gate, like the exact one, is monotone (a document once in
+    any train crawl taints the evals that memorized it)."""
+    return segments.select("shard", "doc_id", "t").distinct()
+
+
+def upsert_shingle_postings(
+    spark: SparkSession, table: str, tok: DataFrame, batch_id: int
+) -> None:
+    """Append one batch's distinct (doc_id, shingle) postings as a
+    delta segment — the r10 LSM commit shape: zero index files read,
+    per-commit bytes ∝ batch shingles; shingles are uniform over
+    shard = xxhash64(t) mod 16, so any read-modify-write layout would
+    touch every shard per trigger (the digest indexes' r09 hole)."""
+    from ..plans.lakehouse import (
+        append_partitioned,
+        create_partitioned,
+        current_version,
+    )
+
+    partial = tok.select("doc_id", F.col("tok").alias("t")).distinct().select(
+        F.pmod(F.xxhash64("t"), F.lit(N_NGRAM_SHARDS)).alias("shard"),
+        "doc_id",
+        "t",
+    )
+    if not current_version(table):
+        create_partitioned(
+            spark, partial, table, _T35_POST_DDL, "shard",
+            n_buckets=N_NGRAM_SHARDS, extra={"batch_id": batch_id},
+            files_per_bucket="auto",
+            bounds=[float(i) for i in range(1, N_NGRAM_SHARDS)],
+        )
+        return
+    append_partitioned(spark, table, partial, extra={"batch_id": batch_id})
+
+
+def read_shingle_postings(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """The postings set at ``version`` (default HEAD): DISTINCT fold,
+    served flat when the pinned manifest proves the set fully folded
+    (``fully_folded`` fast path)."""
+    from ..plans.lakehouse import fully_folded, read_manifest, read_snapshot
+
+    snap = read_snapshot(spark, table, version=version)
+    if fully_folded(read_manifest(table, version)):
+        return snap
+    return _fold_postings(snap)
+
+
+@query("t35_stream_near_dup_decontam", oracle=_L50_ORACLE, category="streaming")
+def stream_near_dup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l50's near-dup split decontamination SERVED FROM ONLINE STATE:
+    the expensive half of the gate is shingling the corpus, and this
+    query moves it to ingest time — documents arrive in three
+    micro-batches, each trigger shingles its docs MAP-SIDE (3-token
+    shingles, the l2a unit) and APPENDS the batch-distinct (doc_id,
+    shingle) postings as a delta segment under the t18 batch-id guard
+    (set fold ⇒ replay-forgiving beyond the guard, t34's argument on a
+    two-column identity). BOTH splits' postings accumulate, because the
+    df-bound that keeps the pair join linear is CORPUS document
+    frequency (l2a's contract — computed at serve time from the folded
+    postings, exactly as the one-shot computes it over the whole
+    corpus). Serving the report is then pure pair math on the index:
+    fold (flat after the compaction cadence — run here once), df ≤ 50
+    cut, inverted-index self-join, Jaccard ≥ 0.75, oriented through the
+    l11 labels — NO document text is read at serve time. Hash-equals
+    the one-shot l50; the oracle string is shared verbatim. At
+    100 TB/day: train shards stream in all day at O(batch shingles)
+    per commit, and certifying an eval release is one bounded
+    index-only join instead of a full-corpus re-shingle."""
+    import shutil
+
+    from ..pipeline.dedup import (
+        SHINGLE_MAX_DF,
+        decontam_report,
+        distinct_shingles,
+        jaccard_pairs_from_tokens,
+    )
+    from ..pipeline.sampling import hash_split
+    from ..plans.lakehouse import (
+        compact_partitioned,
+        current_version,
+        read_manifest,
+    )
+    from ..session import load_table
+    from ..sources.io import _scratch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = _scratch(sf_dir, "t35_docs_stream")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        docs.repartitionByRange(3, "doc_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    table = _scratch(sf_dir, "t35_shingle_postings")
+    shutil.rmtree(table, ignore_errors=True)
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        if current_version(table) and read_manifest(table).get("batch_id", -1) >= batch_id:
+            return  # replayed batch — and the set fold forgives even this
+        tok = distinct_shingles(batch, "doc_id", "text")
+        upsert_shingle_postings(batch.sparkSession, table, tok, batch_id)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(upsert_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # maintenance cadence: fold segments physically so the serve below
+    # reads the postings flat (no DISTINCT shuffle over the index)
+    compact_partitioned(spark, table, fold=_fold_postings)
+
+    tok = read_shingle_postings(spark, table).select(
+        "doc_id", F.col("t").alias("tok")
+    )
+    pairs = (
+        jaccard_pairs_from_tokens(tok, "doc_id", max_df=SHINGLE_MAX_DF)
+        .filter(F.col("jaccard") >= 0.75)
+        .select("d1", "d2", "jaccard")
+    )
+    labels = hash_split(
+        docs.select("doc_id"), "doc_id", {"train": "cccd", "eval": ""}
+    )
+    return decontam_report(pairs, labels)

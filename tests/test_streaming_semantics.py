@@ -1103,3 +1103,55 @@ def test_fold_compaction_noop_and_flat_serving(spark, tmp_path):
     assert {
         (r.h, r.n_occ) for r in read_ngram_counts(spark, table).collect()
     } == got
+
+
+def test_t35_postings_set_fold_forgives_replay(spark, tmp_path):
+    """The shingle-postings index is a SET-semantics LSM on the
+    two-column (doc_id, shingle) identity: a double-appended segment
+    (a replay that slipped the batch-id guard) folds to the same
+    postings, cross-batch duplicate shingles collapse, and after the
+    fold-compaction the read serves FLAT (no DISTINCT aggregate) —
+    t34's replay argument carried to the t35 state."""
+    from shadowcat_data_spark.pipeline.dedup import distinct_shingles
+    from shadowcat_data_spark.plans.lakehouse import current_version
+    from shadowcat_data_spark.streaming.ops import (
+        _fold_postings,
+        read_shingle_postings,
+        upsert_shingle_postings,
+    )
+
+    docs1 = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y")], "doc_id long, text string"
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "a b c d e")], "doc_id long, text string"
+    )
+    table = str(tmp_path / "postings")
+    t1 = distinct_shingles(docs1, "doc_id", "text")
+    t2 = distinct_shingles(docs2, "doc_id", "text")
+    upsert_shingle_postings(spark, table, t1, 0)
+    upsert_shingle_postings(spark, table, t2, 1)
+    want = {
+        (r.doc_id, r.t)
+        for r in read_shingle_postings(spark, table).collect()
+    }
+    # docs 1 and 3 share their full shingle sets; doc 2 overlaps on one
+    assert (1, "a b c") in want and (3, "a b c") in want
+    # replayed segment that slipped the guard: the set fold forgives it
+    upsert_shingle_postings(spark, table, t2, 1)
+    got = {
+        (r.doc_id, r.t)
+        for r in read_shingle_postings(spark, table).collect()
+    }
+    assert got == want
+    # physical fold: flat serve, same content, repeat fold no-ops
+    from shadowcat_data_spark.plans.lakehouse import compact_partitioned
+
+    compact_partitioned(spark, table, fold=_fold_postings)
+    v = current_version(table)
+    served = read_shingle_postings(spark, table)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan, plan
+    assert {(r.doc_id, r.t) for r in served.collect()} == want
+    nb, na = compact_partitioned(spark, table, fold=_fold_postings)
+    assert nb == na and current_version(table) == v
