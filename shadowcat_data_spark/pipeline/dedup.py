@@ -157,7 +157,17 @@ def _pair_shared_counts(
     every posting list BEFORE the join; sizes are computed on the full
     token sets, so the metric denominators are unaffected — only pairs
     whose ONLY shared tokens are ultra-common are (deliberately) missed.
-    Returns (sizes[id, n_tok], shared[d1, d2, shared])."""
+    Returns (sizes[id, n_tok], shared[d1, d2, shared]).
+
+    The (id, tok) set is materialized ONCE up front (``localCheckpoint``;
+    persist/durable checkpoint on a cluster): it feeds FOUR consumers
+    (sizes, the df counts, and both sides of the self-join), and an
+    unmaterialized plan re-runs the tokenizer — explode + distinct over
+    the full corpus, the dominant cost for shingle/chargram units — once
+    per consumer (the r11 sf0.01 plan snapshot showed 4 full tokenize
+    subtrees for l2a). Same storage budget the l2b signature pass and the
+    t35 postings index already spend: O(Σ distinct tokens) rows."""
+    tok = tok.localCheckpoint(eager=False)
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     if max_df is not None:
         df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))

@@ -1594,8 +1594,16 @@ def ngram_window_digests(
 def dup_ngram_coverage_frame(docs: DataFrame, k: int) -> DataFrame:
     """The l44 computation over any documents frame at any window size —
     see ``dup_ngram_coverage`` for semantics and scale shape.
-    Hypothesis-twinned against a brute-force per-token reference."""
+    Hypothesis-twinned against a brute-force per-token reference.
+
+    ``wins`` is materialized once (``localCheckpoint``; persist/durable
+    checkpoint on a cluster): it feeds both the hot-set aggregation and
+    the probe side of the semi-join, and an unmaterialized plan runs the
+    window-digest explode — the corpus-scale tokenize+md5 pass — twice.
+    The materialization is (doc_id, strt, 16-byte digest) rows, the same
+    narrow shape the t31 streaming index persists per trigger."""
     base, wins = ngram_window_digests(docs, k)
+    wins = wins.localCheckpoint(eager=False)
     hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
@@ -1932,8 +1940,13 @@ def dup_ngram_trim_frame(docs: DataFrame, k: int) -> DataFrame:
     """The l46 computation over any documents frame at any window size —
     hypothesis-twinned against a brute-force mark-and-keep reference
     (the Spark trim is 0-based, DuckDB's 1-based: exactly the
-    off-by-one the twin exists to catch)."""
+    off-by-one the twin exists to catch).
+
+    ``wins`` materialized once — two consumers (hot-set aggregation and
+    ``dup_starts_of``'s probe side), same rationale as
+    :func:`dup_ngram_coverage_frame`."""
     base, wins = ngram_window_digests(docs, k)
+    wins = wins.localCheckpoint(eager=False)
     hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
@@ -2080,6 +2093,10 @@ def split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sp = hash_split(docs.select("doc_id"), "doc_id", {"train": "cccd", "eval": ""})
     base, wins = ngram_window_digests(docs, _L44_K)
+    # materialized once: the split join below is consumed by BOTH the
+    # train-window set and the eval probe side — unmaterialized, the
+    # corpus-scale digest explode runs twice (l44's rationale)
+    wins = wins.localCheckpoint(eager=False)
     w = wins.join(sp, "doc_id")
     trainw = w.filter(F.col("split") == "train").select("h").distinct()
     leak = (

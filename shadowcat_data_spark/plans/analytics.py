@@ -1002,6 +1002,12 @@ def oriented_triangles(e: DataFrame) -> DataFrame:
             F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.greatest("rku", "rkv").alias("rk_dst"),
         )
+        # three consumers below (both wedge legs + the closing edge set):
+        # materialize the oriented edges ONCE — unmaterialized, each leg
+        # re-derives edges→degrees→rank→orient from scratch (the r11 plan
+        # snapshot showed the whole edge subtree repeated per SMJ leg).
+        # O(|E|) rows, the same budget the wedge join itself shuffles.
+        .localCheckpoint(eager=False)
     )
     e1 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w1"), F.col("rk_dst").alias("r1"))
     e2 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w2"), F.col("rk_dst").alias("r2"))
@@ -1016,7 +1022,15 @@ def triangle_count_from_edges(e: DataFrame) -> DataFrame:
     and property-tested on constructed graphs (K_n, stars, cycles —
     including node ids far beyond any packing bound) in
     ``tests/test_properties.py``. Returns one row:
-    (n_nodes, n_edges, n_triangles)."""
+    (n_nodes, n_edges, n_triangles).
+
+    The edge list is materialized ONCE up front (``localCheckpoint``; on
+    a cluster: persist/checkpoint): it feeds five consumers (degrees,
+    n_edges, and the three wedge-join legs via ``oriented_triangles``),
+    and Catalyst has no cross-subtree reuse for DataFrame-built plans —
+    the unmaterialized r11 plan recomputed the full lineitem→distinct→
+    self-join→HAVING derivation 12× (36 parquet scans, 74 exchanges)."""
+    e = e.localCheckpoint(eager=False)
     deg = _node_degrees(e)
     tri = oriented_triangles(e).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -1144,8 +1158,13 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel; the per-node rollup explodes each found triangle to its three
     corners and aggregates — one extra narrow shuffle over the triangle
     list, which the orientation already bounded. The coefficient is an
-    int/int ratio → bit-identical to the id-ordered oracle."""
-    e = _cosupply_edges(spark, sf_dir)
+    int/int ratio → bit-identical to the id-ordered oracle.
+
+    Edges materialized once (same rationale as
+    :func:`triangle_count_from_edges`): the list feeds the triangle
+    kernel AND the degree join below, and each reference would
+    otherwise re-derive the full co-supply projection."""
+    e = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
     tris = oriented_triangles(e)
     per_node = (
         tris.select(F.explode(F.array("s", "w1", "w2")).alias("n"))
