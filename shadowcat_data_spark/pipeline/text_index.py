@@ -218,6 +218,15 @@ def build_text_index(
     # one tokenize pass feeds the data files, the corpus stats, and the
     # term sidecar (localCheckpoint: three consumers, one computation)
     p = _postings(docs, id_col, text_col).localCheckpoint(eager=False)
+    # ONE aggregate job yields both the corpus stats and the row count
+    # that create_partitioned's "auto" file fan-out needs (passing
+    # n_rows skips its own counting job — commit = 1 agg + 1 write)
+    row = p.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.countDistinct("doc_id").alias("n"),
+        F.sum("tf").alias("s"),
+    ).first()
+    stats = {"n_docs": int(row["n"] or 0), "sum_dl": int(row["s"] or 0)}
     v = create_partitioned(
         spark,
         p,
@@ -229,7 +238,8 @@ def build_text_index(
         # the bucket domain is 0..15 BY CONSTRUCTION (pmod of xxhash64):
         # explicit bounds skip sampling and pin one bucket per value
         bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
-        extra={"corpus_stats": _corpus_stats_of(p), **(extra or {})},
+        n_rows=int(row["np"] or 0),
+        extra={"corpus_stats": stats, **(extra or {})},
     )
     create_partitioned(
         spark,

@@ -575,6 +575,7 @@ def create_partitioned(
     extra: dict | None = None,
     files_per_bucket: int | str = 1,
     bounds: list[float] | None = None,
+    n_rows: int | None = None,
 ) -> int:
     """Create a key-range-partitioned table as snapshot v1.
 
@@ -606,9 +607,24 @@ def create_partitioned(
     Explicit ``bounds`` skip sampling altogether — the right call when
     the key domain is KNOWN a priori (t26's shard column is 0..15 by
     construction): a table seeded from a small first batch must not
-    freeze a collapsed layout for its lifetime (review-found)."""
+    freeze a collapsed layout for its lifetime (review-found).
+
+    The row count drives ONLY the "auto" file fan-out and the bounds
+    sampling, so it is computed lazily — a create with explicit bounds
+    and a fixed ``files_per_bucket`` (every sidecar/LSM-segment create)
+    skips the counting job entirely; callers that already ran an
+    aggregate over ``df`` (the text-index build folds its corpus-stats
+    pass and the count into one job) pass the count via ``n_rows``."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    src, n = df, df.count()
+    src = df
+    n = n_rows
+    if n is None and (bounds is None or files_per_bucket == "auto"):
+        # count(1) reads ZERO columns from the scan — keep it a separate
+        # job rather than fusing with the approx_count_distinct probe
+        # below: the probe forces reading+hashing the key column, and it
+        # is only consulted for tables past _BOUNDS_SAMPLE_CAP (the r11
+        # fused-agg A/B read m47 1.33x WORSE for exactly this reason)
+        n = df.count()
     if files_per_bucket == "auto":
         files_per_bucket = max(
             1, -(-n // (max(n_buckets, 1) * _AUTO_ROWS_PER_FILE))
