@@ -65,6 +65,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # materialized ONCE (localCheckpoint; persist on a cluster): tf
+        # feeds BOTH the scored join and the df aggregate below, and
+        # Catalyst has no cross-subtree reuse — the unmaterialized r11
+        # plan tokenized the corpus twice (explode+groupBy for tf, then
+        # explode+distinct+count for df). O(distinct (doc,term)) narrow
+        # rows, the same budget the join itself shuffles.
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
