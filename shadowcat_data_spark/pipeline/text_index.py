@@ -434,19 +434,17 @@ def pruned_postings(
     the tf-only or positional projection. Callers pass ANALYZED terms —
     every public probe entry point normalizes through ``analyze_terms``
     first, so build and probe hash the identical token string."""
+    from ..functions.xxh64 import pmod64, xxh64_string
     from ..plans.lakehouse import _read_files_mor, read_manifest
 
     man = read_manifest(table)
     empty = spark.createDataFrame([], empty_schema)
     if not terms or not man["files"]:
         return empty
-    probe = spark.createDataFrame([(t,) for t in terms], "tok string")
-    buckets = {
-        int(r[0])
-        for r in probe.select(
-            F.pmod(F.xxhash64("tok"), F.lit(N_TERM_BUCKETS))
-        ).collect()
-    }
+    # bucket ids driver-side (xxh64 parity pinned in pytest): hashing a
+    # constant-size term list through a Spark job cost one 32-empty-task
+    # job PER PROBE (r11 profile: 0.1-0.8 s each at local[32])
+    buckets = {pmod64(xxh64_string(t), N_TERM_BUCKETS) for t in terms}
     stats = man["stats"]
     keep = [
         f
@@ -1351,13 +1349,10 @@ def _term_upper_bounds(
     man = read_manifest(table)
     if not terms or not man["files"]:
         return {t: 0 for t in terms}
-    probe = spark.createDataFrame([(t,) for t in set(terms)], "tok string")
-    tb = {
-        r["tok"]: int(r["b"])
-        for r in probe.select(
-            "tok", F.pmod(F.xxhash64("tok"), F.lit(N_TERM_BUCKETS)).alias("b")
-        ).collect()
-    }
+    from ..functions.xxh64 import pmod64, xxh64_string
+
+    # driver-side bucket ids — same replacement as pruned_postings (r11)
+    tb = {t: pmod64(xxh64_string(t), N_TERM_BUCKETS) for t in set(terms)}
     stats = man["stats"]
     ubs: dict[str, float] = {}
     for t in terms:

@@ -411,8 +411,15 @@ def pruned_files_bloom(
     are impossible by bloom construction; false positives are
     re-filtered by the caller's exact predicate. Files with no bloom for
     ``col`` (committed after the index, or never indexed) are kept
-    conservatively. The probe hashes its literals through one tiny Spark
-    job so build and probe share the identical JVM hash."""
+    conservatively.
+
+    Probe-side hashing runs on the DRIVER (``functions.xxh64``, parity
+    pytest-pinned against the JVM): string/int values hash in
+    microseconds, where the old literal-DataFrame job fanned the probe
+    set into defaultParallelism empty tasks on every point lookup (r11
+    profile) — a per-trigger cost for t33's pruned store reads. Value
+    types whose string-cast the driver can't reproduce exactly fall
+    back to the one-job JVM path unchanged."""
     man = read_manifest(table, version)
     total = len(man["files"])
     params = (man.get("bloom") or {}).get(col)
@@ -421,10 +428,25 @@ def pruned_files_bloom(
     if not values:
         return [], total
     m_bits, k = int(params["m"]), int(params["k"])
-    vtype = _col_ddl_type(man["schema"], col)
-    probe = spark.createDataFrame([(v,) for v in values], f"v {vtype}")
-    pos = probe.select(*_hash_positions(F.col("v"), m_bits, k)).collect()
-    want = [tuple(int(r[f"p{s}"]) for s in range(k)) for r in pos]
+    if all(
+        isinstance(v, (str, int)) and not isinstance(v, bool) for v in values
+    ):
+        from ..functions.xxh64 import pmod64, xxh64_int, xxh64_string
+
+        # == pmod(xxhash64(cast(v as string), lit(s)), m_bits): the int
+        # literal s chains as Spark's IntegerType hash step
+        want = [
+            tuple(
+                pmod64(xxh64_int(s, xxh64_string(str(v))), m_bits)
+                for s in range(k)
+            )
+            for v in values
+        ]
+    else:  # exotic value types: keep the exact JVM cast+hash
+        vtype = _col_ddl_type(man["schema"], col)
+        probe = spark.createDataFrame([(v,) for v in values], f"v {vtype}")
+        pos = probe.select(*_hash_positions(F.col("v"), m_bits, k)).collect()
+        want = [tuple(int(r[f"p{s}"]) for s in range(k)) for r in pos]
     stats = man.get("stats", {})
     keep = []
     for f in man["files"]:
