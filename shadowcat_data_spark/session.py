@@ -63,6 +63,12 @@ _DYNAMIC_CONFS = {
     # (tests/test_properties.py::test_arrow_batches_bytes_bounded).
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.execution.arrow.maxBytesPerBatch": str(32 * 1024 * 1024),
+    # Engine write codec (perf default, not correctness): zstd writes the
+    # same tables 21% smaller than snappy at equal wall-clock (r11 A/B:
+    # postings 593 KB → 466 KB; m20/l33 medians within noise, l33 -3%) —
+    # at corpus scale that is 21% fewer bytes on every scan of every
+    # committed table (optimization guide §6). Reads are codec-agnostic.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
