@@ -38,6 +38,51 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _lit_darray(vals) -> Column:
+    """Literal array<double> built in ONE driver→JVM step.
+
+    ``F.array(*[F.lit(float(x)) for x in vals])`` costs one py4j round
+    trip per ELEMENT — a k×dim centroid fold paid ~1 ms × 512 calls of
+    pure socket latency per probe (r11 cProfile: 2.6 s of a 3.0 s l3h
+    invocation inside py4j send_command). One ``F.expr`` string parses
+    the same literal array in a single call. ``repr(float)`` is Python's
+    shortest round-trip form and Spark's ``D`` literal parses
+    correctly-rounded, so the planned doubles are bit-identical to the
+    F.lit path (non-finite values fall back to F.lit — no SQL literal
+    spells NaN/Infinity)."""
+    import math
+
+    xs = [float(v) for v in vals]
+    if not xs:
+        return F.expr("CAST(array() AS array<double>)")
+    if all(math.isfinite(x) for x in xs):
+        return F.expr("array(" + ",".join(repr(x) + "D" for x in xs) + ")")
+    return F.array(*[F.lit(x) for x in xs])
+
+
+def _lit_dmatrix(rows) -> Column:
+    """Literal array<array<double>> (a centroid matrix) in one step —
+    the 2-D companion of :func:`_lit_darray`, feeding indexed
+    ``F.transform`` folds so k centroids cost ONE lambda instead of k
+    unrolled expression trees."""
+    import math
+
+    rs = [[float(v) for v in r] for r in rows]
+    flat = [x for r in rs for x in r]
+    if flat and all(math.isfinite(x) for x in flat):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(x) + "D" for x in r) + ")"
+                if r
+                else "CAST(array() AS array<double>)"
+                for r in rs
+            )
+            + ")"
+        )
+    return F.array(*[_lit_darray(r) for r in rs])
+
+
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -148,7 +193,7 @@ def _srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection bucket id: one bit per hyperplane."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(v)) for v in p])
+        plane = _lit_darray(p)
         bit = F.when(_dot(_to_double(vec), plane) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -327,19 +372,20 @@ def _assign_nearest(df: DataFrame, vec: str, centroids: list[list[float]]) -> Da
     larger k runs an Arrow-batched numpy GEMM kernel — same argmin,
     O(1) plan size, vectorized distance math."""
     if len(centroids) <= _MAX_LITERAL_CENTROIDS:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        _to_double(F.col(vec)),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in centroids
-            ]
+        # one transform over the literal centroid MATRIX instead of k
+        # unrolled per-centroid trees: same distances in the same order
+        # (bit-identical folds), one lambda to analyze, and the k×dim
+        # literals enter the plan in one py4j step (r11: the unrolled
+        # form cost ~1 ms of socket latency per literal per invocation)
+        dists = F.transform(
+            _lit_dmatrix(centroids),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    _to_double(F.col(vec)), c, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
         return df.withColumn(
             "__cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -407,22 +453,20 @@ def ivf_topk(
     q_assigned = queries.select(
         F.col(q_id).alias("qid"), _to_double(F.col(vec)).alias("qe"), F.col(vec).alias("__v")
     )
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qe"),
-                        F.array(*[F.lit(float(x)) for x in cen]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cl"),
-            )
-            for i, cen in enumerate(centroids)
-        ]
+    # indexed transform over the literal centroid matrix — same (d, cl)
+    # structs in the same order as the old k-unrolled form (transform's
+    # index is the same 0-based int F.lit(i) was), one lambda, one py4j
+    # step for the literals (see _assign_nearest)
+    dists = F.transform(
+        _lit_dmatrix(centroids),
+        lambda cen, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qe"), cen, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("cl"),
+        ),
     )
     q = (
         q_assigned.withColumn("__probes", F.slice(F.array_sort(dists), 1, n_probe))
@@ -777,8 +821,7 @@ def pq_topk(
     ).mapInPandas(encode, code_schema)
     # per-code squared norms, a literal lookup table per subspace
     norm_luts = [
-        F.array(*[F.lit(float(sum(x * x for x in c))) for c in cb])
-        for cb in codebooks
+        _lit_darray([sum(x * x for x in c) for c in cb]) for cb in codebooks
     ]
 
     # query side: LUT_j[c] = <q_sub_j, codebook_j[c]> computed once per
@@ -1217,22 +1260,22 @@ def _nearest_clusters(q: DataFrame, centroids: list[list[float]], n_probe: int) 
     no extra job); large k maps the broadcast centroid-matrix cell to
     (d, cl) structs and sorts — same output, O(1) plan size."""
     if len(centroids) <= _MAX_LITERAL_CENTROIDS:
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("qe"),
-                            F.array(*[F.lit(float(x)) for x in cen]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).cast("long").alias("cl"),
-                )
-                for i, cen in enumerate(centroids)
-            ]
+        # indexed transform over the literal centroid matrix (see
+        # _assign_nearest): identical (d, cl) structs and array_sort tie
+        # order, one lambda + one py4j literal step instead of k×dim
+        # round trips (r11 cProfile: 2.6 s of l3h's 3.0 s was py4j)
+        dists = F.transform(
+            _lit_dmatrix(centroids),
+            lambda cen, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qe"), cen, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.cast("long").alias("cl"),
+            ),
         )
         return q.withColumn(
             "__probes", F.slice(F.array_sort(dists), 1, n_probe)
@@ -1799,7 +1842,7 @@ GROUP BY f.cluster, t.top_label
 
 
 def _km_d2_col(emb: Column, vals: list[float]) -> Column:
-    c = F.array(*[F.lit(float(v)) for v in vals])
+    c = _lit_darray(vals)
     terms = F.zip_with(
         emb,
         c,
