@@ -577,14 +577,26 @@ def _rowwise_minhash(
             ),
         ).alias("hs"),
     )
-    mins = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda s: s["h1"] + F.lit(i) * s["h2"])
-        ).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
+    # ONE nested transform computes all N_HASHES minima as an array —
+    # i ranges over sequence(0, N_HASHES-1) exactly as the old unrolled
+    # F.lit(i) did (int × long → long, same arithmetic per element) —
+    # then a second projection unpacks h0..h{N-1} with cheap getItems.
+    # The unrolled form built N_HASHES lambda expressions per invocation
+    # (~0.4 s of py4j latency per l2b call, r11 cProfile) and carried
+    # N_HASHES copies of the min-subtree through analysis; the array
+    # stays in ONE intermediate projection that CollapseProject keeps
+    # uncollapsed (multiply-referenced non-cheap lambda — the same
+    # mechanism that protects "hs" above), so the minima compute once.
+    mins_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("hs"), lambda s: s["h1"] + i * s["h2"])
+        ),
+    )
     keep = [id_col, "toks"] if with_toks else [id_col]
-    return hs.select(*keep, *mins)
+    return hs.withColumn("__mins", mins_arr).select(
+        *keep, *[F.col("__mins")[i].alias(f"h{i}") for i in range(N_HASHES)]
+    )
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
