@@ -19,8 +19,10 @@ same spec Spark's ``org.apache.spark.unsafe.hash.XXH64`` implements):
 - ``xxh64_int(i, seed)``     == the IntegerType chain step — Spark's
   ``hashInt``, i.e. XXH64 of the 4-byte little-endian value.
 - ``xxh64_long(l, seed)``    == the LongType chain step (``hashLong``).
-- ``xxhash64_cols(vals)``    == ``F.xxhash64(*cols)``: seed 42 threaded
-  through each value's step in order, exactly Spark's multi-child fold.
+
+Multi-column ``F.xxhash64(a, b, ...)`` is the seed-42 fold of these steps:
+thread each value's step output as the next step's seed (callers do this
+inline, e.g. ``xxh64_int(s, xxh64_string(v))`` in the bloom probe).
 
 Parity with the JVM is pinned by ``tests/test_xxh64_parity.py``, which
 compares every helper against the live ``F.xxhash64`` over random tokens,

@@ -417,9 +417,11 @@ def pruned_files_bloom(
     pytest-pinned against the JVM): string/int values hash in
     microseconds, where the old literal-DataFrame job fanned the probe
     set into defaultParallelism empty tasks on every point lookup (r11
-    profile) — a per-trigger cost for t33's pruned store reads. Value
-    types whose string-cast the driver can't reproduce exactly fall
-    back to the one-job JVM path unchanged."""
+    profile) — a per-trigger cost for t33's pruned store reads. The fast
+    path is gated on the COLUMN's DDL type matching the probe value type
+    (integral col + int probes, or string col + str probes); any other
+    pairing falls back to the one-job JVM path, whose cast+hash is exact
+    by construction."""
     man = read_manifest(table, version)
     total = len(man["files"])
     params = (man.get("bloom") or {}).get(col)
@@ -428,9 +430,20 @@ def pruned_files_bloom(
     if not values:
         return [], total
     m_bits, k = int(params["m"]), int(params["k"])
-    if all(
-        isinstance(v, (str, int)) and not isinstance(v, bool) for v in values
-    ):
+    vtype = _col_ddl_type(man["schema"], col).lower()
+    # Fast path only when str(v) provably equals the build side's
+    # cast(col as string): integral column probed with ints, or string
+    # column probed with strs (ADVICE r11: an int probe on a double
+    # column would hash "3" where the build hashed "3.0" — a silent
+    # false NEGATIVE, i.e. wrong results, where bloom false positives
+    # are merely re-filtered). Any other (vtype, value-type) pairing
+    # takes the exact JVM cast+hash below.
+    _INTEGRAL = {"tinyint", "byte", "smallint", "short", "int", "integer", "bigint", "long"}
+    fast_ok = (
+        vtype in _INTEGRAL
+        and all(isinstance(v, int) and not isinstance(v, bool) for v in values)
+    ) or (vtype == "string" and all(isinstance(v, str) for v in values))
+    if fast_ok:
         from ..functions.xxh64 import pmod64, xxh64_int, xxh64_string
 
         # == pmod(xxhash64(cast(v as string), lit(s)), m_bits): the int
@@ -442,8 +455,7 @@ def pruned_files_bloom(
             )
             for v in values
         ]
-    else:  # exotic value types: keep the exact JVM cast+hash
-        vtype = _col_ddl_type(man["schema"], col)
+    else:  # type mismatch or exotic value types: the exact JVM cast+hash
         probe = spark.createDataFrame([(v,) for v in values], f"v {vtype}")
         pos = probe.select(*_hash_positions(F.col("v"), m_bits, k)).collect()
         want = [tuple(int(r[f"p{s}"]) for s in range(k)) for r in pos]

@@ -113,9 +113,13 @@ def test_bloom_positions_match_hash_positions_expr(spark):
 
 
 def test_bloom_probe_python_vs_jvm_path(spark, tmp_path):
-    """End-to-end: pruned_files_bloom's driver-side fast path keeps the
-    identical file set the JVM literal-job path kept (forced via a float
-    value, which routes to the fallback)."""
+    """End-to-end over BOTH probe routes. Fast path: int probes on a long
+    column (driver-side hash; expression-level parity is pinned above).
+    JVM fallback: float probes on a DOUBLE column — the type gate
+    (ADVICE r11: str(3) vs cast-string "3.0" would be a silent false
+    negative) routes any non-(integral+int / string+str) pairing to the
+    literal-DataFrame job, which casts with the column's real DDL type.
+    Both routes must prune files yet never drop a true match."""
     from shadowcat_data_spark.plans.lakehouse import create_partitioned
     from shadowcat_data_spark.plans.lakehouse_zorder import (
         add_bloom_filters,
@@ -131,12 +135,7 @@ def test_bloom_probe_python_vs_jvm_path(spark, tmp_path):
     add_bloom_filters(spark, table, "u")
     probes = [3, 1777, 50022]
     fast, total = pruned_files_bloom(spark, table, "u", probes)
-    # same probe values via the JVM fallback (float triggers it; the
-    # schema cast long<-double is exact for these integers)... the JVM
-    # path hashes cast(v as string) of the LONG read back, so drive it
-    # directly instead with the expression check above; here just pin
-    # the fast path prunes and never drops a true match
-    assert total > 1 and len(fast) < total
+    assert total > 1 and len(fast) < total  # fast path actually prunes
     got = sorted(
         r["u"]
         for r in scan_point(spark, table, "u", probes)
@@ -144,3 +143,46 @@ def test_bloom_probe_python_vs_jvm_path(spark, tmp_path):
         .collect()
     )
     assert got == [3, 1777]  # 50022 absent from the table
+
+    # fallback route: double column, float probes (gate: not integral+int)
+    dfd = spark.range(0, 2000).select(
+        (F.col("id") + 0.5).alias("x"), (F.col("id") % 7).alias("g")
+    )
+    tabled = str(tmp_path / "bloomed_double")
+    create_partitioned(spark, dfd, tabled, "x double, g long", "g", n_buckets=4)
+    add_bloom_filters(spark, tabled, "x")
+    fprobes = [3.5, 1777.5, 50022.5]
+    fb, totald = pruned_files_bloom(spark, tabled, "x", fprobes)
+    assert totald > 1 and len(fb) < totald  # fallback prunes too
+    gotd = sorted(
+        r["x"]
+        for r in scan_point(spark, tabled, "x", fprobes)
+        .filter(F.col("x").isin(fprobes))
+        .collect()
+    )
+    assert gotd == [3.5, 1777.5]  # no false negatives via the JVM route
+
+
+def test_bloom_probe_type_mismatch_routes_to_jvm(spark, tmp_path):
+    """ADVICE r11 (medium): an int probe against a DOUBLE column must NOT
+    take the driver fast path — str(3) is "3" while the build side hashed
+    cast(3.0 as string) = "3.0", a silent false negative. With the type
+    gate the pairing routes to the JVM path, which fails loudly on the
+    type verification (the pre-fast-path behavior) instead of silently
+    pruning true matches."""
+    import pytest
+
+    from shadowcat_data_spark.plans.lakehouse import create_partitioned
+    from shadowcat_data_spark.plans.lakehouse_zorder import (
+        add_bloom_filters,
+        pruned_files_bloom,
+    )
+
+    dfd = spark.range(0, 200).select(
+        (F.col("id") + 0.0).alias("x"), (F.col("id") % 3).alias("g")
+    )
+    table = str(tmp_path / "bloomed_mismatch")
+    create_partitioned(spark, dfd, table, "x double, g long", "g", n_buckets=2)
+    add_bloom_filters(spark, table, "x")
+    with pytest.raises(Exception):  # loud, not a silent wrong answer
+        pruned_files_bloom(spark, table, "x", [3, 50022])
