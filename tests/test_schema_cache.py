@@ -48,6 +48,39 @@ def test_regenerated_fixture_reinfers(spark, tmp_path):
     assert S._SCHEMA_CACHE[path][1] == fresh.schema
 
 
+def test_nonlocal_path_never_cached():
+    # VERDICT r11 #3: on hdfs://, s3a://, etc. os.walk yields nothing, so
+    # a signature built there would "match" forever and pin a stale
+    # schema. _fs_sig must return None (memo bypass) for any URI-scheme
+    # or unstattable path — never an empty-but-equal tuple.
+    assert S._fs_sig("hdfs://nn/warehouse/t.parquet") is None
+    assert S._fs_sig("s3a://bucket/t.parquet") is None
+    assert S._fs_sig("/no/such/local/path.parquet") is None
+
+
+def test_same_size_preserved_mtime_replacement_reinfers(spark, tmp_path):
+    # ADVICE r11: a fixture replaced by a same-size file with preserved
+    # timestamps (cp -p / rsync -a) must not serve a stale schema. The
+    # signature folds in the file's last 16 bytes (parquet footer tail),
+    # which moves when content or schema changes even at equal size.
+    sf = str(tmp_path)
+    shutil.copy(f"{SF}/region.parquet", f"{sf}/region.parquet")
+    path = f"{sf}/region.parquet"
+    st = os.stat(path)
+    sig_a = S._fs_sig(path)
+    # same size + identical (atime, mtime), different trailing bytes
+    with open(path, "r+b") as fh:
+        fh.seek(st.st_size - 5)
+        tail = fh.read(5)
+        fh.seek(st.st_size - 5)
+        fh.write(bytes(b ^ 0xFF for b in tail))
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns))
+    sig_b = S._fs_sig(path)
+    assert os.stat(path).st_size == st.st_size
+    assert os.stat(path).st_mtime_ns == st.st_mtime_ns
+    assert sig_a != sig_b  # the memo key moves → re-inference, not a hit
+
+
 def test_events_normalization_survives_cache(spark):
     path = f"{SF}/events.parquet"
     S._SCHEMA_CACHE.pop(path, None)
