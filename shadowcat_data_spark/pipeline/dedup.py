@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import query
-from ..session import fan_out as _fan_out, load_table
+from ..session import fan_out as _fan_out, load_table, materialize
 
 # ---------------------------------------------------------------------------
 # L1 — exact dedup by normalized content hash
@@ -167,7 +167,7 @@ def _pair_shared_counts(
     per consumer (the r11 sf0.01 plan snapshot showed 4 full tokenize
     subtrees for l2a). Same storage budget the l2b signature pass and the
     t35 postings index already spend: O(Σ distinct tokens) rows."""
-    tok = tok.localCheckpoint(eager=False)
+    tok = materialize(tok, eager=False)
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     if max_df is not None:
         df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
@@ -738,7 +738,7 @@ def minhash_near_dups(
             F.collect_set("tok").alias("toks"),
             *_km_minhash_cols(pre_hashed=False),
         )
-    combined = combined.localCheckpoint(eager=False)
+    combined = materialize(combined, eager=False)
     # eager=False: the checkpoint RDD is shared by all three consumers, so
     # one action computes the agg subtree once and caches it mid-job — an
     # eager checkpoint does the same work but pays an extra blocking job
@@ -823,13 +823,14 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
+    sym = materialize(sym, eager=True)
+    labels = materialize(
         sym.select("a")
         .union(sym.select("b"))
         .distinct()
-        .select(F.col("a").alias("node"), F.col("a").alias("comp"))
-        .localCheckpoint(eager=True)
+        .select(F.col("a").alias("node"), F.col("a").alias("comp")),
+        eager=True,
+        iterative=True,
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -837,13 +838,13 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
+        new_labels = materialize(
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
+            iterative=True,
         )
         changed = (
             new_labels.alias("n")

@@ -29,7 +29,7 @@ from pyspark.sql import (
 )
 
 from ..registry import query
-from ..session import fan_out as _fan_out, load_table
+from ..session import fan_out as _fan_out, load_table, materialize
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1936,8 +1936,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     # 5 full passes (seed, 3 Lloyd rounds, final assignment): materialize
     # the filtered projection once
-    vecs = vecs.filter(F.size("embedding") == first[0][0]).localCheckpoint(
-        eager=False
+    vecs = materialize(
+        vecs.filter(F.size("embedding") == first[0][0]), eager=False
     )
     centroids = kmeans_fit(vecs)
     best = _km_assign_col(centroids)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import query
-from ..session import load_table
+from ..session import load_table, materialize
 
 TOKENS = "string_split(text, ' ')"  # DuckDB-side tokenizer fragment
 
@@ -60,18 +60,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus size as a one-row broadcast, NOT a driver-side .count(): keeps
     # the whole query one job (the count action alone was ~0.1s of bench)
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tf = (
+    tf = materialize(
         d.select("doc_id", F.explode(tokens()).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # materialized ONCE (localCheckpoint; persist on a cluster): tf
-        # feeds BOTH the scored join and the df aggregate below, and
-        # Catalyst has no cross-subtree reuse — the unmaterialized r11
-        # plan tokenized the corpus twice (explode+groupBy for tf, then
+        .agg(F.count(F.lit(1)).alias("tf")),
+        # materialized ONCE (session.materialize): tf feeds BOTH the
+        # scored join and the df aggregate below, and Catalyst has no
+        # cross-subtree reuse — the unmaterialized r11 plan tokenized the
+        # corpus twice (explode+groupBy for tf, then
         # explode+distinct+count for df). O(distinct (doc,term)) narrow
         # rows, the same budget the join itself shuffles.
-        .localCheckpoint(eager=False)
+        eager=False,
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -1209,7 +1209,7 @@ def _bpe_train(
     merges, which is exactly the word→tokens cache an encoder needs.
     Property-tested against a pure-Python reference implementation on
     random corpora; l29's oracle replays the whole loop in unrolled CTEs."""
-    words = (
+    words = materialize(
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -1220,8 +1220,9 @@ def _bpe_train(
         # tasks each (measured 32.7s → 13.0s for 20 rounds at sf0.01).
         # At web scale raise it with vocab size — the loop itself is
         # partition-count-agnostic.
-        .repartition(8)
-        .localCheckpoint()
+        .repartition(8),
+        eager=True,
+        iterative=True,
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -1260,7 +1261,7 @@ def _bpe_train(
         # chain, which grows quadratic in n_merges — truncate every 16
         # rounds (one materialization job per 16, vs. the old 1-per-round)
         if rank % 16 == 0:
-            words = words.localCheckpoint()
+            words = materialize(words, eager=True, iterative=True)
     return merges, words
 
 
@@ -1610,7 +1611,7 @@ def dup_ngram_coverage_frame(docs: DataFrame, k: int) -> DataFrame:
     The materialization is (doc_id, strt, 16-byte digest) rows, the same
     narrow shape the t31 streaming index persists per trigger."""
     base, wins = ngram_window_digests(docs, k)
-    wins = wins.localCheckpoint(eager=False)
+    wins = materialize(wins, eager=False)
     hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
@@ -1953,7 +1954,7 @@ def dup_ngram_trim_frame(docs: DataFrame, k: int) -> DataFrame:
     ``dup_starts_of``'s probe side), same rationale as
     :func:`dup_ngram_coverage_frame`."""
     base, wins = ngram_window_digests(docs, k)
-    wins = wins.localCheckpoint(eager=False)
+    wins = materialize(wins, eager=False)
     hot = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
@@ -2103,7 +2104,7 @@ def split_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once: the split join below is consumed by BOTH the
     # train-window set and the eval probe side — unmaterialized, the
     # corpus-scale digest explode runs twice (l44's rationale)
-    wins = wins.localCheckpoint(eager=False)
+    wins = materialize(wins, eager=False)
     w = wins.join(sp, "doc_id")
     trainw = w.filter(F.col("split") == "train").select("h").distinct()
     leak = (
@@ -2426,7 +2427,7 @@ def quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses for money sums, applied to model state."""
     docs = load_table(spark, sf_dir, "documents")
     # the projection feeds 12 gradient passes + scoring: materialize once
-    feats = l30_features(docs).localCheckpoint(eager=False)
+    feats = materialize(l30_features(docs), eager=False)
     w = train_quality_logreg(feats)
     sq = F.floor(_l30_p_col(w) * float(_L30_Q) + 0.5)
     return feats.groupBy(F.col("y").alias("label")).agg(
@@ -2477,7 +2478,7 @@ def model_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import _scratch
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = l30_features(docs).localCheckpoint(eager=False)
+    feats = materialize(l30_features(docs), eager=False)
     w1 = train_quality_logreg(feats.filter(F.col("doc_id") % 4 != 0))
 
     table = _scratch(sf_dir, "m43_model_table")

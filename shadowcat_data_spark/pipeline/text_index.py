@@ -49,7 +49,7 @@ import re as _re
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import query
-from ..session import fan_out as _fan_out, load_table
+from ..session import fan_out as _fan_out, load_table, materialize
 from ..sources.io import _scratch
 
 N_TERM_BUCKETS = 16
@@ -217,7 +217,7 @@ def build_text_index(
     shutil.rmtree(_terms_table(table), ignore_errors=True)
     # one tokenize pass feeds the data files, the corpus stats, and the
     # term sidecar (localCheckpoint: three consumers, one computation)
-    p = _postings(docs, id_col, text_col).localCheckpoint(eager=False)
+    p = materialize(_postings(docs, id_col, text_col), eager=False)
     # ONE aggregate job yields both the corpus stats and the row count
     # that create_partitioned's "auto" file fan-out needs (passing
     # n_rows skips its own counting job — commit = 1 agg + 1 write)
@@ -238,6 +238,7 @@ def build_text_index(
         # the bucket domain is 0..15 BY CONSTRUCTION (pmod of xxhash64):
         # explicit bounds skip sampling and pin one bucket per value
         bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
+        codec="zstd",  # read-heavy index: -21% bytes on every probe scan
         n_rows=int(row["np"] or 0),
         extra={"corpus_stats": stats, **(extra or {})},
     )
@@ -249,6 +250,7 @@ def build_text_index(
         "bucket",
         n_buckets=N_TERM_BUCKETS,
         bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
+        codec="zstd",
     )
     return v
 
@@ -305,8 +307,8 @@ def refresh_text_index(
     fails OPEN in ``_term_upper_bounds``."""
     from ..plans.lakehouse import append_partitioned, read_manifest
 
-    p = (postings_fn or _postings)(docs, id_col, text_col).localCheckpoint(
-        eager=False
+    p = materialize(
+        (postings_fn or _postings)(docs, id_col, text_col), eager=False
     )
     prev = read_manifest(table).get("corpus_stats")
     if prev is not None:
@@ -368,8 +370,8 @@ def reindex_docs(
     Lucene staleness contract as ``remove_docs_from_index``."""
     from ..plans.lakehouse_mor import upsert_mor
 
-    p = (postings_fn or _postings)(docs, id_col, text_col).localCheckpoint(
-        eager=False
+    p = materialize(
+        (postings_fn or _postings)(docs, id_col, text_col), eager=False
     )
     _append_term_deltas(spark, table, p)  # sidecar FIRST — see its docstring
     return upsert_mor(
@@ -397,7 +399,7 @@ def recompute_index_stats(spark: SparkSession, table: str) -> dict:
 
     import shutil
 
-    live = read_snapshot(spark, table).localCheckpoint(eager=False)
+    live = materialize(read_snapshot(spark, table), eager=False)
     stats = _corpus_stats_of(live)
     # metadata-only commit carrying the corrected corpus_stats forward
     append_partitioned(
@@ -416,6 +418,7 @@ def recompute_index_stats(spark: SparkSession, table: str) -> dict:
         "bucket",
         n_buckets=N_TERM_BUCKETS,
         bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
+        codec="zstd",
     )
     return stats
 
@@ -686,9 +689,7 @@ def build_positional_index(
 
     shutil.rmtree(table, ignore_errors=True)
     shutil.rmtree(_terms_table(table), ignore_errors=True)
-    p = _positional_postings(docs, id_col, text_col).localCheckpoint(
-        eager=False
-    )
+    p = materialize(_positional_postings(docs, id_col, text_col), eager=False)
     v = create_partitioned(
         spark,
         p,
@@ -699,6 +700,7 @@ def build_positional_index(
         files_per_bucket="auto",
         bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
         extra=extra,
+        codec="zstd",
     )
     create_partitioned(
         spark,
@@ -708,6 +710,7 @@ def build_positional_index(
         "bucket",
         n_buckets=N_TERM_BUCKETS,
         bounds=[float(i) for i in range(1, N_TERM_BUCKETS)],
+        codec="zstd",
     )
     return v
 
@@ -1415,9 +1418,7 @@ def search_any_terms(
     # consumed by seed window, seed scoring, and the final rank —
     # materialize once instead of re-running the MOR read per consumer
     # (merge_partitioned's change-set pattern; review-found)
-    postings = pruned_postings(spark, table, terms).localCheckpoint(
-        eager=False
-    )
+    postings = materialize(pruned_postings(spark, table, terms), eager=False)
 
     def rank(src: DataFrame) -> DataFrame:
         agg = src.groupBy("doc_id").agg(F.sum("tf").alias("total_tf"))
@@ -1495,13 +1496,16 @@ def bm25_topk(
     (n_docs, avg_len) default to the manifest's ``corpus_stats`` — zero
     data files touched for either."""
     terms = sorted(set(analyze_terms(terms)))
-    postings = pruned_postings(
-        spark,
-        table,
-        terms,
-        cols=("tok", "doc_id", "tf", "dl"),
-        empty_schema="tok string, doc_id long, tf long, dl long",
-    ).localCheckpoint(eager=False)  # consumed by df-count, seed, scoring
+    postings = materialize(
+        pruned_postings(
+            spark,
+            table,
+            terms,
+            cols=("tok", "doc_id", "tf", "dl"),
+            empty_schema="tok string, doc_id long, tf long, dl long",
+        ),
+        eager=False,
+    )  # consumed by df-count, seed, scoring
     if n_docs is None or avg_len is None:
         cs = index_corpus_stats(table) or {"n_docs": 0, "sum_dl": 0}
         if n_docs is None:
@@ -1789,6 +1793,7 @@ def _ensure_emb_table(spark: SparkSession, sf_dir: str) -> str:
         n_buckets=8,
         files_per_bucket=4,
         extra={"corpus_stamp": stamp},
+        codec="zstd",
     )
     add_bloom_filters(spark, table, "vec_id")
     return table

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import query
-from ..session import load_table
+from ..session import load_table, materialize
 
 # ---------------------------------------------------------------------------
 # TPC-H Q3 shape — via the SQL-string API
@@ -827,11 +827,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
+    nodes = materialize(
+        edges.select(F.col("src").alias("node")).distinct(), eager=True
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    edges_deg = materialize(edges.join(deg, "src"), eager=True)
     ranks = nodes.select("node", F.lit(1000000).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -840,15 +840,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr("(85 * r) div (100 * outdeg)")).alias("contrib"))
             .withColumnRenamed("dst", "node")
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+        ranks = materialize(
+            nodes.join(contrib, "node", "left").select(
                 "node",
                 (F.lit(150000) + F.coalesce(F.col("contrib"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
+            iterative=True,
         )
     return ranks
 
@@ -918,7 +918,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=True)  # reused every hop: cut lineage once
+    edges = materialize(edges, eager=True)  # reused every hop: cut lineage once
     dist = s.filter(F.col("s_suppkey") <= 3).select(
         F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"),
         F.lit(0).alias("d"),
@@ -927,9 +927,11 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded = edges.join(dist.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
         )
-        dist = (
-            dist.unionByName(expanded).groupBy("node").agg(F.min("d").alias("d"))
-        ).localCheckpoint(eager=True)
+        dist = materialize(
+            dist.unionByName(expanded).groupBy("node").agg(F.min("d").alias("d")),
+            eager=True,
+            iterative=True,
+        )
     return (
         dist.filter(F.col("d") <= _BFS_HOPS)
         .groupBy(F.col("d").cast("int").alias("hop"))
@@ -994,20 +996,20 @@ def oriented_triangles(e: DataFrame) -> DataFrame:
     """
     deg = _node_degrees(e)
     rank = deg.select("n", F.struct(F.col("deg"), F.col("n").alias("id")).alias("rk"))
-    ed = (
+    ed = materialize(
         e.join(rank.withColumnRenamed("n", "u").withColumnRenamed("rk", "rku"), "u")
         .join(rank.withColumnRenamed("n", "v").withColumnRenamed("rk", "rkv"), "v")
         .select(
             F.when(F.col("rku") < F.col("rkv"), F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.greatest("rku", "rkv").alias("rk_dst"),
-        )
+        ),
         # three consumers below (both wedge legs + the closing edge set):
         # materialize the oriented edges ONCE — unmaterialized, each leg
         # re-derives edges→degrees→rank→orient from scratch (the r11 plan
         # snapshot showed the whole edge subtree repeated per SMJ leg).
         # O(|E|) rows, the same budget the wedge join itself shuffles.
-        .localCheckpoint(eager=False)
+        eager=False,
     )
     e1 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w1"), F.col("rk_dst").alias("r1"))
     e2 = ed.select(F.col("src").alias("s"), F.col("dst").alias("w2"), F.col("rk_dst").alias("r2"))
@@ -1030,7 +1032,7 @@ def triangle_count_from_edges(e: DataFrame) -> DataFrame:
     and Catalyst has no cross-subtree reuse for DataFrame-built plans —
     the unmaterialized r11 plan recomputed the full lineitem→distinct→
     self-join→HAVING derivation 12× (36 parquet scans, 74 exchanges)."""
-    e = e.localCheckpoint(eager=False)
+    e = materialize(e, eager=False)
     deg = _node_degrees(e)
     tri = oriented_triangles(e).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -1164,7 +1166,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`triangle_count_from_edges`): the list feeds the triangle
     kernel AND the degree join below, and each reference would
     otherwise re-derive the full co-supply projection."""
-    e = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = materialize(_cosupply_edges(spark, sf_dir), eager=False)
     tris = oriented_triangles(e)
     per_node = (
         tris.select(F.explode(F.array("s", "w1", "w2")).alias("n"))
@@ -1293,7 +1295,7 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
     joined by a bridge must converge to two communities)."""
     if iters < 1:
         raise ValueError("label_propagation needs iters >= 1")
-    edges = edges.localCheckpoint(eager=True)  # reused every round
+    edges = materialize(edges, eager=True)  # reused every round
     labels = None
     for it in range(iters):
         if it == 0:
@@ -1326,13 +1328,13 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
         # per round; measured at sf10 this kernel was the 165 s tail of
         # the smoke). The struct key is unique per group row (label is a
         # group key), so the a19 undefined-on-ties caveat cannot bite.
-        labels = (
-            counted.groupBy("node")
-            .agg(
+        labels = materialize(
+            counted.groupBy("node").agg(
                 F.min_by(
                     "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
                 ).alias("label")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
+            iterative=True,
         )
     return labels

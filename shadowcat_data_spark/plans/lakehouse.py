@@ -65,7 +65,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
-from ..session import load_table
+from ..session import load_table, materialize
 from ..sources.io import _scratch
 
 
@@ -471,6 +471,7 @@ def _write_bucket_files(
     version: int,
     n_out: int | None = None,
     files_per_bucket: int = 1,
+    compression: str | None = None,
 ) -> dict[str, dict]:
     """Write ``df`` as ``files_per_bucket`` parquet files per non-empty
     key-range bucket under a fresh stage dir; return {relpath: stats}
@@ -505,14 +506,19 @@ def _write_bucket_files(
         split_cols = ["__bucket", "__salt"]
     else:
         split_cols = ["__bucket"]
-    (
+    writer = (
         staged.repartition(max(n_buckets, 1) * fpb, *split_cols)
         .sortWithinPartitions(key)  # tight per-file min/max (s7's idea)
         .drop("__salt")
         .write.partitionBy("__bucket")
         .mode("overwrite")
-        .parquet(stage)
     )
+    if compression is not None:
+        # per-TABLE codec (VERDICT r11 #2): read-heavy index tables opt
+        # into zstd (−21% bytes on every later scan); churn-heavy tables
+        # keep the session default (snappy)
+        writer = writer.option("compression", compression)
+    writer.parquet(stage)
     # data sequence number (Iceberg's): which commit wrote each file —
     # equality-delete files apply only to data files with a strictly
     # smaller seq, so a commit that both deletes a key and re-inserts it
@@ -576,8 +582,17 @@ def create_partitioned(
     files_per_bucket: int | str = 1,
     bounds: list[float] | None = None,
     n_rows: int | None = None,
+    codec: str | None = None,
 ) -> int:
     """Create a key-range-partitioned table as snapshot v1.
+
+    ``codec`` pins a PER-TABLE parquet compression codec in the manifest
+    (VERDICT r11 #2): read-heavy committed tables (text-index postings —
+    written once per refresh, re-scanned by every probe) opt into zstd
+    for the −21% scan bytes; churn-heavy COW/CDF tables leave it unset
+    and write with the session default (snappy). Every later writer
+    (append/merge/compact/upsert/re-bound) honors the manifest's codec,
+    because ``_partitioned_manifest`` carries non-standard keys forward.
 
     Bucket bounds = percentiles of ``key`` over a DETERMINISTIC hash
     sample (exact over the full data up to ~100k rows), fixed for the
@@ -615,6 +630,8 @@ def create_partitioned(
     skips the counting job entirely; callers that already ran an
     aggregate over ``df`` (the text-index build folds its corpus-stats
     pass and the count into one job) pass the count via ``n_rows``."""
+    if codec is not None:
+        extra = {**(extra or {}), "codec": codec}
     qs = [i / n_buckets for i in range(1, n_buckets)]
     src = df
     n = n_rows
@@ -631,7 +648,8 @@ def create_partitioned(
         )
     if bounds is not None:
         entries = _write_bucket_files(
-            df, table, key, bounds, 1, files_per_bucket=files_per_bucket
+            df, table, key, bounds, 1, files_per_bucket=files_per_bucket,
+            compression=codec,
         )
         partition = {"key": key, "bounds": sorted(float(b) for b in bounds)}
         return _commit_manifest(
@@ -681,7 +699,8 @@ def create_partitioned(
         ).first()[0]
         bounds = sorted({float(b) for b in (row or []) if b is not None})
     entries = _write_bucket_files(
-        df, table, key, bounds, 1, files_per_bucket=files_per_bucket
+        df, table, key, bounds, 1, files_per_bucket=files_per_bucket,
+        compression=codec,
     )
     partition = {"key": key, "bounds": bounds}
     return _commit_manifest(
@@ -722,7 +741,7 @@ def merge_partitioned(
     the change-set derivation cost at sf1 before this)."""
     from .maintenance import apply_changelog
 
-    changes = changes.localCheckpoint(eager=False)
+    changes = materialize(changes, eager=False)
     for _ in range(max_retries + 1):
         version = current_version(table)
         man = read_manifest(table, version)
@@ -765,7 +784,8 @@ def merge_partitioned(
         # fold at read/compaction instead (VERDICT r09 "What's wrong" #1)
         merged = apply_changelog(base, changes, key)
         entries = _write_bucket_files(
-            merged, table, key, bounds, version + 1, n_out=len(touched)
+            merged, table, key, bounds, version + 1, n_out=len(touched),
+            compression=man.get("codec"),
         )
         manifest = _partitioned_manifest(
             version + 1, man["schema"], part, {**untouched, **entries}, prev=man,
@@ -798,7 +818,8 @@ def append_partitioned(
         man = read_manifest(table, version)
         part = man["partition"]
         entries = _write_bucket_files(
-            rows, table, part["key"], part["bounds"], version + 1
+            rows, table, part["key"], part["bounds"], version + 1,
+            compression=man.get("codec"),
         )
         manifest = _partitioned_manifest(
             version + 1, man["schema"], part, {**man["stats"], **entries}, prev=man,
@@ -891,7 +912,10 @@ def compact_partitioned(
         )
         if fold is not None:
             packed = fold(packed)
-        entries = _write_bucket_files(packed, table, key, bounds, version + 1)
+        entries = _write_bucket_files(
+            packed, table, key, bounds, version + 1,
+            compression=man.get("codec"),
+        )
         manifest = _partitioned_manifest(
             version + 1, man["schema"], part, {**carried, **entries}, prev=man,
             # a fold rewrites EVERY data file at seq = version+1, so any
@@ -1629,7 +1653,10 @@ def rebound_partitioned(
             F.expr(f"percentile({key}, array({','.join(repr(q) for q in qs)}))")
         ).first()[0]
         bounds = sorted({float(b) for b in (row or []) if b is not None})
-        entries = _write_bucket_files(cur, table, key, bounds, version + 1)
+        entries = _write_bucket_files(
+            cur, table, key, bounds, version + 1,
+            compression=man.get("codec"),
+        )
         manifest = _partitioned_manifest(
             version + 1,
             man["schema"],

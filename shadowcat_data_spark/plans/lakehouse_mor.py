@@ -43,7 +43,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
-from ..session import load_table
+from ..session import load_table, materialize
 from . import lakehouse as _lh
 from .lakehouse import (
     CommitConflictError,
@@ -105,7 +105,7 @@ def delete_mor(
     keys are ignored; a key absent from the table is a no-op (no
     existence check at write time). Optimistic commit with the standard
     re-read/retry loop."""
-    keys = keys.localCheckpoint(eager=False)  # consumed once per attempt
+    keys = materialize(keys, eager=False)  # consumed once per attempt
     for _ in range(max_retries + 1):
         version = current_version(table)
         man = read_manifest(table, version)
@@ -155,9 +155,9 @@ def upsert_mor(
     ZERO postings still needs its old postings shadowed (review-found
     hole). Commit cost is O(change-set): no existing file is read or
     rewritten."""
-    rows = rows.localCheckpoint(eager=False)  # feeds data files AND delete keys
+    rows = materialize(rows, eager=False)  # feeds data files AND delete keys
     if delete_keys is not None:
-        delete_keys = delete_keys.localCheckpoint(eager=False)
+        delete_keys = materialize(delete_keys, eager=False)
     for _ in range(max_retries + 1):
         version = current_version(table)
         man = read_manifest(table, version)
@@ -165,7 +165,8 @@ def upsert_mor(
         key = part["key"]
         dcol = eq_col or key
         entries = _write_bucket_files(
-            rows, table, key, part["bounds"], version + 1
+            rows, table, key, part["bounds"], version + 1,
+            compression=man.get("codec"),
         )
         dentries = _write_delete_file(
             spark,
@@ -259,7 +260,8 @@ def materialize_deletes(
         }
         folded = _read_files_mor(spark, table, man, touched_files)
         entries = _write_bucket_files(
-            folded, table, key, bounds, version + 1, n_out=len(touched)
+            folded, table, key, bounds, version + 1, n_out=len(touched),
+            compression=man.get("codec"),
         )
         manifest = _partitioned_manifest(
             version + 1,

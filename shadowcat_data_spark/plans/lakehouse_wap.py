@@ -34,7 +34,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
-from ..session import load_table
+from ..session import load_table, materialize
 from . import lakehouse as _lh
 from .lakehouse import (
     CommitConflictError,
@@ -149,7 +149,8 @@ def stage_append(spark: SparkSession, table: str, rows: DataFrame) -> str:
     # version tag in the stage path is only a filename hint; entries are
     # re-sequenced at publish time
     entries = _write_bucket_files(
-        rows, table, part["key"], part["bounds"], current_version(table) + 1
+        rows, table, part["key"], part["bounds"], current_version(table) + 1,
+        compression=man.get("codec"),
     )
     for st in entries.values():
         st.pop("seq", None)
@@ -379,7 +380,7 @@ def cdf_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    view = as_view(read_snapshot(spark, table)).localCheckpoint()
+    view = materialize(as_view(read_snapshot(spark, table)), eager=True)
 
     # v2: COW merge — updates (+10 on keys ≡1 mod 5 in 1..400) and inserts
     in_range = o.filter(F.col("o_orderkey").between(1, 400))
@@ -423,12 +424,13 @@ def cdf_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).groupBy("o_grp").agg(
             F.sum("n").alias("n"), F.sum("cents").alias("cents")
         )
-        view = (
+        view = materialize(
             view.unionByName(delta)
             .groupBy("o_grp")
             .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
-            .filter(F.col("n") > 0)
-            .localCheckpoint()
+            .filter(F.col("n") > 0),
+            eager=True,
+            iterative=True,
         )
     return view.select(
         "o_grp",

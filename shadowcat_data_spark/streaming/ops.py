@@ -31,7 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..pipeline.text_index import _an_duck  # shared analyzer oracle twin
 from ..registry import query
-from ..session import ensure_session
+from ..session import ensure_session, materialize
 
 # Fixture generators have shipped events.ts as TIMESTAMP(NANOS) (readable
 # only as long under legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS) (read
@@ -1314,7 +1314,7 @@ def stream_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    w = train_quality_logreg(l30_features(docs).localCheckpoint(eager=False))
+    w = train_quality_logreg(materialize(l30_features(docs), eager=False))
 
     ensure_session(spark)
     schema = "doc_id long, text string, lang string, source string, n_chars long"
@@ -1525,15 +1525,15 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to d rows, unbounded by batch size.
     from ..pipeline.dedup import SHINGLE_MAX_DF
 
-    tok_full = (
-        distinct_shingles(docs, "doc_id", "text")
-        .select(F.col("doc_id").alias("d_other"), "tok")
-        .localCheckpoint(eager=True)
+    tok_full = materialize(
+        distinct_shingles(docs, "doc_id", "text").select(
+            F.col("doc_id").alias("d_other"), "tok"
+        ),
+        eager=True,
     )
-    sizes = (
-        tok_full.groupBy("d_other")
-        .agg(F.count(F.lit(1)).alias("n_tok"))
-        .localCheckpoint(eager=True)
+    sizes = materialize(
+        tok_full.groupBy("d_other").agg(F.count(F.lit(1)).alias("n_tok")),
+        eager=True,
     )
     df_ok = (
         tok_full.groupBy("tok")
@@ -1541,7 +1541,7 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__df") <= SHINGLE_MAX_DF)
         .drop("__df")
     )
-    all_tok = tok_full.join(df_ok, "tok").localCheckpoint(eager=True)
+    all_tok = materialize(tok_full.join(df_ok, "tok"), eager=True)
     s_new = sizes.select(F.col("d_other").alias("d_new"), F.col("n_tok").alias("n1"))
     s_oth = sizes.select("d_other", F.col("n_tok").alias("n2"))
 

@@ -1013,6 +1013,12 @@ def test_rowwise_minhash_single_hash_site(spark):
     plan = _rowwise_minhash(corpus, "doc_id", "text")._jdf.queryExecution().optimizedPlan().toString()
     n_seeded = plan.count("xxhash64(1,")
     assert n_seeded == 1, f"expected 1 seeded-hash site, plan has {n_seeded}:\n{plan}"
+    # VERDICT r11 #1: the nested-transform minima array (__mins) must also
+    # stay in ONE projection — a CollapseProject inline into its 32
+    # getItem consumers would recompute all 32 minima per consumer (32x
+    # the arithmetic, exactly the magnitude the r11 driver bench feared).
+    n_min = plan.count("array_min")
+    assert n_min == 1, f"expected 1 array_min site, plan has {n_min}:\n{plan}"
 
 
 def test_ann_kernels_keep_generic_id_types(spark):
@@ -5009,3 +5015,57 @@ def test_l50_decontam_orientation_eval_train_only(spark, tmp_path):
     assert set(got) == {0}, f"only eval doc 0 is train-contaminated: {got}"
     n, j = got[0]
     assert n == 1 and j >= 0.75
+
+
+def test_materialize_local_mode_is_localcheckpoint(spark):
+    """session.materialize is the ONE materialization chokepoint (VERDICT
+    r11 #4/#6): on a local master it must produce exactly the
+    localCheckpoint RDD-scan leaf every converted site produced before —
+    no behavior change locally — for both eager flags and the iterative
+    variant."""
+    from shadowcat_data_spark.session import materialize
+
+    assert spark.sparkContext.master.startswith("local")
+    base = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("y"))
+    for kwargs in ({"eager": False}, {"eager": True}, {"eager": True, "iterative": True}):
+        m = materialize(base, **kwargs)
+        plan = m._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan, f"{kwargs}: expected a checkpoint leaf:\n{plan}"
+        assert sorted(r["y"] for r in m.collect()) == [i * 2 for i in range(10)]
+
+
+def test_per_table_codec_pinned_in_manifest(spark, tmp_path):
+    """The parquet codec is PER-TABLE (VERDICT r11 #2): a create with
+    codec="zstd" writes zstd data files and pins "codec" in the manifest;
+    a later append inherits it with no parameter; a table created without
+    a codec writes the session default (snappy)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from shadowcat_data_spark.plans.lakehouse import (
+        append_partitioned,
+        create_partitioned,
+        read_manifest,
+    )
+
+    def file_codecs(table: str) -> set[str]:
+        man = read_manifest(table)
+        out = set()
+        for f in man["files"]:
+            md = pq.ParquetFile(os.path.join(table, f)).metadata
+            out.add(md.row_group(0).column(0).compression)
+        return out
+
+    df = spark.range(0, 400).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    zt = str(tmp_path / "ztable")
+    create_partitioned(spark, df, zt, "k long, v long", "k", n_buckets=4, codec="zstd")
+    assert read_manifest(zt).get("codec") == "zstd"
+    assert file_codecs(zt) == {"ZSTD"}
+    append_partitioned(spark, zt, df.withColumn("k", F.col("k") + 1000))
+    assert file_codecs(zt) == {"ZSTD"}  # append inherited the table codec
+
+    st = str(tmp_path / "stable")
+    create_partitioned(spark, df, st, "k long, v long", "k", n_buckets=4)
+    assert "codec" not in read_manifest(st)
+    assert file_codecs(st) == {"SNAPPY"}  # session default
