@@ -1090,26 +1090,48 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant, so both sides agree exactly while the Spark
     plan keeps the scale-safe shape.
 
-    Edge generation is a per-order self-join on the distinct (order,
-    supplier) list — quadratic only in lines-per-order, which the schema
-    bounds (TPC-H ≤ 7 lines/order)."""
+    Edge generation builds each order's supplier pairs in-row from the
+    order's sorted distinct-supplier array (no self-join; see
+    :func:`_cosupply_edges`) — quadratic only in lines-per-order, which
+    the schema bounds (TPC-H ≤ 7 lines/order)."""
     return triangle_count_from_edges(_cosupply_edges(spark, sf_dir))
 
 
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier co-supply edges (u < v, once) at min-support 5 — see
     :func:`graph_triangle_count` for why the support threshold is part of
-    the graph definition."""
-    ps = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    the graph definition.
+
+    Shape (r12, VERDICT r11 #7): per-order supplier pairs are generated
+    IN-ROW from each order's sorted distinct-supplier array — the same
+    slice/transform pair kernel the LSH buckets use — instead of the
+    distinct + self-join-on-order formulation. That deletes the join and
+    one aggregate: 2 exchanges total (groupBy order with a partial-agg
+    collect_set, then groupBy (u,v) count) where the join form paid the
+    distinct's exchange, two join exchanges, and the pair-count exchange
+    (plan: 4 Exchanges + SortMergeJoin → 2 Exchanges, no join; see
+    plans/r12/graph_triangle_count_{before,after}.txt). The in-row pair
+    fan-out is bounded by the schema (≤7 lines/order → ≤21 pairs), so no
+    row can blow up a task at any corpus scale; collect_set dedups
+    per-order suppliers exactly as the old DISTINCT did, and sort_array
+    gives the u < v orientation, so the edge SET is identical (both
+    graph oracles stay hash-green)."""
+    ps = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sups = ps.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
     )
-    a = ps.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
-    b = ps.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     return (
-        a.join(b, "k")
-        .filter(F.col("u") < F.col("v"))
+        sups.select(F.explode(pair_structs).alias("p"))
+        .select("p.u", "p.v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
