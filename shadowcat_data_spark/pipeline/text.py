@@ -14,6 +14,30 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 from ..registry import query
 from ..session import load_table, materialize
 
+# Below this input size, l5's tf materialization costs more (a fixed
+# checkpoint-write job) than the second corpus tokenization it saves;
+# past it — or on a store we can't stat — the single-pass plan wins.
+_L5_MAT_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _input_bytes(path: str) -> int:
+    """Total bytes of a local fixture file/dir; "infinite" for URI-scheme
+    or unstattable paths (cluster stores: presume the corpus pass is
+    expensive and take the single-pass, materialized plan)."""
+    import os
+
+    if "://" in path:
+        return 1 << 62
+    if os.path.isfile(path):
+        return os.stat(path).st_size
+    if not os.path.isdir(path):
+        return 1 << 62
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.stat(os.path.join(dirpath, fn)).st_size
+    return total
+
 TOKENS = "string_split(text, ' ')"  # DuckDB-side tokenizer fragment
 
 
@@ -60,19 +84,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus size as a one-row broadcast, NOT a driver-side .count(): keeps
     # the whole query one job (the count action alone was ~0.1s of bench)
     n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tf = materialize(
+    tf = (
         d.select("doc_id", F.explode(tokens()).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf")),
-        # materialized ONCE (session.materialize): tf feeds BOTH the
-        # scored join and the df aggregate below, and Catalyst has no
-        # cross-subtree reuse — the unmaterialized r11 plan tokenized the
-        # corpus twice (explode+groupBy for tf, then
-        # explode+distinct+count for df). O(distinct (doc,term)) narrow
-        # rows, the same budget the join itself shuffles.
-        eager=False,
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # tf feeds BOTH the scored join and the df aggregate below, and
+    # Catalyst has no cross-subtree reuse — unmaterialized, the corpus is
+    # tokenized twice (explode+groupBy for tf, then again for df). The
+    # materialization is SIZE-GATED (VERDICT r11 #4): its win is one
+    # corpus pass, so it only pays when that pass is expensive — at
+    # fixture scale the checkpoint write overhead read l5 consistently
+    # ~5-10% slower (tools/ab_l5.py, 2 alternated fresh-JVM pairs: mat
+    # 1.457/1.413 s vs nomat 1.379/1.244 s), while past the threshold
+    # (or on any non-statable cluster store, where the second pass is
+    # presumed expensive) the single-pass plan wins by construction.
+    if _input_bytes(f"{sf_dir}/documents.parquet") >= _L5_MAT_MIN_BYTES:
+        tf = materialize(tf, eager=False)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(df, "term")
